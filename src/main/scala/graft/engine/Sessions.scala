@@ -1,0 +1,33 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for engine session config so Verify, Bench, and tests agree.
+  *
+  * Scale posture (SURVEY.md §7): AQE on (runtime coalescing / skew-join — the
+  * reference's partition-range reads exist to serve exactly this,
+  * RemoteShuffleManager.scala:91-110), shuffle partitions sized to cores on
+  * local mode (on a 1000-executor cluster this would be cores×executors, with
+  * AQE coalescing the tail), UTC timezone pinned for oracle agreement.
+  */
+object Sessions {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def build(appName: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.ts is parquet TIMESTAMP(NANOS): read as long, normalized in
+      // Tables.load. Without this the scan itself throws PARQUET_TYPE_ILLEGAL.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,40 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table catalog.
+  *
+  * The reference engine (oap-project/remote-shuffle) is schema-agnostic — the
+  * layer above the shuffle owns schema (reference:
+  * shuffle-hadoop/src/main/scala/org/apache/spark/shuffle/remote/RemoteShuffleManager.scala:67-85,
+  * fully generic `registerShuffle[K, V, C]`). This engine IS that layer: the
+  * catalog binds the driver-generated parquet fixtures (TESTDATA.md) to typed
+  * DataFrames, letting Catalyst push filters/column pruning into the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one fixture table; filters/pruning push down into the parquet scan.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
+    * reads as a raw long (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    * [[Sessions]]); it is normalized here to a microsecond TimestampType so
+    * every downstream operator sees a real timestamp column.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.floor(
+            org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    else df
+  }
+
+  /** Register every fixture table as a temp view named after itself, for
+    * SQL-surface queries (GROUPING SETS etc.) and interactive use. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.{Num, QueryModule}
+import graft.engine.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** One event row for the typed-Aggregator path (reference A1/A2's
+  * createCombiner/mergeValue/mergeCombiners closures —
+  * shuffle-hadoop/src/main/scala/org/apache/spark/shuffle/remote/RemoteAggregator.scala:24-56). */
+case class Ev(user_id: Long, event_type: String, value: Double)
+
+/** Typed partial-aggregation demo: exact integer-cents (sum, count) buffer.
+  * `reduce` is the map-side combine (reference A1, RemoteSorter.scala:188-215),
+  * `merge` the reduce-side combiner merge (reference A2). */
+object CentsSumCount extends Aggregator[Ev, (Long, Long), (Long, Long)] {
+  def zero: (Long, Long) = (0L, 0L)
+  def reduce(b: (Long, Long), e: Ev): (Long, Long) =
+    (b._1 + math.round(e.value * 100), b._2 + 1)
+  def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+    (a._1 + b._1, a._2 + b._2)
+  def finish(b: (Long, Long)): (Long, Long) = b
+  def bufferEncoder: Encoder[(Long, Long)] = Encoders.product[(Long, Long)]
+  def outputEncoder: Encoder[(Long, Long)] = Encoders.product[(Long, Long)]
+}
+
+/** Core exchange/aggregation/sort/dedup operators (SURVEY.md §2.1–2.3).
+  *
+  * Each query is the Spark-native expression of a reference operator; Catalyst
+  * plans the partial/final aggregation, range-partitioned sort, and AQE
+  * coalescing that the reference hand-implements in its shuffle layer.
+  */
+object CoreQueries extends QueryModule {
+
+  /** q01 — flagship TPC-H-Q1-shaped aggregation (reference A1/A2/A7 + S3:
+    * scan → partial agg → exchange → final agg → sort; mirrors the SQL test at
+    * shuffle-hadoop/src/test/scala/.../RemoteShuffleManagerSuite.scala:180-191).
+    * Money sums are exact integer cents / 1e-4 / 1e-6 units so results are
+    * order-independent (at 100 TB these become DECIMAL(38,x), same plan). */
+  val q01Agg: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+    val disc  = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = disc * (lit(1.0) + col("l_tax"))
+    li.filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        Num.sumCents(col("l_extendedprice"), "sum_base_cents"),
+        sum(Num.tenK(disc)).as("sum_disc_tenk"),
+        sum(round(charge * 1000000, 0).cast("long")).as("sum_charge_micros"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_cents") / (lit(100.0) * col("count_order")))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q02 — round-robin repartition with count+checksum invariant (reference P2,
+    * RemoteShuffleManagerSuite.scala:146-154: repartition preserves the multiset). */
+  val q02Repartition: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .repartition(32)
+      .agg(count(lit(1)).as("cnt"), sum(col("l_orderkey")).as("checksum"))
+
+  /** q03 — global total-order sort (reference S3 `sortByKey`,
+    * RemoteShuffleReader.scala:126-142): RangePartitioning exchange + sort. */
+  val q03SortGlobal: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), Num.cents(col("o_totalprice")).as("price_cents"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+
+  /** q04 — top-k (reference S6): TakeOrderedAndProject, no full sort/shuffle. */
+  val q04TopK: Q = (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        Num.cents(col("c_acctbal")).as("acctbal_cents"))
+      .orderBy(col("acctbal_cents").desc, col("c_custkey"))
+      .limit(25)
+
+  /** q05 — distinct as hash aggregation (reference A6). */
+  val q05Distinct: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("cnt"), sum(col("l_orderkey")).as("checksum"))
+
+  /** q06 — per-group exact count-distinct (reference A6; expand+agg plan). */
+  val q06CountDistinct: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** q07 — set operations union/intersect/except (distinct semantics). */
+  val q07SetOps: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+    val hi = o.filter(col("o_totalprice") > 250000).select("o_custkey")
+    val lo = o.filter(col("o_totalprice") < 50000).select("o_custkey")
+    val u = hi.union(lo).distinct().agg(count(lit(1)).as("n_union"))
+    val i = hi.intersect(lo).agg(count(lit(1)).as("n_intersect"))
+    val e = hi.except(lo).agg(count(lit(1)).as("n_except"))
+    u.crossJoin(i).crossJoin(e)
+  }
+
+  /** q08 — groupBy().sum() SQL-path shape the reference tests end-to-end with
+    * AQE coalescing (RemoteShuffleManagerSuite.scala:180-191). */
+  val q08GroupBySum: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(Num.cents(col("value"))).as("value_cents"),
+        max(col("user_id")).as("max_user"),
+        min(col("user_id")).as("min_user"))
+      .orderBy(col("event_type"))
+
+  /** q09 — typed Dataset aggregation via a custom Aggregator (reference's
+    * user-supplied combiner closures, RemoteAggregator.scala:24-36). */
+  val q09TypedAgg: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value")).as[Ev]
+      .groupByKey(_.event_type)
+      .agg(CentsSumCount.toColumn.name("acc"))
+      .select(col("key").as("event_type"),
+        col("acc._1").as("value_cents"), col("acc._2").as("n"))
+      .withColumn("avg_value", col("value_cents") / (lit(100.0) * col("n")))
+      .orderBy(col("event_type"))
+  }
+
+  /** q10 — cogroup (reference J1, RemoteAppendOnlyMapSuite.scala:206-224):
+    * typed KeyValueGroupedDataset.cogroup of orders × lineitem by order key. */
+  val q10Cogroup: Q = (s, dir) => {
+    import s.implicits._
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), Num.cents(col("o_totalprice")).as("cents"))
+      .as[(Long, Long)]
+    val lis = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity")).as[(Long, Double)]
+    ords.groupByKey(_._1).cogroup(lis.groupByKey(_._1)) { (k, os, ls) =>
+      val ov = os.toSeq
+      if (ov.isEmpty) Iterator.empty // lineitem rows always have an order
+      else {
+        var n = 0L; var qty = 0.0
+        ls.foreach { l => n += 1; qty += l._2 } // integral doubles: exact sum
+        Iterator((k, ov.head._2, n, qty))
+      }
+    }.toDF("o_orderkey", "price_cents", "n_items", "sum_qty")
+      .orderBy(col("o_orderkey"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q01_agg"            -> q01Agg,
+    "q02_repartition"    -> q02Repartition,
+    "q03_sort_global"    -> q03SortGlobal,
+    "q04_topk"           -> q04TopK,
+    "q05_distinct"       -> q05Distinct,
+    "q06_count_distinct" -> q06CountDistinct,
+    "q07_setops"         -> q07SetOps,
+    "q08_groupby_sum"    -> q08GroupBySum,
+    "q09_typed_agg"      -> q09TypedAgg,
+    "q10_cogroup"        -> q10Cogroup)
+
+  def oracles: Map[String, String] = Map(
+    "q01_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+        sum(l_quantity) AS sum_qty,
+        CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT)) AS BIGINT) AS sum_disc_tenk,
+        CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000,0) AS BIGINT)) AS BIGINT) AS sum_charge_micros,
+        count(*) AS count_order,
+        sum(l_quantity)/count(*) AS avg_qty,
+        sum(CAST(round(l_extendedprice*100,0) AS BIGINT))/(100.0*count(*)) AS avg_price
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q02_repartition" -> """
+      SELECT count(*) AS cnt, CAST(sum(l_orderkey) AS BIGINT) AS checksum
+      FROM lineitem""",
+    "q03_sort_global" -> """
+      SELECT o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS price_cents
+      FROM orders ORDER BY price_cents DESC, o_orderkey""",
+    "q04_topk" -> """
+      SELECT c_custkey, c_name, CAST(round(c_acctbal*100,0) AS BIGINT) AS acctbal_cents
+      FROM customer ORDER BY acctbal_cents DESC, c_custkey LIMIT 25""",
+    "q05_distinct" -> """
+      SELECT count(*) AS cnt, CAST(sum(l_orderkey) AS BIGINT) AS checksum
+      FROM (SELECT DISTINCT l_orderkey FROM lineitem)""",
+    "q06_count_distinct" -> """
+      SELECT l_returnflag,
+        count(DISTINCT l_orderkey) AS n_orders,
+        count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+        count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q07_setops" -> """
+      SELECT
+        (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+          UNION SELECT o_custkey FROM orders WHERE o_totalprice < 50000)) AS n_union,
+        (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+          INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice < 50000)) AS n_intersect,
+        (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+          EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice < 50000)) AS n_except""",
+    "q08_groupby_sum" -> """
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents,
+        max(user_id) AS max_user, min(user_id) AS min_user
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q09_typed_agg" -> """
+      SELECT event_type,
+        CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents,
+        count(*) AS n,
+        sum(CAST(round(value*100,0) AS BIGINT))/(100.0*count(*)) AS avg_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q10_cogroup" -> """
+      SELECT o_orderkey,
+        CAST(round(o_totalprice*100,0) AS BIGINT) AS price_cents,
+        coalesce(li.n_items, 0) AS n_items,
+        coalesce(li.sum_qty, 0.0) AS sum_qty
+      FROM orders
+      LEFT JOIN (SELECT l_orderkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
+                 FROM lineitem GROUP BY l_orderkey) li
+        ON o_orderkey = l_orderkey
+      ORDER BY o_orderkey""")
+}

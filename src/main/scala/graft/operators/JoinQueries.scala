@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.{Num, QueryModule}
+import graft.engine.Tables
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.4).
+  *
+  * The reference implements only the exchange+cogroup substrate joins compile
+  * to (RemoteAppendOnlyMapSuite.scala:206-224); here the full equi-join family
+  * is declared Spark-first and Catalyst/AQE pick shuffled-hash vs sort-merge vs
+  * broadcast. Dimension tables (nation/region, literal band tables) are
+  * explicitly `broadcast()` — at 100 TB the fact side never shuffles for those.
+  */
+object JoinQueries extends QueryModule {
+
+  /** q11 — inner equi-join + aggregation: revenue per customer. At scale both
+    * sides hash-partition on the key; AQE handles skew. */
+  val q11JoinInner: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(c("c_custkey"), c("c_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Num.cents(o("o_totalprice"))).as("revenue_cents"))
+      .orderBy(c("c_custkey"))
+  }
+
+  /** q12 — left outer join: customers kept with zero high-value orders. */
+  val q12JoinLeft: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("n_big_orders"),
+        coalesce(sum(Num.cents(o("o_totalprice"))), lit(0L)).as("revenue_cents"))
+      .orderBy(c("c_custkey"))
+  }
+
+  /** q13 — left semi join (EXISTS): customers holding at least one urgent order. */
+  val q13JoinSemi: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q14 — left anti join (NOT EXISTS): customers with no order above 400k. */
+  val q14JoinAnti: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(Num.cents(col("c_acctbal"))).as("acctbal_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q15 — broadcast star join over the dimension chain
+    * customer→nation→region: zero shuffle on the dimensions. */
+  val q15BroadcastStar: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+    val n = broadcast(Tables.load(s, dir, "nation"))
+    val r = broadcast(Tables.load(s, dir, "region"))
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name"), n("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(Num.cents(c("c_acctbal"))).as("acctbal_cents"))
+      .orderBy(r("r_name"), n("n_name"))
+  }
+
+  /** q16 — TPC-H Q3 shape (shipping priority): selective dimension filter
+    * joined into two fact tables, aggregated, top-20. */
+  val q16ShippingPriority: Q = (s, dir) => {
+    val cut = lit("2000-01-01").cast("timestamp")
+    val c = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.load(s, dir, "orders").filter(col("o_orderdate") < cut)
+    val l = Tables.load(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+      .agg(sum(Num.tenK(l("l_extendedprice") * (lit(1.0) - l("l_discount"))))
+        .as("revenue_tenk"))
+      .orderBy(col("revenue_tenk").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  /** q17 — TPC-H Q5 shape (local supplier volume): 6-way join where supplier
+    * and customer nations must match; broadcast dims, shuffled facts. */
+  val q17RegionVolume: Q = (s, dir) => {
+    val r = broadcast(Tables.load(s, dir, "region")
+      .filter(col("r_name") === "ASIA"))
+    val n = broadcast(Tables.load(s, dir, "nation"))
+    val sup = broadcast(Tables.load(s, dir, "supplier"))
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1999-01-01").cast("timestamp"))
+    val l = Tables.load(s, dir, "lineitem")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+                 c("c_nationkey") === sup("s_nationkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name"))
+      .agg(sum(Num.tenK(l("l_extendedprice") * (lit(1.0) - l("l_discount"))))
+        .as("revenue_tenk"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_tenk").desc, col("n_name"))
+  }
+
+  /** q18 — non-equi band (range) join against a small literal dimension:
+    * planned as BroadcastNestedLoopJoin; the broadcast keeps it linear. */
+  val q18RangeJoin: Q = (s, dir) => {
+    import s.implicits._
+    val bands = broadcast(Seq(
+      ("p00_925", 0.0, 925.0),
+      ("p925_975", 925.0, 975.0),
+      ("p975_up", 975.0, 99999.0)).toDF("band", "lo", "hi"))
+    Tables.load(s, dir, "part")
+      .join(bands, col("p_retailprice") >= col("lo") &&
+                   col("p_retailprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(Num.cents(col("p_retailprice"))).as("price_cents"))
+      .orderBy(col("band"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q11_join_inner"     -> q11JoinInner,
+    "q12_join_left"      -> q12JoinLeft,
+    "q13_join_semi"      -> q13JoinSemi,
+    "q14_join_anti"      -> q14JoinAnti,
+    "q15_broadcast_star" -> q15BroadcastStar,
+    "q16_shipping_priority" -> q16ShippingPriority,
+    "q17_region_volume"  -> q17RegionVolume,
+    "q18_range_join"     -> q18RangeJoin)
+
+  def oracles: Map[String, String] = Map(
+    "q11_join_inner" -> """
+      SELECT c_custkey, c_name, count(*) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "q12_join_left" -> """
+      SELECT c_custkey, count(o_orderkey) AS n_big_orders,
+        CAST(coalesce(sum(CAST(round(o_totalprice*100,0) AS BIGINT)), 0) AS BIGINT) AS revenue_cents
+      FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""",
+    "q13_join_semi" -> """
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""",
+    "q14_join_anti" -> """
+      SELECT c_mktsegment, count(*) AS n_customers,
+        CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS acctbal_cents
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q15_broadcast_star" -> """
+      SELECT r_name, n_name, count(*) AS n_customers,
+        CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS acctbal_cents
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q16_shipping_priority" -> """
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT)) AS BIGINT) AS revenue_tenk
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue_tenk DESC, l_orderkey LIMIT 20""",
+    "q17_region_volume" -> """
+      SELECT n_name,
+        CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT)) AS BIGINT) AS revenue_tenk,
+        count(*) AS n_items
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY n_name ORDER BY revenue_tenk DESC, n_name""",
+    "q18_range_join" -> """
+      SELECT band, count(*) AS n_parts,
+        CAST(sum(CAST(round(p_retailprice*100,0) AS BIGINT)) AS BIGINT) AS price_cents
+      FROM part
+      JOIN (VALUES ('p00_925', 0.0, 925.0), ('p925_975', 925.0, 975.0),
+                   ('p975_up', 975.0, 99999.0)) bands(band, lo, hi)
+        ON p_retailprice >= lo AND p_retailprice < hi
+      GROUP BY band ORDER BY band""")
+}
