@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits a new class per (query, stage); the JVM default
+  // 240m code cache fills after ~25 query executions in one session, the JIT
+  // shuts off, and everything runs interpreted (observed 10-30x per-query
+  // slowdowns in graft.Bench). Size it so long sessions stay compiled.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )
