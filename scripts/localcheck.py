@@ -59,7 +59,12 @@ def main():
                         i = neq.idxmax()
                         diff = (c, i, g[c][i], e[c][i])
                         break
-                print(f"FAIL  {name}: value mismatch at {diff}")
+                if diff is None:
+                    dt = {c: (str(g[c].dtype), str(e[c].dtype)) for c in gc
+                          if str(g[c].dtype) != str(e[c].dtype)}
+                    print(f"FAIL  {name}: dtype mismatch (got, expected): {dt}")
+                else:
+                    print(f"FAIL  {name}: value mismatch at {diff}")
                 n_fail += 1
                 continue
         except Exception as ex:

@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.{Num, QueryModule}
+import graft.engine.Tables
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional aggregation operators (SURVEY.md §2.2 breadth —
+  * grouping sets / cube / rollup / pivot / percentiles / time buckets).
+  *
+  * Absent from the reference (it stops at flat keyed aggregation, §2.2 A1-A7);
+  * declared here because the engine metric rewards oracle-checked breadth.
+  * Each compiles to a single Expand + hash-aggregate pipeline — one shuffle
+  * regardless of the number of grouping sets, which is exactly how these stay
+  * viable at 100 TB (partial agg runs map-side on the expanded rows).
+  */
+object AnalyticQueries extends QueryModule {
+
+  /** q30 — ROLLUP over the nation→region dimension chain: per-(region,nation),
+    * per-region, and grand totals in one pass. */
+  val q30Rollup: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+    val n = broadcast(Tables.load(s, dir, "nation"))
+    val r = broadcast(Tables.load(s, dir, "region"))
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("c_acctbal"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(Num.cents(col("c_acctbal"))).as("acctbal_cents"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** q31 — CUBE over orders (priority × status): all 4 grouping combinations. */
+  val q31Cube: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Num.cents(col("o_totalprice"))).as("total_cents"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** q32 — explicit GROUPING SETS with grouping_id to disambiguate the
+    * (possibly-null) key columns. SQL surface via the registered temp views. */
+  val q32GroupingSets: Q = (s, dir) => {
+    graft.engine.Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        count(*) AS n,
+        CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""")
+  }
+
+  /** q33 — pivot: order count per priority (rows) × status (columns).
+    * Values enumerated statically so the plan is a single groupBy — at scale
+    * a dynamic pivot would need a driver-side distinct first. */
+  val q33Pivot: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** q34 — exact percentiles (median/p90) of integer cents per segment.
+    * Exact `percentile` needs the full value multiset per group — fine when
+    * the group count is bounded (5 segments); for 100 TB ungrouped use
+    * `approx_percentile` (KLL-style sketch, one pass, mergeable). */
+  val q34Percentiles: Q = (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        expr("percentile(CAST(round(c_acctbal*100) AS BIGINT), 0.5)").as("p50_cents"),
+        expr("percentile(CAST(round(c_acctbal*100) AS BIGINT), 0.9)").as("p90_cents"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+
+  /** q35 — time-bucketed aggregation: hourly event rollup (batch analogue of
+    * the streaming windowed agg; date_trunc keeps it oracle-comparable). */
+  val q35TimeBucket: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(Num.cents(col("value"))).as("value_cents"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** q36 — conditional aggregation: CASE WHEN inside agg + filtered counts. */
+  val q36CaseAgg: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_discount") > 0.05, lit(1)).otherwise(lit(0))).as("n_discounted"),
+        sum(when(col("l_quantity") >= 25, Num.cents(col("l_extendedprice")))
+          .otherwise(lit(0L))).as("bulk_cents"),
+        count(when(col("l_tax") === 0.0, lit(1))).as("n_taxfree"))
+      .orderBy(col("l_returnflag"))
+
+  def queries: Map[String, Q] = Map(
+    "q30_rollup"        -> q30Rollup,
+    "q31_cube"          -> q31Cube,
+    "q32_grouping_sets" -> q32GroupingSets,
+    "q33_pivot"         -> q33Pivot,
+    "q34_percentiles"   -> q34Percentiles,
+    "q35_time_bucket"   -> q35TimeBucket,
+    "q36_case_agg"      -> q36CaseAgg)
+
+  def oracles: Map[String, String] = Map(
+    "q30_rollup" -> """
+      SELECT r_name, n_name, count(*) AS n_customers,
+        CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS acctbal_cents
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q31_cube" -> """
+      SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders
+      GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""",
+    "q32_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        count(*) AS n,
+        CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""",
+    "q33_pivot" -> """
+      SELECT o_orderpriority,
+        count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        count(*) FILTER (o_orderstatus = 'P') AS n_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q34_percentiles" -> """
+      SELECT c_mktsegment,
+        quantile_cont(CAST(round(c_acctbal*100) AS BIGINT), 0.5) AS p50_cents,
+        quantile_cont(CAST(round(c_acctbal*100) AS BIGINT), 0.9) AS p90_cents,
+        count(*) AS n
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q35_time_bucket" -> """
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q36_case_agg" -> """
+      SELECT l_returnflag,
+        CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+        CAST(sum(CASE WHEN l_quantity >= 25 THEN CAST(round(l_extendedprice*100,0) AS BIGINT) ELSE 0 END) AS BIGINT) AS bulk_cents,
+        count(CASE WHEN l_tax = 0.0 THEN 1 END) AS n_taxfree
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{Num, QueryModule}
+import graft.engine.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function operators (SURVEY.md §2.7 / §7.2 step 4).
+  *
+  * The reference has zero window functions (exhaustive listing, SURVEY.md §2.7)
+  * — they live above its shuffle layer. Here they are declared Spark-first:
+  * every window is `partitionBy(key)` so the single hash exchange it plans is
+  * the same shuffle the reference's machinery would serve, and rows within a
+  * partition stream through one sort — no driver materialization. At 100 TB
+  * the partition key (user_id / custkey) has ~uniform cardinality, so skew is
+  * bounded; a global (unpartitioned) window is deliberately never used.
+  *
+  * All order keys include a unique tiebreaker (event_id / o_orderkey) so rank/
+  * lag results are deterministic and oracle-comparable.
+  */
+object WindowQueries extends QueryModule {
+
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "events")
+
+  /** q20 — ranking family: row_number/rank/dense_rank per user by value. */
+  val q20Rank: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), Num.cents(col("value")).as("value_cents"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** q21 — lag/lead: inter-event gap seconds per user along the time axis. */
+  val q21LagLead: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        (col("ts").cast("long") -
+          lag(col("ts"), 1).over(w).cast("long")).as("gap_s"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** q22 — sliding frame: moving sum/min/max of the last 3 events per user
+    * (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). */
+  val q22Moving: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        sum(Num.cents(col("value"))).over(w).as("mov_sum_cents"),
+        min(Num.cents(col("value"))).over(w).as("mov_min_cents"),
+        max(Num.cents(col("value"))).over(w).as("mov_max_cents"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** q23 — cumulative frame: running order count + revenue per customer
+    * (UNBOUNDED PRECEDING), over orders. */
+  val q23CumSum: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_so_far"),
+        sum(Num.cents(col("o_totalprice"))).over(w).as("cum_cents"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** q24 — sessionization (gaps-and-islands): a new session starts after a
+    * >600 s silence; classic lag + cumulative-sum-of-breaks pattern. One
+    * exchange on user_id serves both windows. */
+  val q24Sessionize: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("gap_s",
+        col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long"))
+      .withColumn("is_new", when(col("gap_s").isNull || col("gap_s") > 600, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Num.cents(col("value"))).as("value_cents"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** q25 — ntile + percent_rank: account-balance quartiles per market segment. */
+  val q25Ntile: Q = (s, dir) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(Num.cents(col("c_acctbal")), col("c_custkey"))
+    Tables.load(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        first(col("c_custkey")).over(w).as("poorest_custkey"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q20_window_rank"   -> q20Rank,
+    "q21_window_laglead" -> q21LagLead,
+    "q22_window_moving" -> q22Moving,
+    "q23_window_cumsum" -> q23CumSum,
+    "q24_sessionize"    -> q24Sessionize,
+    "q25_window_ntile"  -> q25Ntile)
+
+  def oracles: Map[String, String] = Map(
+    "q20_window_rank" -> """
+      SELECT * FROM (
+        SELECT user_id, event_id, CAST(round(value*100,0) AS BIGINT) AS value_cents,
+          row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id))
+      WHERE rn <= 3 ORDER BY user_id, rn""",
+    "q21_window_laglead" -> """
+      SELECT user_id, event_id,
+        epoch(date_trunc('second', ts)) - epoch(date_trunc('second', lag(ts,1) OVER w)) AS gap_s,
+        lead(event_type,1) OVER w AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
+    "q22_window_moving" -> """
+      SELECT user_id, event_id,
+        CAST(sum(CAST(round(value*100,0) AS BIGINT)) OVER w AS BIGINT) AS mov_sum_cents,
+        min(CAST(round(value*100,0) AS BIGINT)) OVER w AS mov_min_cents,
+        max(CAST(round(value*100,0) AS BIGINT)) OVER w AS mov_max_cents
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""",
+    "q23_window_cumsum" -> """
+      SELECT o_custkey, o_orderkey,
+        count(*) OVER w AS n_so_far,
+        CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) OVER w AS BIGINT) AS cum_cents
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey""",
+    "q24_sessionize" -> """
+      WITH gaps AS (
+        SELECT user_id, event_id, ts, value,
+          epoch(date_trunc('second', ts)) - epoch(date_trunc('second', lag(ts,1)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS gap_s
+        FROM events),
+      marked AS (
+        SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 600 THEN 1 ELSE 0 END AS is_new
+        FROM gaps),
+      sess AS (
+        SELECT user_id, value,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        count(*) AS n_events,
+        CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q25_window_ntile" -> """
+      SELECT c_mktsegment, c_custkey,
+        ntile(4) OVER w AS quartile,
+        first_value(c_custkey) OVER w AS poorest_custkey
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY CAST(round(c_acctbal*100,0) AS BIGINT), c_custkey)
+      ORDER BY c_mktsegment, c_custkey""")
+}
