@@ -15,7 +15,12 @@ object SparkEntry {
     JoinQueries,
     WindowQueries,
     AnalyticQueries,
-    ScalarQueries)
+    ScalarQueries,
+    DedupQueries,
+    SimilarityQueries,
+    TextQueries,
+    MultimodalQueries,
+    StatefulQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

