@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of the engine's native expressions. */
+object GraftFunctions {
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_long" -> (es => LongArrayDot(es(0), es(1))))
+
+  /** Idempotent per-session registration; queries call this so they work on
+    * any SparkSession, extension-injected or not. */
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+}
+
+/** `SparkSessionExtensions` injector — enable with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`,
+  * the deployment path for clusters where sessions aren't built by this
+  * library (SURVEY.md §7.3). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("dot_long"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "dot_long"),
+      (es: Seq[Expression]) => LongArrayDot(es(0), es(1))))
+}

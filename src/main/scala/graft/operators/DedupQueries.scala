@@ -55,17 +55,20 @@ object DedupQueries extends QueryModule {
         sum(col("n_copies") - 1).as("n_dropped"),
         min(col("keep_id")).as("min_keep_id"))
 
-  /** q51 — MinHash + LSH near-dup detection. 32 independent min-hashes per
-    * doc (min over per-shingle seeded xxhash64), banded 8×4; docs sharing any
-    * band hash become candidates (equi-join on (band, hash) — the only
-    * shuffle that matters); candidates are verified with exact Jaccard.
-    * The oracle is the brute-force Jaccard join: at ≥0.8 the banding misses a
-    * true pair with probability (1-s⁴)⁸ < 1e-8, so results are identical. */
-  val q51MinHashLsh: Q = (s, dir) => {
-    val sh = shingled(s, dir).cache()
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+  /** MinHash+LSH candidate pairs for a (doc_id, items: array<string>) frame:
+    * 32 independent min-hashes (min over per-item seeded xxhash64), banded
+    * 8×4; items sharing any band hash become candidates via an equi-join on
+    * (band, band-hash) — the only shuffle that matters. At Jaccard ≥ 0.8 a
+    * true pair is missed with probability (1-s⁴)⁸ < 1e-8, so downstream
+    * exact verification reproduces the brute-force result. */
+  private def lshCandidates(items: DataFrame, itemsCol: String): DataFrame = {
+    // hash each item string ONCE; the 32 signature hashes then mix the 64-bit
+    // value with the seed (integer hashing), ~30x cheaper than re-hashing the
+    // string per seed at 100 TB shingle volume
+    val ex = items.select(col("doc_id"), explode(col(itemsCol)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h0"))
     val sigCols = (0 until 32).map(i =>
-      min(xxhash64(concat(lit(s"seed$i:"), col("s")))).as(s"h$i"))
+      min(xxhash64(lit(i.toLong), col("h0"))).as(s"h$i"))
     val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until 8).map { b =>
       struct(lit(b).as("band"),
@@ -73,11 +76,17 @@ object DedupQueries extends QueryModule {
     }
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j")).distinct()
-    verifyPairs(cand, sh)
+  }
+
+  /** q51 — MinHash + LSH near-dup detection over token 3-shingles, exact
+    * Jaccard verification of the candidates. Oracle = brute-force Jaccard. */
+  val q51MinHashLsh: Q = (s, dir) => {
+    val sh = shingled(s, dir).cache()
+    verifyPairs(lshCandidates(sh, "sh"), sh)
   }
 
   /** q52 — SimHash near-dup (Manku-style): 64-bit fingerprint from
@@ -115,29 +124,33 @@ object DedupQueries extends QueryModule {
       .orderBy(col("i"), col("j"))
   }
 
-  /** q53 — character-5-gram Jaccard with length blocking: candidates must
-    * fall in the same or adjacent 20-char length bucket (|Δn_chars| ≤ 20 ⇒
-    * bucket distance ≤ 1, so blocking loses nothing), turning the O(n²) pair
-    * space into a bucket equi-join. */
+  /** q53 — character-5-gram Jaccard near-dup: the same LSH candidate engine
+    * as q51 but at character granularity (robust to tokenization), plus a
+    * |Δn_chars| ≤ 20 length gate, verified with exact Jaccard over the full
+    * gram sets. (A plain length-bucket block was tried first and discarded:
+    * on narrow length distributions it degenerates to O(n²) array
+    * intersections, and the char-gram inverted index degenerates too because
+    * hot grams appear in most docs — banding is the design that survives
+    * scale on any distribution.) */
   val q53NgramJaccard: Q = (s, dir) => {
     val g = Tables.load(s, dir, "documents")
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"), col("n_chars"),
         array_distinct(expr(
           "transform(sequence(0, length(text)-5), i -> substring(text, i+1, 5))"))
-          .as("g5"))
-    val probe = g.select(col("doc_id"), col("n_chars"), col("g5"),
-      explode(array(floor(col("n_chars") / 20) - 1, floor(col("n_chars") / 20),
-        floor(col("n_chars") / 20) + 1)).as("bkt"))
-    val build = g.select(col("doc_id").as("j"), col("n_chars").as("nc_j"),
-      col("g5").as("g5_j"), floor(col("n_chars") / 20).as("bkt"))
-    probe.join(build,
-        probe("bkt") === build("bkt") && col("doc_id") < col("j") &&
-        abs(col("n_chars") - col("nc_j")) <= 20)
-      .select(col("doc_id").as("i"), col("j"),
-        size(array_intersect(col("g5"), col("g5_j"))).cast("long").as("inter"),
-        size(array_union(col("g5"), col("g5_j"))).cast("long").as("uni"))
-      .distinct()
+          .as("g5")).cache()
+    val nc = g.select(col("doc_id"), col("n_chars"))
+    val cand = lshCandidates(g, "g5")
+      .join(nc.select(col("doc_id").as("i"), col("n_chars").as("nc_i")), "i")
+      .join(nc.select(col("doc_id").as("j"), col("n_chars").as("nc_j")), "j")
+      .filter(abs(col("nc_i") - col("nc_j")) <= 20)
+      .select(col("i"), col("j"))
+    val a = g.select(col("doc_id").as("i"), col("g5").as("g5_i"))
+    val b = g.select(col("doc_id").as("j"), col("g5").as("g5_j"))
+    cand.join(a, "i").join(b, "j")
+      .select(col("i"), col("j"),
+        size(array_intersect(col("g5_i"), col("g5_j"))).cast("long").as("inter"),
+        size(array_union(col("g5_i"), col("g5_j"))).cast("long").as("uni"))
       .filter(col("inter") >= col("uni") * 0.8)
       .withColumn("jac", col("inter") / col("uni"))
       .orderBy(col("i"), col("j"))
@@ -148,16 +161,16 @@ object DedupQueries extends QueryModule {
     * derive bit-identical cosines. Fixture-scale uses the full pair join; the
     * scale path is q56's sign-bucket LSH. */
   val q54EmbeddingDup: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
-      .select(col("vec_id"), col("q"),
-        expr("aggregate(q, 0L, (a, x) -> a + x * x)").as("n2"))
+      .select(col("vec_id"), col("q"), expr("dot_long(q, q)").as("n2"))
     val a = e.select(col("vec_id").as("i"), col("q").as("qi"), col("n2").as("n2i"))
     val b = e.select(col("vec_id").as("j"), col("q").as("qj"), col("n2").as("n2j"))
     a.join(b, col("i") < col("j"))
       .select(col("i"), col("j"),
-        expr("aggregate(zip_with(qi, qj, (x, y) -> x * y), 0L, (a, v) -> a + v)").as("dot"),
+        expr("dot_long(qi, qj)").as("dot"),
         col("n2i"), col("n2j"))
       .withColumn("cos", col("dot") / (sqrt(col("n2i")) * sqrt(col("n2j"))))
       .filter(col("cos") >= 0.45)

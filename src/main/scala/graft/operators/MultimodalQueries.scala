@@ -29,7 +29,7 @@ object MultimodalQueries extends QueryModule {
 
   /** STUB decoder: byte statistics + a fake geometry derived from the payload
     * length. A real implementation would parse the codec header here. */
-  private[operators] def fakeDecode(b: MediaBlob): MediaFeatures = {
+  private[graft] def fakeDecode(b: MediaBlob): MediaFeatures = {
     var sum = 0L
     var i = 0
     while (i < b.payload.length) { sum += b.payload(i) & 0xFF; i += 1 }

@@ -24,14 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries extends QueryModule {
 
-  private def quantized(s: SparkSession, dir: String): DataFrame =
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
-      .withColumn("n2", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+      .withColumn("n2", expr("dot_long(q, q)"))
+  }
 
-  private val dotExpr =
-    expr("aggregate(zip_with(qq, qc, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+  private val dotExpr = expr("dot_long(qq, qc)")
 
   /** q55 — brute-force cosine top-k: 5 query vectors (vec_id < 5) against the
     * whole corpus; per-query top-10 via window rank. The query side is tiny →
@@ -91,14 +92,14 @@ object SimilarityQueries extends QueryModule {
         .agg(floor(avg(col("v"))).cast("long").as("cv"))
         .groupBy(col("label"))
         .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
-        .select(col("label").as("clabel"), expr("transform(pc, p -> p.cv)").as("cvec"),
-          expr("aggregate(transform(pc, p -> p.cv), 0L, (a, x) -> a + x * x)").as("cn2")))
+        .select(col("label").as("clabel"), expr("transform(pc, p -> p.cv)").as("cvec"))
+        .withColumn("cn2", expr("dot_long(cvec, cvec)")))
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
     // assign each query to its nearest centroid by cosine
     val assigned = queries.join(cents)
       .select(col("qid"), col("qq"), col("qn2"), col("clabel"),
-        (expr("aggregate(zip_with(qq, cvec, (x, y) -> x * y), 0L, (a, v) -> a + v)") /
+        (expr("dot_long(qq, cvec)") /
           (sqrt(col("qn2")) * sqrt(col("cn2")))).as("ccos"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("clabel"))
     val cell = assigned.select(col("qid"), col("qq"), col("qn2"), col("clabel"),

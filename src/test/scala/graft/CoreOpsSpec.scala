@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Exchange/sort/agg operator laws, mirroring the reference's own end-to-end
+  * suite shapes (RemoteShuffleManagerSuite: repartition round-trip, sortBy
+  * global order, groupBy sum — SURVEY.md §5.1). */
+class CoreOpsSpec extends SparkSpec {
+  import graft.engine.Tables
+
+  test("repartition preserves the row multiset (P2)") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val before = li.agg(count(lit(1)), sum(col("l_orderkey")), sum(col("l_quantity")))
+      .collect().head
+    val after = li.repartition(17, col("l_partkey"))
+      .agg(count(lit(1)), sum(col("l_orderkey")), sum(col("l_quantity")))
+      .collect().head
+    assert(before == after)
+  }
+
+  test("orderBy yields a globally sorted permutation (S3)") {
+    val o = Tables.load(spark, sfDir, "orders")
+    val sorted = o.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey").collect().map(_.getLong(0))
+    assert(sorted.length == o.count())
+    assert(sorted.toSet == o.select("o_orderkey").collect().map(_.getLong(0)).toSet)
+    val prices = o.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("groupBy aggregation equals per-key recomputation (A1/A2)") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val agg = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val naive = li.select("l_returnflag").collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(agg == naive)
+  }
+
+  test("limit/top-k agrees with full sort prefix (S6)") {
+    val c = Tables.load(spark, sfDir, "customer")
+    val topk = c.orderBy(col("c_acctbal").desc, col("c_custkey")).limit(10)
+      .select("c_custkey").collect().map(_.getLong(0)).toSeq
+    val full = c.orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .select("c_custkey").collect().map(_.getLong(0)).take(10).toSeq
+    assert(topk == full)
+  }
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs at sf0.001 and matching oracle keys exist") {
+    val qs = SparkEntry.queries
+    val orc = SparkEntry.oracleSql
+    assert(orc.keySet.subsetOf(qs.keySet))
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      withClue(s"$name should produce rows at sf0.001: ") { assert(n >= 0) }
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.DedupQueries
+import org.apache.spark.sql.functions._
+
+/** Dedup operators: planted near-duplicates at sf0.01 must be found, and LSH
+  * candidate pruning must agree with brute force (the recall the Scaladoc
+  * promises). */
+class DedupSpec extends SparkSpec {
+
+  /** Brute-force token-3-shingle Jaccard ≥ 0.8 pairs, computed with plain
+    * Spark ops — independent of the LSH code path under test. */
+  private lazy val brutePairs: Set[(Long, Long)] = {
+    val sh = graft.engine.Tables.load(spark, sfDir01, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
+    val a = sh.select(col("doc_id").as("i"), col("sh").as("si"))
+    val b = sh.select(col("doc_id").as("j"), col("sh").as("sj"))
+    a.join(b, col("i") < col("j"))
+      .filter(size(array_intersect(col("si"), col("sj"))) >=
+        size(array_union(col("si"), col("sj"))) * 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash LSH finds exactly the brute-force pairs (planted near-dups)") {
+    val got = DedupQueries.q51MinHashLsh(spark, sfDir01)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brutePairs)
+    assert(got.nonEmpty, "fixture should contain planted near-duplicates")
+  }
+
+  test("simhash pairs are a subset of true near-dups and non-empty") {
+    val got = DedupQueries.q52SimHash(spark, sfDir01)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "hamming<=3 should catch the most-identical planted pairs")
+    assert(got.subsetOf(brutePairs),
+      s"simhash false positives: ${got -- brutePairs}")
+  }
+
+  test("char-ngram LSH output only contains pairs above threshold with sane bounds") {
+    val rows = DedupQueries.q53NgramJaccard(spark, sfDir01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (inter, uni, jac) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(inter <= uni && jac >= 0.8 && jac <= 1.0)
+    }
+  }
+
+  test("exact dedup accounting is consistent") {
+    val r = DedupQueries.q50Exact(spark, sfDir01).collect().head
+    val nDistinct = r.getLong(0); val nDocs = r.getLong(1); val nDropped = r.getLong(2)
+    assert(nDocs == nDistinct + nDropped)
+    assert(nDocs == graft.engine.Tables.load(spark, sfDir01, "documents").count())
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{SessEvent, Session, StatefulQueries}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Stateful fold unit laws + streaming twins vs their batch oracles. */
+class StatefulStreamingSpec extends SparkSpec {
+
+  test("sessionize splits exactly at the >600s gap boundary") {
+    def ev(id: Long, t: Long) = SessEvent(1L, id, t, 100L)
+    val out = StatefulQueries.sessionize(1L,
+      Iterator(ev(1, 0), ev(2, 600), ev(3, 1201), ev(4, 1801), ev(5, 2402))).toSeq
+    // gaps: 600 (keep), 601 (split), 600 (keep), 601 (split)
+    assert(out.map(s => (s.session_id, s.n_events)) == Seq((1L, 2L), (2L, 2L), (3L, 1L)))
+    assert(out.head.start_s == 0 && out.head.end_s == 600)
+  }
+
+  test("sessionize handles empty and unsorted input") {
+    assert(StatefulQueries.sessionize(1L, Iterator.empty).isEmpty)
+    def ev(id: Long, t: Long) = SessEvent(1L, id, t, 1L)
+    val shuffled = StatefulQueries.sessionize(1L,
+      Iterator(ev(3, 2000), ev(1, 0), ev(2, 100))).toSeq
+    assert(shuffled.map(_.n_events) == Seq(2L, 1L))
+  }
+
+  test("streaming hourly counts equal the batch time-bucket aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    stream.addData(events)
+    val q = StreamOps.hourlyTypeCounts(
+        stream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hourly")
+      .select(col("hour"), col("event_type"), col("n"), col("value_cents"))
+      .collect().map(_.toSeq).toSet
+    val want = graft.engine.Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("streaming sessionization equals the batch stateful fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("ts_s"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"))
+      .as[SessEvent].collect().toSeq
+    val stream = MemoryStream[SessEvent]
+    stream.addData(evs)
+    val q = StreamOps.sessionizeStream(stream.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessions").as[Session].collect()
+      .map(s => (s.user_id, s.session_id, s.n_events, s.value_cents)).toSet
+    val want = graft.operators.StatefulQueries
+      .q66StatefulSessions(spark, sfDir).as[Session].collect()
+      .map(s => (s.user_id, s.session_id, s.n_events, s.value_cents)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}
