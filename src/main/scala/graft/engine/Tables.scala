@@ -26,10 +26,11 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
+      // `div` (integer division): ns values ~1.7e18 exceed double's exact
+      // integer range, so `floor(ts / 1000)` would be off by up to 1 μs
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.floor(
-            org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
   }
 

@@ -99,7 +99,25 @@ object AnalyticQueries extends QueryModule {
         count(when(col("l_tax") === 0.0, lit(1))).as("n_taxfree"))
       .orderBy(col("l_returnflag"))
 
+  /** q37 — sketch aggregates: HLL++ approximate distinct + KLL-style approx
+    * percentile beside their exact counterparts. Sketches are THE 100 TB
+    * path (one pass, mergeable partial states, no value multiset held);
+    * results are engine-specific so this is a declared rows-only op (no
+    * DuckDB oracle), with the exact columns as in-row ground truth. */
+  val q37Sketches: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        expr("approx_percentile(CAST(round(l_extendedprice*100) AS BIGINT), 0.5, 10000)")
+          .as("approx_p50_cents"),
+        expr("percentile(CAST(round(l_extendedprice*100) AS BIGINT), 0.5)")
+          .as("exact_p50_cents"))
+      .orderBy(col("l_returnflag"))
+
   def queries: Map[String, Q] = Map(
+    "q37_sketches"      -> q37Sketches,
     "q30_rollup"        -> q30Rollup,
     "q31_cube"          -> q31Cube,
     "q32_grouping_sets" -> q32GroupingSets,

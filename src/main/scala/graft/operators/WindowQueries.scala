@@ -100,7 +100,40 @@ object WindowQueries extends QueryModule {
       .orderBy(col("c_mktsegment"), col("c_custkey"))
   }
 
+  /** q26 — as-of join (operator Spark lacks natively, composed per the
+    * engine's preference rules): each 'error' event joined to the same
+    * user's most recent strictly-earlier 'click'. Implemented as union-tag +
+    * `last(_, ignoreNulls)` over one (user, time, tag) window — a single hash
+    * exchange, versus the range-join explosion a naive inequality join plans.
+    * Errors sort before clicks at equal timestamps, which is exactly strict
+    * "<" semantics; clicks are deduped per (user, μs) for determinism.
+    * Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val q26AsofJoin: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts_us"), lit(1).as("tag"),
+        col("click_id"), lit(null).cast("long").as("event_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_us"), lit(0).as("tag"),
+        lit(null).cast("long").as("click_id"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.union(errors)
+      .withColumn("m_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("m_ts",
+        last(when(col("tag") === 1, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select(col("event_id"), col("user_id"), col("m_click").as("click_id"),
+        (col("ts_us") - col("m_ts")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q26_asof_join"     -> q26AsofJoin,
     "q20_window_rank"   -> q20Rank,
     "q21_window_laglead" -> q21LagLead,
     "q22_window_moving" -> q22Moving,
@@ -109,6 +142,18 @@ object WindowQueries extends QueryModule {
     "q25_window_ntile"  -> q25Ntile)
 
   def oracles: Map[String, String] = Map(
+    "q26_asof_join" -> """
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
+      clicks AS (
+        SELECT user_id, ts_us, max(event_id) AS click_id
+        FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+      errors AS (
+        SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'error')
+      SELECT e.event_id, e.user_id, c.click_id, e.ts_us - c.ts_us AS gap_us
+      FROM errors e
+      ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts_us > c.ts_us
+      ORDER BY e.event_id""",
     "q20_window_rank" -> """
       SELECT * FROM (
         SELECT user_id, event_id, CAST(round(value*100,0) AS BIGINT) AS value_cents,
