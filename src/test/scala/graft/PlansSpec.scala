@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Scale-critical plan properties — the things that decide whether a query
+  * survives a 100 TB corpus: pushdown, pruning, broadcast dimensions, and
+  * shuffle-free bucketed joins. Asserted on the physical plan so regressions
+  * fail loudly rather than showing up as slow clusters. */
+class PlansSpec extends SparkSpec {
+  import graft.engine.Tables
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    val qe = df.queryExecution
+    qe.executedPlan.toString + "\n" + qe.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q01 pushes the shipdate filter into the parquet scan and prunes columns") {
+    val p = planString(graft.operators.CoreQueries.q01Agg(spark, sfDir))
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "unused columns must not be read")
+  }
+
+  test("q15 star join broadcasts dimensions (no shuffle on nation/region)") {
+    val p = planString(graft.operators.JoinQueries.q15BroadcastStar(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("dedup LSH candidate generation contains no cartesian/nested-loop join") {
+    val p = planString(graft.operators.DedupQueries.q51MinHashLsh(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
+  test("bucketed co-located join plans zero shuffle exchanges") {
+    // external tables via explicit paths; only metadata lands in the default warehouse
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    spark.sql("DROP TABLE IF EXISTS b_orders"); spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.load(spark, sfDir, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+    Tables.load(spark, sfDir, "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/b_lineitem").saveAsTable("b_lineitem")
+    val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+      col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // sanity: result matches the unbucketed join
+    val expected = Tables.load(spark, sfDir, "orders").join(
+        Tables.load(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+    val shuffles = plan.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.isEmpty,
+      s"bucketed join should not shuffle, found: ${shuffles.map(_.nodeName)}")
+  }
+
+  test("salted aggregation (skew pattern) equals plain aggregation") {
+    // two-phase skew-safe aggregation: key+salt partial, then key final
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val salted = li
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("q")).as("sum_qty"), sum(col("n")).as("n_rows"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val plain = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted.keySet == plain.keySet)
+    salted.foreach { case (k, (q, n)) =>
+      assert(n == plain(k)._2)
+      assert(math.abs(q - plain(k)._1) < 1e-6)
+    }
+  }
+}
