@@ -110,7 +110,23 @@ object ScalarQueries extends QueryModule {
       .orderBy(col("initial"))
   }
 
+  /** q47 — map functions over the JSON payload: parse to MapType, explode to
+    * entries, aggregate per key (MapType itself never reaches the sink —
+    * exploded long before, which also keeps the oracle engine-neutral). */
+  val q47Map: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType)).as("m"))
+      .select(col("event_type"), explode(col("m")).as(Seq("k", "v")))
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .orderBy(col("event_type"), col("k"))
+
   def queries: Map[String, Q] = Map(
+    "q47_map_funcs"    -> q47Map,
     "q40_string_funcs" -> q40String,
     "q41_date_funcs"   -> q41Date,
     "q42_math_funcs"   -> q42Math,
@@ -120,6 +136,17 @@ object ScalarQueries extends QueryModule {
     "q46_string_agg"   -> q46StringAgg)
 
   def oracles: Map[String, String] = Map(
+    "q47_map_funcs" -> """
+      WITH keys AS (
+        SELECT event_type, props, unnest(json_keys(props)) AS k FROM events),
+      kv AS (
+        SELECT event_type, k,
+          CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS v
+        FROM keys)
+      SELECT event_type, k, count(*) AS n,
+        CAST(sum(v) AS BIGINT) AS sum_v,
+        min(v) AS min_v, max(v) AS max_v
+      FROM kv GROUP BY 1, 2 ORDER BY event_type, k""",
     "q40_string_funcs" -> """
       SELECT p_partkey,
         upper(p_name) AS uname,

@@ -132,8 +132,29 @@ object WindowQueries extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** q27 — time-series gap filling (resampling): every hour in each user's
+    * active span, zero-filled where no events occurred. sequence+explode
+    * generates the dense axis per user (rows ∝ users × span — bounded), then
+    * one left join against the hourly aggregate; both sides partition on
+    * user_id so the join co-locates. */
+  val q27GapFill: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val hourly = ev.groupBy(col("user_id"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val spans = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    spans.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q26_asof_join"     -> q26AsofJoin,
+    "q27_gapfill"       -> q27GapFill,
     "q20_window_rank"   -> q20Rank,
     "q21_window_laglead" -> q21LagLead,
     "q22_window_moving" -> q22Moving,
@@ -154,6 +175,20 @@ object WindowQueries extends QueryModule {
       FROM errors e
       ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts_us > c.ts_us
       ORDER BY e.event_id""",
+    "q27_gapfill" -> """
+      WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      spans AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        FROM events GROUP BY user_id),
+      axis AS (
+        SELECT user_id, unnest(generate_series(CAST(h0 AS TIMESTAMP), CAST(h1 AS TIMESTAMP),
+          INTERVAL 1 HOUR)) AS hour
+        FROM spans)
+      SELECT a.user_id, a.hour, coalesce(h.n, 0) AS n
+      FROM axis a LEFT JOIN hourly h ON a.user_id = h.user_id AND a.hour = h.hour
+      ORDER BY a.user_id, a.hour""",
     "q20_window_rank" -> """
       SELECT * FROM (
         SELECT user_id, event_id, CAST(round(value*100,0) AS BIGINT) AS value_cents,
