@@ -87,7 +87,31 @@ object TextQueries extends QueryModule {
           .as("fp_prefix16"))
       .orderBy(col("doc_id"))
 
+  /** q64 — TF-IDF top terms: tf and df as exact integer counts, idf =
+    * ln(N/df) applied once per (doc, term), top-3 terms per doc by score.
+    * Two aggregations (doc-term counts, term document frequencies) and a
+    * broadcast-sized df table at any corpus scale where the vocabulary is
+    * bounded; the per-doc top-k is a window over the doc partition. */
+  val q64TfIdf: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val n = Tables.load(s, dir, "documents").count()
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 9))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"),
+        row_number().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q64_tfidf"       -> q64TfIdf,
     "q60_lang_id"     -> q60LangId,
     "q61_quality"     -> q61Quality,
     "q62_token_count" -> q62TokenCount,
@@ -96,6 +120,24 @@ object TextQueries extends QueryModule {
   private val duckStop = "['the','a','an','and','of','is','to','in']"
 
   def oracles: Map[String, String] = Map(
+    "q64_tfidf" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (
+        SELECT term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+          round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 9) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        FROM scored)
+      SELECT doc_id, term, tf, df, tfidf, rnk
+      FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "q60_lang_id" -> s"""
       WITH d AS (
         SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
