@@ -30,6 +30,14 @@ object StreamOps {
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("value_cents"))
 
+  /** Streaming exact deduplication: at-least-once sources dedup to
+    * exactly-once on the id column; the watermark bounds the dedup state to
+    * the lateness horizon (without it, state grows with the corpus — the
+    * difference between a pipeline that runs for a day and one that runs
+    * forever at 100 TB/day). */
+  def dedupStream(events: DataFrame, idCol: String): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates(idCol, "ts")
+
   /** Per-user sessionization with explicit state: buffers events per user and
     * closes sessions on a >600 s event-time gap (or at EOF for the final
     * flush). The per-key fold is the SAME code the batch q66 runs

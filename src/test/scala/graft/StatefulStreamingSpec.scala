@@ -48,6 +48,23 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming dedup collapses duplicated input to exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)].collect().toSeq
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    stream.addData(events ++ events ++ events.take(50)) // triple + partial dupes
+    val q = StreamOps.dedupStream(
+        stream.toDF().toDF("event_id", "ts", "event_type"), "event_id")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup").select("event_id").collect().map(_.getLong(0))
+    assert(got.length == got.toSet.size, "no duplicates may survive")
+    assert(got.toSet == events.map(_._1).toSet, "every unique id survives")
+  }
+
   test("streaming sessionization equals the batch stateful fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
