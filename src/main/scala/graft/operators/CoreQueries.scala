@@ -151,7 +151,32 @@ object CoreQueries extends QueryModule {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q28 — multiset (bag) set operations: UNION ALL / INTERSECT ALL /
+    * EXCEPT ALL keep duplicates, unlike q07's distinct variants. */
+  val q28SetOpsAll: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+    val hi = o.filter(col("o_totalprice") > 200000).select("o_custkey")
+    val lo = o.filter(col("o_totalprice") < 100000).select("o_custkey")
+    val u = hi.unionAll(lo).agg(count(lit(1)).as("n_union_all"))
+    val i = hi.intersectAll(lo).agg(count(lit(1)).as("n_intersect_all"))
+    val e = hi.exceptAll(lo).agg(count(lit(1)).as("n_except_all"))
+    u.crossJoin(i).crossJoin(e)
+  }
+
+  /** q29 — deterministic reproducible sampling: multiplicative-hash bucket on
+    * the key (NOT TABLESAMPLE, whose rows differ per engine/run). The same
+    * 5% of orders is selected on any engine, any cluster size, any day —
+    * the property a 100 TB pipeline needs for debuggable samples. */
+  val q29Sample: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .filter(pmod(col("o_orderkey") * 2654435761L, lit(1000)) < 50)
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("o_orderkey")).as("key_checksum"),
+        Num.sumCents(col("o_totalprice"), "price_cents"))
+
   def queries: Map[String, Q] = Map(
+    "q28_setops_all"     -> q28SetOpsAll,
+    "q29_sample"         -> q29Sample,
     "q01_agg"            -> q01Agg,
     "q02_repartition"    -> q02Repartition,
     "q03_sort_global"    -> q03SortGlobal,
@@ -164,6 +189,20 @@ object CoreQueries extends QueryModule {
     "q10_cogroup"        -> q10Cogroup)
 
   def oracles: Map[String, String] = Map(
+    "q28_setops_all" -> """
+      SELECT
+        (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+          UNION ALL SELECT o_custkey FROM orders WHERE o_totalprice < 100000)) AS n_union_all,
+        (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+          INTERSECT ALL SELECT o_custkey FROM orders WHERE o_totalprice < 100000)) AS n_intersect_all,
+        (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+          EXCEPT ALL SELECT o_custkey FROM orders WHERE o_totalprice < 100000)) AS n_except_all""",
+    "q29_sample" -> """
+      SELECT count(*) AS n_sampled,
+        CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+        CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS price_cents
+      FROM orders
+      WHERE (o_orderkey * 2654435761) % 1000 < 50""",
     "q01_agg" -> """
       SELECT l_returnflag, l_linestatus,
         sum(l_quantity) AS sum_qty,
