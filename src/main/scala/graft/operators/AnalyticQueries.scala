@@ -116,7 +116,45 @@ object AnalyticQueries extends QueryModule {
           .as("exact_p50_cents"))
       .orderBy(col("l_returnflag"))
 
+  /** q38 — subquery surface: scalar subquery (global average), correlated
+    * EXISTS, and IN — Catalyst decorrelates these into the joins q11-q14
+    * declare directly, so the SQL surface costs nothing extra at scale. */
+  val q38Subqueries: Q = (s, dir) => {
+    graft.engine.Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT c_mktsegment,
+        count(*) AS n_rich,
+        CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders
+                                   WHERE o_custkey = c_custkey
+                                     AND o_orderpriority = '1-URGENT')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        CAST(sum(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders
+                                         WHERE o_totalprice > 300000)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
+  /** q39 — statistical aggregates: stddev/variance/correlation/covariance on
+    * exact integer cents, rounded to 6 decimals to absorb summation-order
+    * noise (values are O(1)-scaled, so 1e-6 rounding is ~1e10 ulps of margin). */
+  val q39Stats: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        Num.cents(col("l_extendedprice")).as("p"),
+        col("l_quantity").as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(stddev_samp(col("p")), 6).as("sd_price"),
+        round(var_samp(col("q")), 6).as("var_qty"),
+        round(corr(col("p"), col("q")), 6).as("corr_pq"),
+        round(covar_samp(col("p"), col("q")), 6).as("covar_pq"))
+      .orderBy(col("l_returnflag"))
+
   def queries: Map[String, Q] = Map(
+    "q38_subqueries"    -> q38Subqueries,
+    "q39_stats"         -> q39Stats,
     "q37_sketches"      -> q37Sketches,
     "q30_rollup"        -> q30Rollup,
     "q31_cube"          -> q31Cube,
@@ -127,6 +165,26 @@ object AnalyticQueries extends QueryModule {
     "q36_case_agg"      -> q36CaseAgg)
 
   def oracles: Map[String, String] = Map(
+    "q38_subqueries" -> """
+      SELECT c_mktsegment,
+        count(*) AS n_rich,
+        CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders
+                                   WHERE o_custkey = c_custkey
+                                     AND o_orderpriority = '1-URGENT')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        CAST(sum(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders
+                                         WHERE o_totalprice > 300000)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q39_stats" -> """
+      SELECT l_returnflag, count(*) AS n,
+        round(stddev_samp(CAST(round(l_extendedprice*100,0) AS BIGINT)), 6) AS sd_price,
+        round(var_samp(l_quantity), 6) AS var_qty,
+        round(corr(CAST(round(l_extendedprice*100,0) AS BIGINT), l_quantity), 6) AS corr_pq,
+        round(covar_samp(CAST(round(l_extendedprice*100,0) AS BIGINT), l_quantity), 6) AS covar_pq
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q30_rollup" -> """
       SELECT r_name, n_name, count(*) AS n_customers,
         CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS acctbal_cents
