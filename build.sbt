@@ -31,6 +31,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 240m code cache fills after ~25 query executions in one session, the JIT
   // shuts off, and everything runs interpreted (observed 10-30x per-query
   // slowdowns in graft.Bench). Size it so long sessions stay compiled.
-  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:ReservedCodeCacheSize=2g",
   "-XX:+UseCodeCacheFlushing",
 )
