@@ -62,7 +62,35 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("media_type"))
   }
 
-  def queries: Map[String, Q] = Map("q65_multimodal" -> q65Multimodal)
+  /** q67 — frame sampling: chunk each binary payload into fixed 32-byte
+    * "frames" (a video decoder's GOP analogue), keep every 4th, fingerprint
+    * each kept frame with the engine's polynomial hash. All chunking runs
+    * inside mapPartitions on raw bytes — the shape a real frame-sampler has —
+    * and because the fixture payloads are ASCII text, DuckDB reproduces the
+    * byte arithmetic with substring folds, making even this op
+    * oracle-checkable. */
+  val q67FrameSample: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("img/"), (col("doc_id") % 3).cast("string")).as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaBlob]
+      .mapPartitions(_.flatMap { b =>
+        b.payload.grouped(32).zipWithIndex.collect {
+          case (bytes, idx) if idx % 4 == 0 =>
+            var h = 0L
+            bytes.foreach(c => h = (h * 31 + (c & 0xFF)) % 2147483647L)
+            (b.doc_id, idx.toLong, bytes.length.toLong, h)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "frame_len", "fhash")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q65_multimodal" -> q65Multimodal,
+    "q67_frame_sample" -> q67FrameSample)
 
   /** The fixture text is ASCII, so byte stats equal character-code stats —
     * which DuckDB can compute without a binary decoder. */
@@ -81,5 +109,16 @@ object MultimodalQueries extends QueryModule {
         min(first_byte) AS min_first,
         max(n_bytes % 640) AS max_width,
         max(byte_sum % 480) AS max_height
-      FROM f GROUP BY media_type ORDER BY media_type""")
+      FROM f GROUP BY media_type ORDER BY media_type""",
+    "q67_frame_sample" -> """
+      WITH f AS (
+        SELECT doc_id, i AS frame_idx, substring(text, i*32 + 1, 32) AS fr
+        FROM documents, range(0, 1000) r(i)
+        WHERE i*32 < length(text) AND i % 4 = 0)
+      SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        CAST(length(fr) AS BIGINT) AS frame_len,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [CAST(unicode(fr[j]) AS BIGINT) for j in range(1, length(fr)+1)]),
+          (a, b) -> (a * 31 + b) % 2147483647) AS fhash
+      FROM f ORDER BY doc_id, frame_idx""")
 }
