@@ -125,8 +125,24 @@ object ScalarQueries extends QueryModule {
         min(col("v")).as("min_v"), max(col("v")).as("max_v"))
       .orderBy(col("event_type"), col("k"))
 
+  /** q48 — regex surface: rlike filter, capture-group extraction, match
+    * counting — all codegen'd, all pushable past by Catalyst. */
+  val q48Regex: Q = (s, dir) =>
+    Tables.load(s, dir, "part")
+      .filter(col("p_name").rlike("^[a-z]+ [a-z]+"))
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+) ([a-z]+)", 1).as("adj"),
+        regexp_extract(col("p_name"), "^([a-z]+) ([a-z]+)", 2).as("noun"),
+        size(expr("regexp_extract_all(p_name, '[aeiou]', 0)")).cast("long").as("n_vowels"))
+      .groupBy(col("adj"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("noun")).as("n_nouns"),
+        sum(col("n_vowels")).as("tot_vowels"))
+      .orderBy(col("adj"))
+
   def queries: Map[String, Q] = Map(
     "q47_map_funcs"    -> q47Map,
+    "q48_regex"        -> q48Regex,
     "q40_string_funcs" -> q40String,
     "q41_date_funcs"   -> q41Date,
     "q42_math_funcs"   -> q42Math,
@@ -147,6 +163,17 @@ object ScalarQueries extends QueryModule {
         CAST(sum(v) AS BIGINT) AS sum_v,
         min(v) AS min_v, max(v) AS max_v
       FROM kv GROUP BY 1, 2 ORDER BY event_type, k""",
+    "q48_regex" -> """
+      WITH m AS (
+        SELECT p_partkey,
+          regexp_extract(p_name, '^([a-z]+) ([a-z]+)', 1) AS adj,
+          regexp_extract(p_name, '^([a-z]+) ([a-z]+)', 2) AS noun,
+          CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels
+        FROM part WHERE regexp_matches(p_name, '^[a-z]+ [a-z]+'))
+      SELECT adj, count(*) AS n,
+        count(DISTINCT noun) AS n_nouns,
+        CAST(sum(n_vowels) AS BIGINT) AS tot_vowels
+      FROM m GROUP BY adj ORDER BY adj""",
     "q40_string_funcs" -> """
       SELECT p_partkey,
         upper(p_name) AS uname,
