@@ -1,7 +1,11 @@
 package graft
 /** Benchmark main: one warmup pass (JIT/codegen/parquet-footer warm), then
   * two timed passes keeping the per-query minimum (steady-state time, robust
-  * to one-off GC/scheduler stalls); prints a single JSON line for the driver. */
+  * to one-off GC/scheduler stalls); prints a single JSON line for the driver.
+  *
+  * A query that throws in either timed pass is reported as `null` timing and
+  * listed under "failed" — a fast failure must never fold into the total as
+  * a near-zero "win". */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,19 +14,36 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    def timedPass(): Map[String, Double] = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    def timedPass(): Map[String, Either[String, Double]] =
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val r = try {
+          fn(spark, sfDir).count()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+        }
+        name -> r
+      }.toMap
     val (p1, p2) = (timedPass(), timedPass())
     val results = ordered.map { case (name, _) =>
-      name -> math.min(p1(name), p2(name))
+      name -> ((p1(name), p2(name)) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (Left(e), _) => Left(e)
+        case (_, Left(e)) => Left(e)
+      })
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (n, Left(e)) =>
+      System.err.println(s"[bench] FAILED $n: $e"); n
+    }
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(_))  => s"\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -136,21 +136,35 @@ object AnalyticQueries extends QueryModule {
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   }
 
-  /** q39 — statistical aggregates: stddev/variance/correlation/covariance on
-    * exact integer cents, rounded to 6 decimals to absorb summation-order
-    * noise (values are O(1)-scaled, so 1e-6 rounding is ~1e10 ulps of margin). */
-  val q39Stats: Q = (s, dir) =>
-    Tables.load(s, dir, "lineitem")
+  /** q39 — statistical aggregates: stddev/variance/correlation/covariance
+    * derived from EXACT integer moment sums (DECIMAL(38,0) — int64 Σp² would
+    * overflow past ~1e5 rows/group at cents scale), finished with ONE
+    * identical double formula in both engines. Engine-native stddev/corr
+    * aggregate doubles in partition order (Welford vs two-pass differs too),
+    * so their low bits are nondeterministic; exact sums + a shared closed
+    * form is bit-reproducible at any scale, no rounding crutch needed. */
+  val q39Stats: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val base = Tables.load(s, dir, "lineitem")
       .select(col("l_returnflag"),
-        Num.cents(col("l_extendedprice")).as("p"),
-        col("l_quantity").as("q"))
+        Num.cents(col("l_extendedprice")).cast(dec).as("p"),
+        col("l_quantity").cast(dec).as("q"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        round(stddev_samp(col("p")), 6).as("sd_price"),
-        round(var_samp(col("q")), 6).as("var_qty"),
-        round(corr(col("p"), col("q")), 6).as("corr_pq"),
-        round(covar_samp(col("p"), col("q")), 6).as("covar_pq"))
+        sum(col("p")).as("sp"), sum(col("p") * col("p")).as("spp"),
+        sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sqq"),
+        sum(col("p") * col("q")).as("spq"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    base.select(col("l_returnflag"), col("n"),
+        sqrt((d("spp") - d("sp") * d("sp") / nD) / (nD - 1)).as("sd_price"),
+        ((d("sqq") - d("sq") * d("sq") / nD) / (nD - 1)).as("var_qty"),
+        ((d("spq") - d("sp") * d("sq") / nD) /
+          sqrt((d("spp") - d("sp") * d("sp") / nD) *
+               (d("sqq") - d("sq") * d("sq") / nD))).as("corr_pq"),
+        ((d("spq") - d("sp") * d("sq") / nD) / (nD - 1)).as("covar_pq"))
       .orderBy(col("l_returnflag"))
+  }
 
   def queries: Map[String, Q] = Map(
     "q38_subqueries"    -> q38Subqueries,
@@ -179,12 +193,27 @@ object AnalyticQueries extends QueryModule {
       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q39_stats" -> """
-      SELECT l_returnflag, count(*) AS n,
-        round(stddev_samp(CAST(round(l_extendedprice*100,0) AS BIGINT)), 6) AS sd_price,
-        round(var_samp(l_quantity), 6) AS var_qty,
-        round(corr(CAST(round(l_extendedprice*100,0) AS BIGINT), l_quantity), 6) AS corr_pq,
-        round(covar_samp(CAST(round(l_extendedprice*100,0) AS BIGINT), l_quantity), 6) AS covar_pq
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+          sum(CAST(CAST(round(l_extendedprice*100,0) AS BIGINT) AS HUGEINT)) AS sp,
+          sum(CAST(CAST(round(l_extendedprice*100,0) AS BIGINT) AS HUGEINT)
+            * CAST(CAST(round(l_extendedprice*100,0) AS BIGINT) AS HUGEINT)) AS spp,
+          sum(CAST(l_quantity AS HUGEINT)) AS sq,
+          sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS sqq,
+          sum(CAST(CAST(round(l_extendedprice*100,0) AS BIGINT) AS HUGEINT)
+            * CAST(l_quantity AS HUGEINT)) AS spq
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        sqrt((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)/CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1)) AS sd_price,
+        (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1) AS var_qty,
+        (CAST(spq AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sq AS DOUBLE)/CAST(n AS DOUBLE))
+          / sqrt((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)/CAST(n AS DOUBLE))
+               * (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/CAST(n AS DOUBLE))) AS corr_pq,
+        (CAST(spq AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sq AS DOUBLE)/CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1) AS covar_pq
+      FROM m ORDER BY l_returnflag""",
     "q30_rollup" -> """
       SELECT r_name, n_name, count(*) AS n_customers,
         CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS acctbal_cents

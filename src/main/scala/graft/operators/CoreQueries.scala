@@ -56,10 +56,12 @@ object CoreQueries extends QueryModule {
   }
 
   /** q02 — round-robin repartition with count+checksum invariant (reference P2,
-    * RemoteShuffleManagerSuite.scala:146-154: repartition preserves the multiset). */
+    * RemoteShuffleManagerSuite.scala:146-154: repartition preserves the
+    * multiset). Width follows `defaultParallelism` so the declared operator
+    * scales with the cluster instead of pinning the local core count. */
   val q02Repartition: Q = (s, dir) =>
     Tables.load(s, dir, "lineitem")
-      .repartition(32)
+      .repartition(s.sparkContext.defaultParallelism)
       .agg(count(lit(1)).as("cnt"), sum(col("l_orderkey")).as("checksum"))
 
   /** q03 — global total-order sort (reference S3 `sortByKey`,
@@ -166,15 +168,52 @@ object CoreQueries extends QueryModule {
   /** q29 — deterministic reproducible sampling: multiplicative-hash bucket on
     * the key (NOT TABLESAMPLE, whose rows differ per engine/run). The same
     * 5% of orders is selected on any engine, any cluster size, any day —
-    * the property a 100 TB pipeline needs for debuggable samples. */
+    * the property a 100 TB pipeline needs for debuggable samples. The key is
+    * reduced modulo a prime BEFORE the multiply: the raw product would
+    * overflow int64 past ~3.4e9 keys, where Spark (non-ANSI) wraps silently
+    * but DuckDB raises — reducing first keeps the product ≤ 1e6·2.7e9,
+    * exact in both engines at any corpus size. */
   val q29Sample: Q = (s, dir) =>
     Tables.load(s, dir, "orders")
-      .filter(pmod(col("o_orderkey") * 2654435761L, lit(1000)) < 50)
+      .filter(pmod(pmod(col("o_orderkey"), lit(999983)) * 2654435761L, lit(1000)) < 50)
       .agg(count(lit(1)).as("n_sampled"),
         sum(col("o_orderkey")).as("key_checksum"),
         Num.sumCents(col("o_totalprice"), "price_cents"))
 
+  /** q58 — partition-major ordering, asserted directly (reference P3,
+    * RWritablePartitionedPairCollection.scala:75-100: records are emitted
+    * partition-by-partition, key-sorted within each). Hash-repartition on the
+    * key, `sortWithinPartitions`, then one imperative per-partition scan
+    * counting (a) rows, (b) ordering violations, (c) distinct keys seen in
+    * that partition. Hash partitioning makes key sets disjoint across
+    * partitions, so Σ per-partition distinct keys must equal the global
+    * distinct count, and within-partition sortedness must hold exactly —
+    * the oracle pins violations to 0 and the key identity, so any engine
+    * regression in exchange or partition-local sort hash-mismatches. */
+  val q58PartitionSort: Q = (s, dir) => {
+    import s.implicits._
+    val df = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey")).as[(Long, Long)]
+      .repartition(s.sparkContext.defaultParallelism, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"), col("o_orderkey"))
+    df.mapPartitions { it =>
+      var rows = 0L; var viol = 0L
+      var pk = Long.MinValue; var po = Long.MinValue; var first = true
+      val keys = scala.collection.mutable.HashSet.empty[Long]
+      it.foreach { case (k, o) =>
+        rows += 1; keys += k
+        if (!first && (k < pk || (k == pk && o < po))) viol += 1
+        pk = k; po = o; first = false
+      }
+      Iterator((rows, viol, keys.size.toLong))
+    }.toDF("rows", "viol", "nkeys")
+      .agg(sum(col("rows")).as("n_rows"),
+        sum(col("viol")).as("sort_violations"),
+        sum(col("nkeys")).as("sum_part_keys"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q58_partition_sort" -> q58PartitionSort,
     "q28_setops_all"     -> q28SetOpsAll,
     "q29_sample"         -> q29Sample,
     "q01_agg"            -> q01Agg,
@@ -202,7 +241,11 @@ object CoreQueries extends QueryModule {
         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
         CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS price_cents
       FROM orders
-      WHERE (o_orderkey * 2654435761) % 1000 < 50""",
+      WHERE ((o_orderkey % 999983) * 2654435761) % 1000 < 50""",
+    "q58_partition_sort" -> """
+      SELECT (SELECT count(*) FROM orders) AS n_rows,
+        CAST(0 AS BIGINT) AS sort_violations,
+        (SELECT count(DISTINCT o_custkey) FROM orders) AS sum_part_keys""",
     "q01_agg" -> """
       SELECT l_returnflag, l_linestatus,
         sum(l_quantity) AS sum_qty,

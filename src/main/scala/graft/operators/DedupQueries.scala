@@ -55,30 +55,51 @@ object DedupQueries extends QueryModule {
         sum(col("n_copies") - 1).as("n_dropped"),
         min(col("keep_id")).as("min_keep_id"))
 
-  /** MinHash+LSH candidate pairs for a (doc_id, items: array<string>) frame:
+  /** Per-doc LSH band rows for a (doc_id, items: array<string>) frame:
     * 32 independent min-hashes (min over per-item seeded xxhash64), banded
-    * 8×4; items sharing any band hash become candidates via an equi-join on
-    * (band, band-hash) — the only shuffle that matters. At Jaccard ≥ 0.8 a
-    * true pair is missed with probability (1-s⁴)⁸ < 1e-8, so downstream
-    * exact verification reproduces the brute-force result. */
-  private def lshCandidates(items: DataFrame, itemsCol: String): DataFrame = {
+    * 8×4 → 8 (doc_id, band, band-hash) rows per doc, with any `meta` columns
+    * carried through for join-time gating. Items sharing any band hash become
+    * candidates via an equi-join on (band, band-hash) — the only shuffle that
+    * matters. At estimated Jaccard s a true pair is missed with probability
+    * (1-s⁴)⁸ (<1e-5 at s=0.95), and downstream exact verification keeps
+    * precision at 1, so LSH parameters only affect recall.
+    *
+    * `winnowMod` > 1 applies content-defined gram sampling BEFORE the 32-hash
+    * signature: only items with `h0 % winnowMod == 0` enter the min. Both docs
+    * of a pair sample by the same rule, so the sampled sets' Jaccard
+    * concentrates on the true Jaccard while signature volume drops winnowMod×
+    * — the standard fingerprinting/winnowing move for char-gram dedup, where
+    * gram volume is ~n_chars per doc (~10× token-shingle volume). */
+  private def lshBands(items: DataFrame, itemsCol: String,
+      winnowMod: Int = 1, meta: Seq[String] = Nil): DataFrame = {
+    val keys = col("doc_id") +: meta.map(col)
     // hash each item string ONCE; the 32 signature hashes then mix the 64-bit
     // value with the seed (integer hashing), ~30x cheaper than re-hashing the
-    // string per seed at 100 TB shingle volume
-    val ex = items.select(col("doc_id"), explode(col(itemsCol)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h0"))
+    // string per seed at 100 TB item volume
+    val ex0 = items.select(keys :+ explode(col(itemsCol)).as("s"): _*)
+      .select(keys :+ xxhash64(col("s")).as("h0"): _*)
+    val ex = if (winnowMod > 1)
+      ex0.filter(pmod(col("h0"), lit(winnowMod)) === 0) else ex0
     val sigCols = (0 until 32).map(i =>
       min(xxhash64(lit(i.toLong), col("h0"))).as(s"h$i"))
-    val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sig = ex.groupBy(keys: _*).agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         xxhash64((4 * b until 4 * b + 4).map(i => col(s"h$i")): _*).as("bh"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-        col("x.doc_id") < col("y.doc_id"))
+    sig.select(keys :+ explode(array(bandCols: _*)).as("bb"): _*)
+      .select(keys :+ col("bb.band").as("band") :+ col("bb.bh").as("bh"): _*)
+  }
+
+  /** Distinct candidate (i, j) pairs from band rows: equi-join on
+    * (band, band-hash) plus an optional extra join-time gate evaluated on the
+    * x/y aliases (e.g. a length window) — gating inside the join beats
+    * re-joining a meta table onto the pair list afterwards. */
+  private def bandPairs(bands: DataFrame,
+      gate: Option[Column] = None): DataFrame = {
+    val base = col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+      col("x.doc_id") < col("y.doc_id")
+    bands.as("x").join(bands.as("y"), gate.map(base && _).getOrElse(base))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j")).distinct()
   }
 
@@ -86,7 +107,10 @@ object DedupQueries extends QueryModule {
     * Jaccard verification of the candidates. Oracle = brute-force Jaccard. */
   val q51MinHashLsh: Q = (s, dir) => {
     val sh = shingled(s, dir).cache()
-    verifyPairs(lshCandidates(sh, "sh"), sh)
+    // band rows are 8 small rows/doc — cached so the self-join and any rerun
+    // read the signature pipeline once (at scale: a persisted signature table)
+    val bands = lshBands(sh, "sh").cache()
+    verifyPairs(bandPairs(bands), sh)
   }
 
   /** q52 — SimHash near-dup (Manku-style): 64-bit fingerprint from
@@ -97,7 +121,21 @@ object DedupQueries extends QueryModule {
     * this is the cheapest near-dup pass at 100 TB. Fingerprints are
     * hash-defined, so this op has no SQL oracle (rows-only check); its
     * planted-pair recall is asserted by DedupSpec instead. */
-  val q52SimHash: Q = (s, dir) => {
+  val q52SimHash: Q = (s, dir) => simHashNearDup(s, dir, nChunks = 4, maxHam = 3)
+
+  /** Parameterized SimHash near-dup. `nChunks` splits the 64-bit fingerprint
+    * into equal-width chunk keys; pigeonhole keeps the banding LOSSLESS
+    * whenever `nChunks > maxHam`. The 100-TB configuration is a CONFIG, not a
+    * rewrite: 16-bit chunks give 65k buckets and go quadratic-in-bucket
+    * around 10⁸–10⁹ docs, so at that scale pass `nChunks = 8` (8-bit grid —
+    * or layer Manku-style rotated permutation tables on top) and tighten
+    * `maxHam` per table while keeping `nChunks > maxHam` for losslessness. */
+  def simHashNearDup(s: SparkSession, dir: String,
+      nChunks: Int, maxHam: Int): DataFrame = {
+    require(nChunks > maxHam, s"pigeonhole needs nChunks > maxHam")
+    require(64 % nChunks == 0, "chunk width must divide 64")
+    val width = 64 / nChunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sh = shingled(s, dir)
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
@@ -107,9 +145,9 @@ object DedupQueries extends QueryModule {
     val simhash = votes.select(col("doc_id"),
       (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
         .reduce(_.bitwiseOR(_)).as("f"))
-    val chunkCols = (0 until 4).map { c =>
+    val chunkCols = (0 until nChunks).map { c =>
       struct(lit(c).as("chunk"),
-        col("f").bitwiseAND(lit(0xFFFFL << (16 * c))).as("cv"))
+        col("f").bitwiseAND(lit(mask << (width * c))).as("cv"))
     }
     val chunks = simhash.select(col("doc_id"), col("f"),
         explode(array(chunkCols: _*)).as("cc"))
@@ -120,18 +158,21 @@ object DedupQueries extends QueryModule {
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
         bit_count(col("x.f").bitwiseXOR(col("y.f"))).cast("long").as("ham"))
       .distinct()
-      .filter(col("ham") <= 3)
+      .filter(col("ham") <= maxHam)
       .orderBy(col("i"), col("j"))
   }
 
   /** q53 — character-5-gram Jaccard near-dup: the same LSH candidate engine
-    * as q51 but at character granularity (robust to tokenization), plus a
-    * |Δn_chars| ≤ 20 length gate, verified with exact Jaccard over the full
-    * gram sets. (A plain length-bucket block was tried first and discarded:
-    * on narrow length distributions it degenerates to O(n²) array
-    * intersections, and the char-gram inverted index degenerates too because
-    * hot grams appear in most docs — banding is the design that survives
-    * scale on any distribution.) */
+    * as q51 but at character granularity (robust to tokenization), with
+    * winnowed (h0 % 4 == 0) gram sampling feeding the signatures and a
+    * |Δn_chars| ≤ 20 length gate applied INSIDE the band self-join (n_chars
+    * rides along on the band rows, so no post-hoc joins back to a meta
+    * table), verified with exact Jaccard over the full gram sets. (A plain
+    * length-bucket block was tried first and discarded: on narrow length
+    * distributions it degenerates to O(n²) array intersections, and the
+    * char-gram inverted index degenerates too because hot grams appear in
+    * most docs — banding is the design that survives scale on any
+    * distribution.) */
   val q53NgramJaccard: Q = (s, dir) => {
     val g = Tables.load(s, dir, "documents")
       .filter(length(col("text")) >= 5)
@@ -139,12 +180,9 @@ object DedupQueries extends QueryModule {
         array_distinct(expr(
           "transform(sequence(0, length(text)-5), i -> substring(text, i+1, 5))"))
           .as("g5")).cache()
-    val nc = g.select(col("doc_id"), col("n_chars"))
-    val cand = lshCandidates(g, "g5")
-      .join(nc.select(col("doc_id").as("i"), col("n_chars").as("nc_i")), "i")
-      .join(nc.select(col("doc_id").as("j"), col("n_chars").as("nc_j")), "j")
-      .filter(abs(col("nc_i") - col("nc_j")) <= 20)
-      .select(col("i"), col("j"))
+    val bands = lshBands(g, "g5", winnowMod = 4, meta = Seq("n_chars")).cache()
+    val cand = bandPairs(bands,
+      gate = Some(abs(col("x.n_chars") - col("y.n_chars")) <= 20))
     val a = g.select(col("doc_id").as("i"), col("g5").as("g5_i"))
     val b = g.select(col("doc_id").as("j"), col("g5").as("g5_j"))
     cand.join(a, "i").join(b, "j")
@@ -158,20 +196,45 @@ object DedupQueries extends QueryModule {
 
   /** q54 — embedding near-dup by cosine ≥ 0.45 over integer-quantized
     * components (×1e6): dot and norms are exact BIGINT sums, so both engines
-    * derive bit-identical cosines. Fixture-scale uses the full pair join; the
-    * scale path is q56's sign-bucket LSH. */
+    * derive bit-identical cosines.
+    *
+    * Scale design — tiled exact all-pairs. At the declared threshold (0.45,
+    * ~63° — the fixture's qualifying pairs sit at 0.4501 against a 0.4497
+    * background) NO candidate-pruning scheme can be both complete and
+    * sub-quadratic: random-hyperplane LSH needs 2-bit bands for full recall
+    * at that angle, which prunes nothing, and metric blocking cannot separate
+    * cells whose angular radii exceed the 63° match radius. Exact all-pairs
+    * is inherently Θ(n²) compute; what CAN be engineered is the distribution:
+    * vectors are assigned to B blocks (`pmod(vec_id, B)`), a B(B+1)/2-row
+    * tile table fans each block out to its tile row/column, and pairs
+    * materialize as an EQUI-join on tile id — Θ(n·B) shuffle, Θ(B²) evenly
+    * sized tasks, bounded (n/B-row) per-task memory, no CartesianProduct or
+    * BroadcastNestedLoopJoin anywhere in the plan (asserted by PlansSpec).
+    * B scales with cluster size; at high thresholds (≥0.8) where pruning IS
+    * sound, q51/q56's banded LSH is the cheaper declared path. */
   val q54EmbeddingDup: Q = (s, dir) => {
     graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val B = 8 // tile grid: B(B+1)/2 tasks; sized to cores here, 1000s on a cluster
+    val tiles = (for { p <- 0 until B; q <- p until B } yield (p * B + q, p, q))
+      .toDF("tid", "tp", "tq")
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
-      .select(col("vec_id"), col("q"), expr("dot_long(q, q)").as("n2"))
-    val a = e.select(col("vec_id").as("i"), col("q").as("qi"), col("n2").as("n2i"))
-    val b = e.select(col("vec_id").as("j"), col("q").as("qj"), col("n2").as("n2j"))
-    a.join(b, col("i") < col("j"))
-      .select(col("i"), col("j"),
-        expr("dot_long(qi, qj)").as("dot"),
-        col("n2i"), col("n2j"))
+      .select(col("vec_id"), col("q"), expr("dot_long(q, q)").as("n2"),
+        pmod(col("vec_id"), lit(B)).as("g"))
+    val rows = e.join(broadcast(tiles), col("g") === col("tp"))
+      .select(col("tid"), col("tp"), col("tq"), col("vec_id").as("ri"),
+        col("q").as("qi"), col("n2").as("n2i"))
+    val cols = e.join(broadcast(tiles), col("g") === col("tq"))
+      .select(col("tid").as("ctid"), col("vec_id").as("rj"),
+        col("q").as("qj"), col("n2").as("n2j"))
+    rows.join(cols, col("tid") === col("ctid"))
+      // diagonal tiles see each unordered pair twice; off-diagonal once
+      .filter(col("tp") =!= col("tq") || col("ri") < col("rj"))
+      .select(least(col("ri"), col("rj")).as("i"),
+        greatest(col("ri"), col("rj")).as("j"),
+        expr("dot_long(qi, qj)").as("dot"), col("n2i"), col("n2j"))
       .withColumn("cos", col("dot") / (sqrt(col("n2i")) * sqrt(col("n2j"))))
       .filter(col("cos") >= 0.45)
       .select(col("i"), col("j"), col("dot"), col("cos"))

@@ -133,7 +133,73 @@ object JoinQueries extends QueryModule {
       .orderBy(col("band"))
   }
 
+  /** q19 — FULL OUTER equi-join: the join type the reference's cogroup most
+    * directly maps to (keys present on either side survive,
+    * RemoteAppendOnlyMapSuite.scala:206-224). Two filtered aggregates of
+    * orders joined on customer key; customers with only big orders, only
+    * urgent orders, or both — the single-sided rows carry real NULLs through
+    * the join output. Same shuffle shape as inner at scale; AQE skew handling
+    * applies unchanged. */
+  val q19JoinFull: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+    val big = o.filter(col("o_totalprice") > 300000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big"),
+        Num.sumCents(col("o_totalprice"), "big_cents"))
+      .select(col("o_custkey").as("k_big"), col("n_big"), col("big_cents"))
+    val urg = o.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_urgent"))
+      .select(col("o_custkey").as("k_urg"), col("n_urgent"))
+    big.join(urg, col("k_big") === col("k_urg"), "full_outer")
+      .select(coalesce(col("k_big"), col("k_urg")).as("custkey"),
+        col("n_big"), col("big_cents"), col("n_urgent"))
+      .orderBy(col("custkey"))
+  }
+
+  /** q68 — RIGHT OUTER join: fact side right-joined so every customer
+    * survives (mirror of q12's left outer, declared explicitly to close the
+    * equi-join family). */
+  val q68JoinRight: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 350000)
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("n_big_orders"),
+        coalesce(sum(Num.cents(o("o_totalprice"))), lit(0L)).as("revenue_cents"))
+      .orderBy(c("c_custkey"))
+  }
+
+  /** q49 — null keys through aggregation, window, and null-safe join
+    * (reference tests null keys/values through its sorter explicitly,
+    * RemoteSorterSuite.scala:220-243). A NULLIF-derived segment makes a real
+    * NULL group: the window partitions on it, the aggregation groups on it,
+    * and the self-join matches it with `<=>` (IS NOT DISTINCT FROM) — the
+    * three places a null key can silently drop rows at scale. */
+  val q49NullKeys: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.load(s, dir, "customer")
+      .select(expr("nullif(c_mktsegment, 'BUILDING')").as("seg"),
+        col("c_custkey"), col("c_acctbal"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("c_custkey"))
+    val a = c.withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_cust"),
+        Num.sumCents(col("c_acctbal"), "bal_cents"),
+        max(col("rn")).as("max_rn"))
+    val b = c.groupBy(col("seg"))
+      .agg(max(col("c_custkey")).as("max_custkey"))
+      .select(col("seg").as("seg_b"), col("max_custkey"))
+    a.join(b, col("seg") <=> col("seg_b"))
+      .select(col("seg"), col("n_cust"), col("bal_cents"),
+        col("max_rn"), col("max_custkey"))
+      .orderBy(asc_nulls_first("seg"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q19_join_full"      -> q19JoinFull,
+    "q68_join_right"     -> q68JoinRight,
+    "q49_null_keys"      -> q49NullKeys,
     "q11_join_inner"     -> q11JoinInner,
     "q12_join_left"      -> q12JoinLeft,
     "q13_join_semi"      -> q13JoinSemi,
@@ -144,6 +210,38 @@ object JoinQueries extends QueryModule {
     "q18_range_join"     -> q18RangeJoin)
 
   def oracles: Map[String, String] = Map(
+    "q19_join_full" -> """
+      SELECT coalesce(a.k_big, b.k_urg) AS custkey, a.n_big, a.big_cents, b.n_urgent
+      FROM (SELECT o_custkey AS k_big, count(*) AS n_big,
+              CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS big_cents
+            FROM orders WHERE o_totalprice > 300000 GROUP BY 1) a
+      FULL JOIN (SELECT o_custkey AS k_urg, count(*) AS n_urgent
+                 FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1) b
+        ON a.k_big = b.k_urg
+      ORDER BY custkey""",
+    "q68_join_right" -> """
+      SELECT c_custkey, count(o_orderkey) AS n_big_orders,
+        CAST(coalesce(sum(CAST(round(o_totalprice*100,0) AS BIGINT)), 0) AS BIGINT) AS revenue_cents
+      FROM (SELECT * FROM orders WHERE o_totalprice > 350000) o
+      RIGHT JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""",
+    "q49_null_keys" -> """
+      WITH c AS (
+        SELECT nullif(c_mktsegment, 'BUILDING') AS seg, c_custkey, c_acctbal
+        FROM customer),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY seg ORDER BY c_custkey) AS rn
+        FROM c),
+      a AS (
+        SELECT seg, count(*) AS n_cust,
+          CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS bal_cents,
+          CAST(max(rn) AS BIGINT) AS max_rn
+        FROM r GROUP BY seg),
+      b AS (
+        SELECT seg AS seg_b, max(c_custkey) AS max_custkey FROM c GROUP BY seg)
+      SELECT a.seg, a.n_cust, a.bal_cents, a.max_rn, b.max_custkey
+      FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg_b
+      ORDER BY seg NULLS FIRST""",
     "q11_join_inner" -> """
       SELECT c_custkey, c_name, count(*) AS n_orders,
         CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents

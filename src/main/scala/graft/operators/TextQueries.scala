@@ -48,15 +48,21 @@ object TextQueries extends QueryModule {
       .withColumn("n_chars2", length(col("text")).cast("long"))
       .withColumn("n_space", (length(col("text")) -
         length(regexp_replace(col("text"), " ", ""))).cast("long"))
-      .withColumn("quality",
-        round(col("n_stop") / col("n_tok") * 0.5 +
-          least(col("n_tok").cast("double") / 200.0, lit(1.0)) * 0.5, 6))
+      // per-doc score scaled to integer millionths: the inner arithmetic is a
+      // handful of IEEE ops on small exact integers (bit-identical in any
+      // engine), and summing INTEGERS is order-independent — unlike avg() of
+      // doubles, whose partial-sum order differs per partitioning
+      .withColumn("q_micro", round((col("n_stop") / col("n_tok") * 0.5 +
+          least(col("n_tok").cast("double") / 200.0, lit(1.0)) * 0.5) * 1000000, 0)
+        .cast("long"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("tot_tokens"),
         sum(col("n_stop")).as("tot_stop"),
         sum(col("n_space")).as("tot_space"),
-        round(avg(col("quality")), 6).as("avg_quality"))
+        sum(col("q_micro")).as("tot_q_micro"))
+      // one deterministic division at the end, not an engine-ordered avg()
+      .withColumn("avg_quality", col("tot_q_micro") / (lit(1000000.0) * col("n_docs")))
       .orderBy(col("source"))
   }
 
@@ -89,21 +95,25 @@ object TextQueries extends QueryModule {
 
   /** q64 — TF-IDF top terms: tf and df as exact integer counts, idf =
     * ln(N/df) applied once per (doc, term), top-3 terms per doc by score.
-    * Two aggregations (doc-term counts, term document frequencies) and a
-    * broadcast-sized df table at any corpus scale where the vocabulary is
-    * bounded; the per-doc top-k is a window over the doc partition. */
+    * Two aggregations (doc-term counts, term document frequencies); N is a
+    * broadcast 1-row aggregate cross-joined in, so the whole query is ONE
+    * plan/job — no driver-side action. The tf⋈df join strategy is left to
+    * Catalyst/AQE: open-web vocabulary is not broadcast-sized, and AQE
+    * will still broadcast when runtime stats say df is small. The per-doc
+    * top-k is a window over the doc partition. */
   val q64TfIdf: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val n = Tables.load(s, dir, "documents").count()
+    val n = broadcast(Tables.load(s, dir, "documents")
+      .agg(count(lit(1)).cast("double").as("n_docs")))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = toks.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
-    tf.join(broadcast(dfreq), "term")
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 9))
+    tf.join(dfreq, "term").crossJoin(n)
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 9))
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"),
         row_number().over(w).cast("long").as("rnk"))
       .filter(col("rnk") <= 3)
@@ -162,14 +172,15 @@ object TextQueries extends QueryModule {
           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space
         FROM d),
       sc AS (
-        SELECT *, round(CAST(n_stop AS DOUBLE) / n_tok * 0.5 +
-          least(CAST(n_tok AS DOUBLE) / 200.0, 1.0) * 0.5, 6) AS quality
+        SELECT *, CAST(round((CAST(n_stop AS DOUBLE) / n_tok * 0.5 +
+          least(CAST(n_tok AS DOUBLE) / 200.0, 1.0) * 0.5) * 1000000, 0) AS BIGINT) AS q_micro
         FROM f)
       SELECT source, count(*) AS n_docs,
         CAST(sum(n_tok) AS BIGINT) AS tot_tokens,
         CAST(sum(n_stop) AS BIGINT) AS tot_stop,
         CAST(sum(n_space) AS BIGINT) AS tot_space,
-        round(avg(quality), 6) AS avg_quality
+        CAST(sum(q_micro) AS BIGINT) AS tot_q_micro,
+        CAST(sum(q_micro) AS BIGINT) / (1000000.0 * count(*)) AS avg_quality
       FROM sc GROUP BY source ORDER BY source""",
     "q62_token_count" -> """
       SELECT doc_id,

@@ -1,22 +1,36 @@
 package graft.streaming
 
-import graft.operators.{SessEvent, Session, StatefulQueries}
+import graft.operators.{SessEvent, Session}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** The currently-open session for one user — the ONLY state the streaming
+  * sessionizer keeps per key, so state size is O(users), not O(events). */
+case class OpenSession(
+    session_id: Long, n_events: Long, value_cents: Long,
+    start_s: Long, last_s: Long)
+
+/** SessEvent plus its event-time timestamp: the watermarked column must flow
+  * INTO the stateful operator (projecting it away detaches the watermark and
+  * event-time timeouts are rejected at analysis). */
+case class SessEventW(
+    user_id: Long, event_id: Long, ts_s: Long, value_cents: Long,
+    ets: java.sql.Timestamp)
+
 /** Structured Streaming operators (SURVEY.md §2.7: absent from the reference,
   * declared engine-first).
   *
-  * Both transforms are written against unbounded Datasets: callers hand in
+  * All transforms are written against unbounded Datasets: callers hand in
   * `spark.readStream...` sources and attach any sink. The specs drive them
   * with MemoryStream and assert equality with the batch twins (q35 hourly
   * buckets, q66 sessionization) — the engine treats streaming as incremental
   * execution of the same computation, exactly Structured Streaming's model.
   *
-  * Scale: both are keyed by bounded-cardinality keys (event_type / user_id),
-  * so state partitions hash-distribute; the watermark bounds state size by
-  * evicting buckets/sessions older than the allowed lateness.
+  * Scale: keyed state hash-distributes on the key; watermarks bound EVERY
+  * state store here (window buckets, dedup ids, open sessions), which is the
+  * difference between a pipeline that runs for a day and one that runs
+  * forever at 100 TB/day.
   */
 object StreamOps {
 
@@ -31,30 +45,68 @@ object StreamOps {
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("value_cents"))
 
   /** Streaming exact deduplication: at-least-once sources dedup to
-    * exactly-once on the id column; the watermark bounds the dedup state to
-    * the lateness horizon (without it, state grows with the corpus — the
-    * difference between a pipeline that runs for a day and one that runs
-    * forever at 100 TB/day). */
+    * exactly-once on the id column ALONE — `dropDuplicatesWithinWatermark`
+    * collapses replays even when the source re-stamps event time (a replayed
+    * id with a different ts is still a duplicate), while the watermark still
+    * bounds dedup state to the lateness horizon. */
   def dedupStream(events: DataFrame, idCol: String): DataFrame =
-    events.withWatermark("ts", "1 hour").dropDuplicates(idCol, "ts")
+    events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(idCol)
 
-  /** Per-user sessionization with explicit state: buffers events per user and
-    * closes sessions on a >600 s event-time gap (or at EOF for the final
-    * flush). The per-key fold is the SAME code the batch q66 runs
-    * (StatefulQueries.sessionize), so batch output is the streaming oracle. */
+  /** Gap between events that closes a session, and the session gap horizon
+    * used for the event-time timeout (shared with the batch q24/q66). */
+  private val GapS = 600L
+
+  /** Per-user sessionization keeping ONLY the open session in state: events
+    * extend or split it, closed sessions emit immediately, and the final
+    * session of an idle user emits via EventTimeTimeout once the watermark
+    * passes its gap horizon (`last_s + 601`) — so state is one small struct
+    * per active user and Append-mode emits each session exactly once.
+    *
+    * In-order contract: events later than the watermark bound are the
+    * caller's responsibility (the 10-minute allowed lateness here matches the
+    * session gap); an event older than the open session's start is folded by
+    * per-batch sort but cannot reopen an already-emitted session — the
+    * standard streaming-sessionization tradeoff. */
   def sessionizeStream(events: Dataset[SessEvent]): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events
+    val withWm = events
+      .withColumn("ets", timestamp_seconds(col("ts_s")))
+      .withWatermark("ets", "10 minutes")
+      .as[SessEventW]
+    withWm
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessEvent], Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, it: Iterator[SessEvent], state: GroupState[List[SessEvent]]) =>
-          // Buffer-and-fold state model: correct for append-mode replays in
-          // the spec's single-batch drive; a production variant would keep
-          // only the open session in state and emit on event-time timeout.
-          val buf = state.getOption.getOrElse(Nil) ++ it
-          state.update(buf)
-          StatefulQueries.sessionize(uid, buf.iterator)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[SessEventW], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val o = state.get
+            state.remove()
+            Iterator(Session(uid, o.session_id, o.n_events, o.value_cents,
+              o.start_s, o.last_s))
+          } else {
+            val sorted = it.toIndexedSeq.sortBy(e => (e.ts_s, e.event_id))
+            val out = Seq.newBuilder[Session]
+            var open = state.getOption
+            for (e <- sorted) {
+              open = open match {
+                case Some(o) if e.ts_s - o.last_s > GapS =>
+                  out += Session(uid, o.session_id, o.n_events, o.value_cents,
+                    o.start_s, o.last_s)
+                  Some(OpenSession(o.session_id + 1, 1L, e.value_cents, e.ts_s, e.ts_s))
+                case Some(o) =>
+                  Some(o.copy(n_events = o.n_events + 1,
+                    value_cents = o.value_cents + e.value_cents, last_s = e.ts_s))
+                case None =>
+                  Some(OpenSession(1L, 1L, e.value_cents, e.ts_s, e.ts_s))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // close once the watermark proves no event can extend it
+              state.setTimeoutTimestamp((o.last_s + GapS + 1) * 1000)
+            }
+            out.result().iterator
+          }
       }
   }
 }

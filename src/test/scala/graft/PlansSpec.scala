@@ -28,6 +28,14 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q54 tiled embedding dedup plans equi-joins only (no cartesian/BNL)") {
+    val p = planString(graft.operators.DedupQueries.q54EmbeddingDup(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      "tiled all-pairs must not plan a cartesian product")
+    assert(!p.contains("BroadcastNestedLoop"),
+      "tiled all-pairs must not plan a nested-loop join")
+  }
+
   test("dedup LSH candidate generation contains no cartesian/nested-loop join") {
     val p = planString(graft.operators.DedupQueries.q51MinHashLsh(spark, sfDir))
     assert(!p.contains("CartesianProduct"))

@@ -55,7 +55,12 @@ class StatefulStreamingSpec extends SparkSpec {
       .select(col("event_id"), col("ts"), col("event_type"))
       .as[(Long, java.sql.Timestamp, String)].collect().toSeq
     val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
-    stream.addData(events ++ events ++ events.take(50)) // triple + partial dupes
+    // triple + partial dupes, including replays whose event time was
+    // RE-STAMPED by the source (+1s): still the same id, still a duplicate
+    val restamped = events.take(50).map { case (id, ts, et) =>
+      (id, new java.sql.Timestamp(ts.getTime + 1000), et)
+    }
+    stream.addData(events ++ events ++ restamped)
     val q = StreamOps.dedupStream(
         stream.toDF().toDF("event_id", "ts", "event_type"), "event_id")
       .writeStream.format("memory").queryName("dedup").outputMode("append").start()
@@ -77,8 +82,19 @@ class StatefulStreamingSpec extends SparkSpec {
     stream.addData(evs)
     val q = StreamOps.sessionizeStream(stream.toDS())
       .writeStream.format("memory").queryName("sessions").outputMode("append").start()
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable()
+    // advance the watermark far past every real user's gap horizon so idle
+    // open sessions hit their event-time timeout and emit; two bumps because
+    // the watermark derived from batch N applies to batch N+1. The sentinel
+    // user (-1) is filtered from the assertion.
+    val maxTs = evs.map(_.ts_s).max
+    stream.addData(SessEvent(-1L, 0L, maxTs + 100000, 0L))
+    q.processAllAvailable()
+    stream.addData(SessEvent(-1L, 1L, maxTs + 200000, 0L))
+    q.processAllAvailable()
+    q.stop()
     val got = spark.table("sessions").as[Session].collect()
+      .filter(_.user_id >= 0)
       .map(s => (s.user_id, s.session_id, s.n_events, s.value_cents)).toSet
     val want = graft.operators.StatefulQueries
       .q66StatefulSessions(spark, sfDir).as[Session].collect()
