@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// KryoSpec builds its own SparkSession with a different core serializer —
+// one SparkContext per JVM, so it runs in its own forked test JVM while
+// every other suite shares the default-session JVM.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val (kryo, rest) = tests.partition(_.name.contains("KryoSpec"))
+  Seq(
+    Tests.Group("kryo", kryo,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts))),
+    Tests.Group("default", rest,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts))),
+  ).filter(_.tests.nonEmpty)
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -241,7 +241,49 @@ object DedupQueries extends QueryModule {
       .orderBy(col("i"), col("j"))
   }
 
+  /** q59 — near-dup CLUSTERING: connected components over the verified
+    * MinHash pair graph (q51's candidates + exact-Jaccard verify), survivor
+    * = min doc_id per component. A dedup pipeline needs this step — pairs
+    * alone over-drop on chains (a~b, b~c, a≁c must keep ONE doc, not run
+    * two independent removals). Components come from iterative min-label
+    * propagation over the symmetric edge list: 10 rounds of
+    * (join neighbor labels, take min), each one equi-join + one partial
+    * aggregation — covers any fixture diameter; the 100-TB variant
+    * alternates large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce"), converging in O(log n) rounds with the
+    * same join-shaped building blocks. Oracle: DuckDB WITH RECURSIVE
+    * transitive closure over the same brute-force pair graph. */
+  val q59DedupClusters: Q = (s, dir) => {
+    val sh = shingled(s, dir).cache()
+    val bands = lshBands(sh, "sh").cache()
+    val pairs = verifyPairs(bandPairs(bands), sh).select(col("i"), col("j"))
+    val edges = pairs
+      .union(pairs.select(col("j").as("i"), col("i").as("j"))).cache()
+    val nodes = edges.select(col("i").as("id")).distinct()
+    // adjacency WITH self-loops: min over neighbors-including-self needs only
+    // ONE reference to the previous labels per round, keeping the iterated
+    // plan linear in rounds (a labels-union-neighbors formulation references
+    // the prior frame twice and doubles the plan every round — 2^k blowup)
+    val adj = edges.union(nodes.select(col("id").as("i"), col("id").as("j"))).cache()
+    // 6 rounds covers component diameter ≤ 6 — LSH+verify components are
+    // near-cliques (every member pairs with most others at J ≥ 0.8), so real
+    // diameters are 2-3; the sf0.01 oracle equality IS the convergence check
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to 6) {
+      labels = adj.join(labels, adj("j") === labels("id"))
+        .select(adj("i").as("id"), col("lbl"))
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+    }
+    labels.groupBy(col("lbl").as("keep_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(col("id")).as("max_id"),
+        sum(col("id")).as("id_sum"))
+      .withColumn("n_dropped", col("n_members") - 1)
+      .orderBy(col("keep_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q59_dedup_clusters"  -> q59DedupClusters,
     "q50_dedup_exact"     -> q50Exact,
     "q51_dedup_minhash"   -> q51MinHashLsh,
     "q52_dedup_simhash"   -> q52SimHash,
@@ -269,6 +311,25 @@ object DedupQueries extends QueryModule {
       ORDER BY i, j"""
 
   def oracles: Map[String, String] = Map(
+    "q59_dedup_clusters" -> s"""
+      WITH RECURSIVE $duckShingles,
+      pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.ss) > 0 AND len(b.ss) > 0
+          AND len(list_intersect(a.ss, b.ss)) >=
+              len(list_distinct(list_concat(a.ss, b.ss))) * 0.8),
+      edges AS (
+        SELECT i AS a, j AS b FROM pairs
+        UNION ALL SELECT j AS a, i AS b FROM pairs),
+      reach(id, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      comp AS (SELECT id, min(r) AS keep_id FROM reach GROUP BY id)
+      SELECT keep_id, count(*) AS n_members, max(id) AS max_id,
+        CAST(sum(id) AS BIGINT) AS id_sum, count(*) - 1 AS n_dropped
+      FROM comp GROUP BY keep_id ORDER BY keep_id""",
     "q50_dedup_exact" -> """
       SELECT count(*) AS n_distinct_texts,
         CAST(sum(n_copies) AS BIGINT) AS n_docs,

@@ -52,6 +52,24 @@ object StreamOps {
   def dedupStream(events: DataFrame, idCol: String): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(idCol)
 
+  /** Declarative streaming sessionization via the NATIVE session_window
+    * operator — the built-in alternative to the typed stateful sessionizer
+    * below for when per-session aggregates suffice. Gap "601 seconds" makes
+    * the merge rule (new session at gap ≥ 601) identical to the batch split
+    * at gap > 600; the emitted window is [min_ts, max_ts + gap), so
+    * `end - 601` is the batch session's last-event time. Watermark bounds
+    * session state; Append mode emits each closed session exactly once. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "601 seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_cents")).as("value_cents"))
+      .select(col("user_id"),
+        col("sw.start").cast("long").as("start_s"),
+        col("sw.end").cast("long").as("end_s"),
+        col("n_events"), col("value_cents"))
+
   /** Gap between events that closes a session, and the session gap horizon
     * used for the event-time timeout (shared with the batch q24/q66). */
   private val GapS = 600L

@@ -70,6 +70,40 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(got.toSet == events.map(_._1).toSet, "every unique id survives")
   }
 
+  test("native session_window streaming equals the batch stateful fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("ts_s"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"))
+      .as[SessEvent].collect().toSeq
+    val stream = MemoryStream[SessEvent]
+    stream.addData(evs)
+    val q = StreamOps.sessionWindowAgg(
+        stream.toDS().withColumn("ts", timestamp_seconds(col("ts_s"))))
+      .writeStream.format("memory").queryName("swagg").outputMode("append").start()
+    q.processAllAvailable()
+    // two watermark bumps so every real session's window closes and emits
+    val maxTs = evs.map(_.ts_s).max
+    stream.addData(SessEvent(-1L, 0L, maxTs + 100000, 0L))
+    q.processAllAvailable()
+    stream.addData(SessEvent(-1L, 1L, maxTs + 200000, 0L))
+    q.processAllAvailable()
+    q.stop()
+    // session_window end = last event + gap; subtract the 601s gap to get
+    // the batch session's last-event time
+    val got = spark.table("swagg").collect()
+      .filter(_.getLong(0) >= 0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) - 601, r.getLong(3), r.getLong(4)))
+      .toSet
+    val want = graft.operators.StatefulQueries
+      .q66StatefulSessions(spark, sfDir).as[Session].collect()
+      .map(s => (s.user_id, s.start_s, s.end_s, s.n_events, s.value_cents)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming sessionization equals the batch stateful fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
