@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 /** Registration of the engine's native expressions. */
 object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "dot_long" -> (es => LongArrayDot(es(0), es(1))))
+    "dot_long" -> (es => LongArrayDot(es(0), es(1))),
+    "simhash64" -> (es => SimHash64(es(0))),
+    "minhash_sig" -> (es => MinHashSig(es(0), es(1))))
 
   /** Idempotent per-session registration; queries call this so they work on
     * any SparkSession, extension-injected or not. */
@@ -21,9 +23,18 @@ object GraftFunctions {
   * the deployment path for clusters where sessions aren't built by this
   * library (SURVEY.md §7.3). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[LongArrayDot].getName, "dot_long"),
       (es: Seq[Expression]) => LongArrayDot(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (es: Seq[Expression]) => MinHashSig(es(0), es(1))))
+  }
 }

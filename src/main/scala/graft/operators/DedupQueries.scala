@@ -72,20 +72,21 @@ object DedupQueries extends QueryModule {
     * gram volume is ~n_chars per doc (~10× token-shingle volume). */
   private def lshBands(items: DataFrame, itemsCol: String,
       winnowMod: Int = 1, meta: Seq[String] = Nil): DataFrame = {
+    graft.functions.GraftFunctions.register(items.sparkSession)
     val keys = col("doc_id") +: meta.map(col)
-    // hash each item string ONCE; the 32 signature hashes then mix the 64-bit
-    // value with the seed (integer hashing), ~30x cheaper than re-hashing the
-    // string per seed at 100 TB item volume
-    val ex0 = items.select(keys :+ explode(col(itemsCol)).as("s"): _*)
-      .select(keys :+ xxhash64(col("s")).as("h0"): _*)
-    val ex = if (winnowMod > 1)
-      ex0.filter(pmod(col("h0"), lit(winnowMod)) === 0) else ex0
-    val sigCols = (0 until 32).map(i =>
-      min(xxhash64(lit(i.toLong), col("h0"))).as(s"h$i"))
-    val sig = ex.groupBy(keys: _*).agg(sigCols.head, sigCols.tail: _*)
+    // the whole 32-hash signature folds in ONE codegen'd map-side pass per
+    // doc (native minhash_sig: item hashed once, 32 seed mixes, winnow
+    // applied inline) — no item explosion, no 32-column min aggregation, no
+    // shuffle before the band join; docs with every item winnowed away
+    // yield a NULL signature and drop out, exactly like an empty group in
+    // the aggregate formulation
+    val sig = items
+      .select(keys :+ expr(s"minhash_sig($itemsCol, $winnowMod)").as("sig"): _*)
+      .filter(col("sig").isNotNull)
     val bandCols = (0 until 8).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((4 * b until 4 * b + 4).map(i => col(s"h$i")): _*).as("bh"))
+        xxhash64((4 * b until 4 * b + 4).map(i =>
+          element_at(col("sig"), i + 1)): _*).as("bh"))
     }
     sig.select(keys :+ explode(array(bandCols: _*)).as("bb"): _*)
       .select(keys :+ col("bb.band").as("band") :+ col("bb.bh").as("bh"): _*)
@@ -134,17 +135,20 @@ object DedupQueries extends QueryModule {
       nChunks: Int, maxHam: Int): DataFrame = {
     require(nChunks > maxHam, s"pigeonhole needs nChunks > maxHam")
     require(64 % nChunks == 0, "chunk width must divide 64")
+    graft.functions.GraftFunctions.register(s)
     val width = 64 / nChunks
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sh = shingled(s, dir)
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val bitCols = (0 until 64).map(b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"v$b"))
-    val votes = ex.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-    val simhash = votes.select(col("doc_id"),
-      (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
-        .reduce(_.bitwiseOR(_)).as("f"))
+    // cache the shingle arrays: the self-join (and the IsNotNull constraints
+    // Catalyst derives from the chunk join keys) would otherwise inline the
+    // full tokenize+shingle pipeline into every fingerprint reference and
+    // recompute split(text) per shingle element — the cache is an optimizer
+    // barrier as much as a reuse (at scale: a persisted shingle table)
+    val sh = shingled(s, dir).cache()
+    // fingerprints fold map-side in one codegen'd pass per doc (native
+    // simhash64 Expression hashing each shingle inline) — no shingle
+    // explosion, no 64-column vote aggregation, no per-element interpreted
+    // lambda, no shuffle until the tiny chunk-key candidate join
+    val simhash = sh.select(col("doc_id"), expr("simhash64(sh)").as("f"))
     val chunkCols = (0 until nChunks).map { c =>
       struct(lit(c).as("chunk"),
         col("f").bitwiseAND(lit(mask << (width * c))).as("cv"))

@@ -35,6 +35,74 @@ class FunctionsSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  /** Reference SimHash: per-bit majority vote over feature hashes. */
+  private def simhashRef(hs: Seq[Long]): Long = {
+    val votes = Array.fill(64)(0)
+    hs.foreach { h =>
+      (0 until 64).foreach(b => votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1))
+    }
+    (0 until 64).foldLeft(0L)((f, b) => if (votes(b) > 0) f | (1L << b) else f)
+  }
+
+  test("simhash64 matches reference vote fold on random hash arrays") {
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      hs <- Gen.listOfN(n, Gen.choose(Long.MinValue, Long.MaxValue))
+    } yield hs
+    val cases = (1 to 40).flatMap(_ => gen.sample).toList
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val got = cases.toDF("hs").selectExpr("simhash64(hs) AS f")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == cases.map(simhashRef))
+  }
+
+  test("simhash64 equals the explode + 64-vote-aggregate formulation on documents") {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = graft.engine.Tables.load(spark, sfDir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .filter(size(col("t")) >= 3)
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh")
+    // string path: inline XXH64 must agree with the SQL xxhash64 builtin
+    val fast = sh.selectExpr("doc_id", "simhash64(sh) AS f")
+    val ex = sh.selectExpr("doc_id", "explode(sh) AS s")
+      .selectExpr("doc_id", "xxhash64(s) AS h")
+    val bitCols = (0 until 64).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"v$b"))
+    val slow = ex.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("f2"))
+    val joined = fast.join(slow, "doc_id")
+    assert(joined.filter(col("f") =!= col("f2")).count() == 0)
+    assert(joined.count() > 0)
+  }
+
+  test("minhash_sig equals the explode + 32-min-aggregate formulation, winnowed and not") {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = graft.engine.Tables.load(spark, sfDir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .filter(size(col("t")) >= 3)
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh")
+    for (mod <- Seq(1, 4)) {
+      val fast = sh.selectExpr("doc_id", s"minhash_sig(sh, $mod) AS sig")
+        .filter(col("sig").isNotNull)
+      val ex0 = sh.selectExpr("doc_id", "explode(sh) AS s")
+        .selectExpr("doc_id", "xxhash64(s) AS h0")
+      val ex = if (mod > 1) ex0.filter(pmod(col("h0"), lit(mod)) === 0) else ex0
+      val sigCols = (0 until 32).map(i =>
+        min(xxhash64(lit(i.toLong), col("h0"))).as(s"h$i"))
+      val slow = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+        .select(col("doc_id"), array((0 until 32).map(i => col(s"h$i")): _*).as("sig2"))
+      val joined = fast.join(slow, "doc_id")
+      assert(joined.count() == slow.count(), s"doc coverage must match (mod=$mod)")
+      assert(joined.filter(col("sig") =!= col("sig2")).count() == 0, s"mod=$mod")
+      assert(joined.count() > 0)
+    }
+  }
+
   test("dot_long propagates null arrays") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
