@@ -70,6 +70,25 @@ object StreamOps {
         col("sw.end").cast("long").as("end_s"),
         col("n_events"), col("value_cents"))
 
+  /** Watermarked stream-stream INTERVAL join: each error event joined to the
+    * same user's clicks in the preceding 10 minutes (funnel attribution).
+    * Both sides carry watermarks and the join condition bounds event time in
+    * BOTH directions, so the state store provably evicts rows once nothing
+    * can match them anymore — the requirement that makes a two-unbounded-
+    * stream join runnable forever. Called on static frames the watermark is
+    * a no-op and this is a plain interval join, so the batch twin IS the
+    * same code — the spec asserts both agree. */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("c_ts", "10 minutes")
+    val e = errors.withWatermark("e_ts", "10 minutes")
+    c.join(e,
+      col("c_user") === col("e_user") &&
+      col("e_ts") >= col("c_ts") &&
+      col("e_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("c_user").as("user_id"), col("c_id"), col("e_id"),
+        col("c_ts"), col("e_ts"))
+  }
+
   /** Gap between events that closes a session, and the session gap horizon
     * used for the event-time timeout (shared with the batch q24/q66). */
   private val GapS = 600L

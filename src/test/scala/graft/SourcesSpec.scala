@@ -18,6 +18,14 @@ class SourcesSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSet == n.collect().map(_.toSeq).toSet)
   }
 
+  test("orc round-trip preserves the supplier table exactly") {
+    val s0 = Tables.load(spark, sfDir, "supplier")
+    val dir = tmp("graft_orc")
+    s0.write.mode("overwrite").orc(s"$dir/supplier")
+    val back = spark.read.orc(s"$dir/supplier")
+    assert(back.collect().map(_.toSeq).toSet == s0.collect().map(_.toSeq).toSet)
+  }
+
   test("csv round-trip with header and explicit schema preserves values") {
     val c = Tables.load(spark, sfDir, "customer")
     val dir = tmp("graft_csv")

@@ -70,6 +70,34 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(got.toSet == events.map(_._1).toSet, "every unique id survives")
   }
 
+  test("watermarked stream-stream interval join equals the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    def side(tpe: String, u: String, t: String, id: String) =
+      ev.filter(col("event_type") === tpe)
+        .select(col("user_id").as(u), col("ts").as(t), col("event_id").as(id))
+    val clicksB = side("click", "c_user", "c_ts", "c_id")
+    val errsB = side("error", "e_user", "e_ts", "e_id")
+    // batch twin: same code, watermark is a no-op on static frames
+    val want = StreamOps.clickErrorJoin(clicksB, errsB)
+      .select("user_id", "c_id", "e_id").collect().map(_.toSeq).toSet
+    val cs = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val es = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    cs.addData(clicksB.as[(Long, java.sql.Timestamp, Long)].collect().toSeq)
+    es.addData(errsB.as[(Long, java.sql.Timestamp, Long)].collect().toSeq)
+    val q = StreamOps.clickErrorJoin(
+        cs.toDF().toDF("c_user", "c_ts", "c_id"),
+        es.toDF().toDF("e_user", "e_ts", "e_id"))
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssjoin").select("user_id", "c_id", "e_id")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("native session_window streaming equals the batch stateful fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
