@@ -1,7 +1,8 @@
 package graft
 /** Benchmark main: one warmup pass (JIT/codegen/parquet-footer warm), then
-  * two timed passes keeping the per-query minimum (steady-state time, robust
-  * to one-off GC/scheduler stalls); prints a single JSON line for the driver.
+  * three timed passes keeping the per-query minimum (steady-state time,
+  * robust to one-off GC/scheduler/ambient-load stalls); prints a single JSON
+  * line for the driver.
   *
   * A query that throws in either timed pass is reported as `null` timing and
   * listed under "failed" — a fast failure must never fold into the total as
@@ -25,13 +26,11 @@ object Bench {
         }
         name -> r
       }.toMap
-    val (p1, p2) = (timedPass(), timedPass())
-    val results = ordered.map { case (name, _) =>
-      name -> ((p1(name), p2(name)) match {
-        case (Right(a), Right(b)) => Right(math.min(a, b))
-        case (Left(e), _) => Left(e)
-        case (_, Left(e)) => Left(e)
-      })
+    val passes = Seq(timedPass(), timedPass(), timedPass())
+    val results: Seq[(String, Either[String, Double])] = ordered.map { case (name, _) =>
+      val rs = passes.map(_(name))
+      name -> rs.collectFirst { case Left(e) => Left(e) }
+        .getOrElse(Right(rs.collect { case Right(v) => v }.min))
     }
     val failed = results.collect { case (n, Left(e)) =>
       System.err.println(s"[bench] FAILED $n: $e"); n

@@ -70,6 +70,26 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(got.toSet == events.map(_._1).toSet, "every unique id survives")
   }
 
+  test("streaming parquet file sink round-trips exactly (checkpointed)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .as[(Long, Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, Long, String)]
+    stream.addData(rows)
+    val dir = java.nio.file.Files.createTempDirectory("graft_fsink").toString
+    val q = stream.toDF().toDF("event_id", "user_id", "event_type")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val back = spark.read.parquet(s"$dir/out")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(back.sorted == rows.sorted)
+  }
+
   test("watermarked stream-stream interval join equals the batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
