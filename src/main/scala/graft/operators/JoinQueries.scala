@@ -196,7 +196,34 @@ object JoinQueries extends QueryModule {
       .orderBy(asc_nulls_first("seg"))
   }
 
+  /** q69 — MERGE/upsert: apply a deterministic change set (updates to one
+    * hash stratum, inserts keyed past the base range) onto the orders
+    * snapshot via full-outer join + coalesce — exactly the physical shape a
+    * lakehouse MERGE INTO compiles to (shuffle both sides on the key, one
+    * pass). Emits per-action accounting; all money exact cents. */
+  val q69MergeUpsert: Q = (s, dir) => {
+    val base = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), Num.cents(col("o_totalprice")).as("cents"))
+    val updates = base.filter(pmod(col("k"), lit(10)) === 3)
+      .select(col("k").as("ck"), (col("cents") + 100).as("ccents"))
+    val inserts = base.filter(pmod(col("k"), lit(10)) === 7)
+      .select((col("k") + 100000000L).as("ck"), col("cents").as("ccents"))
+    val changes = updates.union(inserts)
+    base.join(changes, col("k") === col("ck"), "full_outer")
+      .select(coalesce(col("k"), col("ck")).as("key"),
+        coalesce(col("ccents"), col("cents")).as("cents_final"),
+        when(col("k").isNull, lit("inserted"))
+          .when(col("ck").isNull, lit("kept"))
+          .otherwise(lit("updated")).as("action"))
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents_final")).as("cents_total"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+      .orderBy(col("action"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q69_merge_upsert"   -> q69MergeUpsert,
     "q19_join_full"      -> q19JoinFull,
     "q68_join_right"     -> q68JoinRight,
     "q49_null_keys"      -> q49NullKeys,
@@ -210,6 +237,25 @@ object JoinQueries extends QueryModule {
     "q18_range_join"     -> q18RangeJoin)
 
   def oracles: Map[String, String] = Map(
+    "q69_merge_upsert" -> """
+      WITH base AS (
+        SELECT o_orderkey AS k, CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        FROM orders),
+      changes AS (
+        SELECT k AS ck, cents + 100 AS ccents FROM base WHERE k % 10 = 3
+        UNION ALL
+        SELECT k + 100000000 AS ck, cents AS ccents FROM base WHERE k % 10 = 7),
+      merged AS (
+        SELECT coalesce(b.k, c.ck) AS key,
+          coalesce(c.ccents, b.cents) AS cents_final,
+          CASE WHEN b.k IS NULL THEN 'inserted'
+               WHEN c.ck IS NULL THEN 'kept'
+               ELSE 'updated' END AS action
+        FROM base b FULL JOIN changes c ON b.k = c.ck)
+      SELECT action, count(*) AS n_rows,
+        CAST(sum(cents_final) AS BIGINT) AS cents_total,
+        min(key) AS min_key, max(key) AS max_key
+      FROM merged GROUP BY action ORDER BY action""",
     "q19_join_full" -> """
       SELECT coalesce(a.k_big, b.k_urg) AS custkey, a.n_big, a.big_cents, b.n_urgent
       FROM (SELECT o_custkey AS k_big, count(*) AS n_big,

@@ -103,7 +103,11 @@ object StreamOps {
     * caller's responsibility (the 10-minute allowed lateness here matches the
     * session gap); an event older than the open session's start is folded by
     * per-batch sort but cannot reopen an already-emitted session — the
-    * standard streaming-sessionization tradeoff. */
+    * standard streaming-sessionization tradeoff. `session_id` counts from 1
+    * within one continuous residence in state: after a timeout evicts an
+    * idle user, a returning user restarts at 1, so the durable session key
+    * is (user_id, start_s) — session_id exists for batch-twin parity, where
+    * a bounded input means exactly one residence. */
   def sessionizeStream(events: Dataset[SessEvent]): Dataset[Session] = {
     import events.sparkSession.implicits._
     val withWm = events
