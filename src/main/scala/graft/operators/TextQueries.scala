@@ -108,8 +108,11 @@ object TextQueries extends QueryModule {
     val n = broadcast(Tables.load(s, dir, "documents")
       .agg(count(lit(1)).cast("double").as("n_docs")))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df derives FROM tf (one row per doc-term already) — the tf aggregate
+    // subplan appears on both sides, so ReuseExchange runs the token explode
+    // and its shuffle exactly once; a separate distinct() would re-explode
+    // and re-shuffle the full token stream
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
     tf.join(dfreq, "term").crossJoin(n)
