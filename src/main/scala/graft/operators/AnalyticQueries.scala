@@ -118,7 +118,10 @@ object AnalyticQueries extends QueryModule {
 
   /** q38 — subquery surface: scalar subquery (global average), correlated
     * EXISTS, and IN — Catalyst decorrelates these into the joins q11-q14
-    * declare directly, so the SQL surface costs nothing extra at scale. */
+    * declare directly, so the SQL surface costs nothing extra at scale.
+    * The average threshold is exact-integer-cents / count, one
+    * deterministic division — a raw avg(double) differs between engines in
+    * the last ulp with partition order, which could flip a boundary row. */
   val q38Subqueries: Q = (s, dir) => {
     graft.engine.Tables.registerAll(s, dir)
     s.sql("""
@@ -132,7 +135,8 @@ object AnalyticQueries extends QueryModule {
                                          WHERE o_totalprice > 300000)
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_big
       FROM customer
-      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      WHERE c_acctbal > (SELECT sum(CAST(round(c_acctbal*100,0) AS BIGINT))/(100.0*count(*))
+                         FROM customer)
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   }
 
@@ -190,7 +194,8 @@ object AnalyticQueries extends QueryModule {
                                          WHERE o_totalprice > 300000)
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_big
       FROM customer
-      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      WHERE c_acctbal > (SELECT sum(CAST(round(c_acctbal*100,0) AS BIGINT))/(100.0*count(*))
+                         FROM customer)
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q39_stats" -> """
       WITH m AS (
