@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   * compact blocking key (band hash / signature chunk / length bucket), never a
   * cross join, so at 100 TB the pair space is pruned to near-linear before the
   * exact verification join runs. Verification always recomputes the exact
-  * similarity, so LSH parameters only affect recall, not precision — they are
-  * sized here (32 hashes × 8 bands of 4) for <1e-8 miss probability at the
-  * 0.8 Jaccard threshold the queries use.
+  * similarity, so LSH parameters only affect recall, not precision. With 32
+  * hashes banded 8×4, a pair at Jaccard s is missed with (1-s⁴)⁸: ~1.5e-2
+  * right AT the 0.8 threshold, 2.3e-4 at 0.9, 1.4e-6 at 0.95 — real
+  * near-duplicates cluster high (fixture minima: 0.80 token / 0.83 char-gram,
+  * and every ground-truth pair is found at both check scales), and recall at
+  * the exact threshold boundary is tunable by adding bands without touching
+  * the verify stage.
   */
 object DedupQueries extends QueryModule {
 
@@ -61,8 +65,8 @@ object DedupQueries extends QueryModule {
     * carried through for join-time gating. Items sharing any band hash become
     * candidates via an equi-join on (band, band-hash) — the only shuffle that
     * matters. At estimated Jaccard s a true pair is missed with probability
-    * (1-s⁴)⁸ (<1e-5 at s=0.95), and downstream exact verification keeps
-    * precision at 1, so LSH parameters only affect recall.
+    * (1-s⁴)⁸ (see the object doc for the honest curve), and downstream exact
+    * verification keeps precision at 1, so LSH parameters only affect recall.
     *
     * `winnowMod` > 1 applies content-defined gram sampling BEFORE the 32-hash
     * signature: only items with `h0 % winnowMod == 0` enter the min. Both docs
