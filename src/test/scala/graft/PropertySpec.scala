@@ -64,6 +64,24 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("equi-join drops null keys, null-safe join matches them (multiset counts)") {
+    import spark.implicits._
+    holds(Prop.forAll(rowsGen, rowsGen) { (l, r) =>
+      val lf = l.toDF("k", "s", "v")
+      val rf = r.toDF("k2", "s2", "v2")
+      val lCnt = l.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val rCnt = r.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val equiWant = lCnt.collect {
+        case (Some(k), n) => n * rCnt.getOrElse(Some(k), 0L)
+      }.sum
+      val safeWant = equiWant +
+        lCnt.getOrElse(None, 0L) * rCnt.getOrElse(None, 0L)
+      val equiGot = lf.join(rf, col("k") === col("k2")).count()
+      val safeGot = lf.join(rf, col("k") <=> col("k2")).count()
+      equiGot == equiWant && safeGot == safeWant
+    })
+  }
+
   test("groupBy count equals multiset cardinality (null keys form one group)") {
     import spark.implicits._
     holds(Prop.forAll(rowsGen) { rows =>
