@@ -12,8 +12,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.Sessions.build("graft-bench")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    ordered.foreach { case (name, fn) =>
+      // warmup failures are non-fatal (the timed passes report them) but
+      // must be visible — a query broken only under cold-cache conditions
+      // should surface here, not hide until pass 1
+      try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warmup FAILED $name: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+      }
     }
     def timedPass(): Map[String, Either[String, Double]] =
       ordered.map { case (name, fn) =>

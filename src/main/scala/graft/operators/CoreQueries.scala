@@ -197,15 +197,20 @@ object CoreQueries extends QueryModule {
       .repartition(s.sparkContext.defaultParallelism, col("o_custkey"))
       .sortWithinPartitions(col("o_custkey"), col("o_orderkey"))
     df.mapPartitions { it =>
-      var rows = 0L; var viol = 0L
+      // distinct keys via a sorted-run counter (keys arrive sorted, so a
+      // key!=prev bump is exact) — O(1) per-task memory at any scale, where
+      // a HashSet would grow with keys-per-partition. The run count is only
+      // exact on sorted input, which `viol` independently verifies (any
+      // disorder → viol > 0 → oracle hash-mismatch regardless of nkeys).
+      var rows = 0L; var viol = 0L; var nkeys = 0L
       var pk = Long.MinValue; var po = Long.MinValue; var first = true
-      val keys = scala.collection.mutable.HashSet.empty[Long]
       it.foreach { case (k, o) =>
-        rows += 1; keys += k
+        rows += 1
+        if (first || k != pk) nkeys += 1
         if (!first && (k < pk || (k == pk && o < po))) viol += 1
         pk = k; po = o; first = false
       }
-      Iterator((rows, viol, keys.size.toLong))
+      Iterator((rows, viol, nkeys))
     }.toDF("rows", "viol", "nkeys")
       .agg(sum(col("rows")).as("n_rows"),
         sum(col("viol")).as("sort_violations"),

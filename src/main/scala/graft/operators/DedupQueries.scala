@@ -249,40 +249,73 @@ object DedupQueries extends QueryModule {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Connected components over an undirected pair list `(i, j)` by min-label
+    * propagation to a CHECKED fixpoint: each round is one equi-join + one
+    * partial aggregation; iteration stops when a round changes zero labels
+    * and fails loudly at `maxRounds` (label propagation needs `diameter`
+    * rounds, so a silent cap would fragment any component with a longer
+    * chain — over-retention with no error raised).
+    *
+    * Scale notes, all load-bearing at 100 TB:
+    *  - adjacency carries SELF-LOOPS so min-over-neighbors-including-self
+    *    references the previous labels exactly once per round (a
+    *    labels-union-neighbors formulation references it twice and doubles
+    *    the plan every round — 2^k Catalyst blowup);
+    *  - every round's labels are `localCheckpoint`ed: the iterated plan
+    *    stays ONE join deep instead of replanning k-deep lineage (and the
+    *    upstream LSH pipeline is never replayed);
+    *  - the convergence probe is a count over the (small) label frame —
+    *    the canonical iterative-driver pattern (GraphX Pregel does the
+    *    same); it is NOT a data-path collect.
+    * The O(log n)-round scale variant (alternating large-star/small-star,
+    * Kiveris et al., "Connected Components in MapReduce") uses the same
+    * join-shaped building blocks; plain propagation is right while observed
+    * near-dup diameters stay small, and the fixpoint check makes the
+    * assumption self-verifying. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("i"), col("j"))
+      .union(pairs.select(col("j").as("i"), col("i").as("j")))
+    val nodes = edges.select(col("i").as("id")).distinct()
+    val adj = edges
+      .union(nodes.select(col("id").as("i"), col("id").as("j")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      round += 1
+      // the self-loop row (nbr == id) carries the node's PREVIOUS label, so
+      // the change-count falls out of the same aggregate — no second join
+      val next = adj.join(labels, adj("j") === labels("id"))
+        .select(adj("i").as("id"), labels("id").as("nbr"), col("lbl"))
+        .groupBy(col("id"))
+        .agg(min(col("lbl")).as("lbl"),
+          min(when(col("nbr") === col("id"), col("lbl"))).as("prev_lbl"))
+        .localCheckpoint()
+      changed = next.filter(col("lbl") =!= col("prev_lbl")).count()
+      labels = next.select(col("id"), col("lbl"))
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxRounds rounds " +
+        "(component diameter exceeds the cap); raise maxRounds or switch " +
+        "to the large-star/small-star variant")
+    labels
+  }
+
   /** q59 — near-dup CLUSTERING: connected components over the verified
     * MinHash pair graph (q51's candidates + exact-Jaccard verify), survivor
     * = min doc_id per component. A dedup pipeline needs this step — pairs
     * alone over-drop on chains (a~b, b~c, a≁c must keep ONE doc, not run
-    * two independent removals). Components come from iterative min-label
-    * propagation over the symmetric edge list: 10 rounds of
-    * (join neighbor labels, take min), each one equi-join + one partial
-    * aggregation — covers any fixture diameter; the 100-TB variant
-    * alternates large-star/small-star (Kiveris et al., "Connected
-    * Components in MapReduce"), converging in O(log n) rounds with the
-    * same join-shaped building blocks. Oracle: DuckDB WITH RECURSIVE
-    * transitive closure over the same brute-force pair graph. */
+    * two independent removals). Components come from [[connectedComponents]]
+    * — min-label propagation iterated to a checked fixpoint. Oracle: DuckDB
+    * WITH RECURSIVE transitive closure over the same brute-force pair
+    * graph. */
   val q59DedupClusters: Q = (s, dir) => {
     val sh = shingled(s, dir).cache()
     val bands = lshBands(sh, "sh").cache()
     val pairs = verifyPairs(bandPairs(bands), sh).select(col("i"), col("j"))
-    val edges = pairs
-      .union(pairs.select(col("j").as("i"), col("i").as("j"))).cache()
-    val nodes = edges.select(col("i").as("id")).distinct()
-    // adjacency WITH self-loops: min over neighbors-including-self needs only
-    // ONE reference to the previous labels per round, keeping the iterated
-    // plan linear in rounds (a labels-union-neighbors formulation references
-    // the prior frame twice and doubles the plan every round — 2^k blowup)
-    val adj = edges.union(nodes.select(col("id").as("i"), col("id").as("j"))).cache()
-    // 6 rounds covers component diameter ≤ 6 — LSH+verify components are
-    // near-cliques (every member pairs with most others at J ≥ 0.8), so real
-    // diameters are 2-3; the sf0.01 oracle equality IS the convergence check
-    var labels = nodes.select(col("id"), col("id").as("lbl"))
-    for (_ <- 1 to 6) {
-      labels = adj.join(labels, adj("j") === labels("id"))
-        .select(adj("i").as("id"), col("lbl"))
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-    }
-    labels.groupBy(col("lbl").as("keep_id"))
+    connectedComponents(pairs)
+      .groupBy(col("lbl").as("keep_id"))
       .agg(count(lit(1)).as("n_members"),
         max(col("id")).as("max_id"),
         sum(col("id")).as("id_sum"))

@@ -93,13 +93,26 @@ object JoinQueries extends QueryModule {
   }
 
   /** q17 — TPC-H Q5 shape (local supplier volume): 6-way join where supplier
-    * and customer nations must match; broadcast dims, shuffled facts. */
+    * and customer nations must match; broadcast dims, shuffled facts.
+    *
+    * Join ORDER matters at scale: the ASIA restriction keeps 1 of 5 regions,
+    * so it is resolved first — `asiaN = nation ⋈ region[ASIA]` (a handful of
+    * rows, broadcast) — and applied to `customer` and `supplier` BEFORE any
+    * fact-fact join. Catalyst cannot reorder this without CBO stats; filtering
+    * the dims last would compute (then discard) ~80% of the c⋈o and o⋈l
+    * shuffle/join work. */
   val q17RegionVolume: Q = (s, dir) => {
-    val r = broadcast(Tables.load(s, dir, "region")
-      .filter(col("r_name") === "ASIA"))
-    val n = broadcast(Tables.load(s, dir, "nation"))
-    val sup = broadcast(Tables.load(s, dir, "supplier"))
+    val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables.load(s, dir, "nation")
+    val asiaN = broadcast(n.join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(n("n_nationkey"), n("n_name")))
     val c = Tables.load(s, dir, "customer")
+      .join(asiaN, col("c_nationkey") === asiaN("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val sup = broadcast(Tables.load(s, dir, "supplier")
+      .join(asiaN.select(col("n_nationkey").as("sn_nationkey")),
+        col("s_nationkey") === col("sn_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey")))
     val o = Tables.load(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
               col("o_orderdate") <  lit("1999-01-01").cast("timestamp"))
@@ -108,9 +121,7 @@ object JoinQueries extends QueryModule {
       .join(l, o("o_orderkey") === l("l_orderkey"))
       .join(sup, l("l_suppkey") === sup("s_suppkey") &&
                  c("c_nationkey") === sup("s_nationkey"))
-      .join(n, c("c_nationkey") === n("n_nationkey"))
-      .join(r, n("n_regionkey") === r("r_regionkey"))
-      .groupBy(n("n_name"))
+      .groupBy(col("n_name"))
       .agg(sum(Num.tenK(l("l_extendedprice") * (lit(1.0) - l("l_discount"))))
         .as("revenue_tenk"), count(lit(1)).as("n_items"))
       .orderBy(col("revenue_tenk").desc, col("n_name"))

@@ -135,8 +135,14 @@ object StreamOps {
                     o.start_s, o.last_s)
                   Some(OpenSession(o.session_id + 1, 1L, e.value_cents, e.ts_s, e.ts_s))
                 case Some(o) =>
+                  // a watermark-admitted late event may arrive out of order
+                  // across batches: never regress last_s (a regressed last_s
+                  // would split the next on-time event into a spurious new
+                  // session) and never advance start_s past the true start
                   Some(o.copy(n_events = o.n_events + 1,
-                    value_cents = o.value_cents + e.value_cents, last_s = e.ts_s))
+                    value_cents = o.value_cents + e.value_cents,
+                    start_s = math.min(o.start_s, e.ts_s),
+                    last_s = math.max(o.last_s, e.ts_s)))
                 case None =>
                   Some(OpenSession(1L, 1L, e.value_cents, e.ts_s, e.ts_s))
               }

@@ -48,6 +48,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: planted diameter-8 chain converges to one cluster") {
+    import spark.implicits._
+    // 0-1-2-…-8 is a chain of borderline near-dups with diameter 8: a fixed
+    // 6-round propagation would silently fragment it; the checked fixpoint
+    // must find the single component. 100-101 proves labels don't bleed.
+    val pairs = ((0L until 8L).map(k => (k, k + 1)) :+ (100L, 101L)).toDF("i", "j")
+    val labels = DedupQueries.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == 11)
+    (0L to 8L).foreach(id => assert(labels(id) == 0L, s"node $id"))
+    assert(labels(100L) == 100L && labels(101L) == 100L)
+  }
+
+  test("connected components fails loudly when the round cap is exceeded") {
+    import spark.implicits._
+    val pairs = (0L until 8L).map(k => (k, k + 1)).toDF("i", "j")
+    val ex = intercept[IllegalArgumentException] {
+      DedupQueries.connectedComponents(pairs, maxRounds = 3)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("exact dedup accounting is consistent") {
     val r = DedupQueries.q50Exact(spark, sfDir01).collect().head
     val nDistinct = r.getLong(0); val nDocs = r.getLong(1); val nDropped = r.getLong(2)

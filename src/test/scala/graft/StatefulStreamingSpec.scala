@@ -152,6 +152,33 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("late cross-batch event cannot regress last_s and split the session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SessEvent]
+    val q = StreamOps.sessionizeStream(stream.toDS())
+      .writeStream.format("memory").queryName("late_sess").outputMode("append").start()
+    // batch 1: in-order events at 1000, 1400 → watermark after = 1400s - 10min
+    stream.addData(SessEvent(7L, 1L, 1000L, 10L), SessEvent(7L, 2L, 1400L, 10L))
+    q.processAllAvailable()
+    // batch 2: a watermark-admitted LATE event (1200 ≥ 800). If it regressed
+    // last_s to 1200, the next on-time event at 1900 — within the true gap
+    // (1900-1400 = 500 ≤ 600) — would wrongly open a new session (1900-1200 > 600).
+    stream.addData(SessEvent(7L, 3L, 1200L, 10L))
+    q.processAllAvailable()
+    stream.addData(SessEvent(7L, 4L, 1900L, 10L))
+    q.processAllAvailable()
+    // sentinel bumps to time out and emit the open session (watermark from
+    // batch N applies at batch N+1)
+    stream.addData(SessEvent(-1L, 0L, 200000L, 0L)); q.processAllAvailable()
+    stream.addData(SessEvent(-1L, 1L, 300000L, 0L)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late_sess").as[Session].collect()
+      .filter(_.user_id == 7L)
+      .map(s => (s.session_id, s.n_events, s.value_cents, s.start_s, s.end_s)).toSeq
+    assert(got == Seq((1L, 4L, 40L, 1000L, 1900L)))
+  }
+
   test("streaming sessionization equals the batch stateful fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
