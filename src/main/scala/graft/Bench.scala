@@ -21,6 +21,7 @@ object Bench {
           System.err.println(s"[bench] warmup FAILED $name: " +
             s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
       }
+      graft.engine.Sessions.releasePinned(spark)
     }
     def timedPass(): Map[String, Either[String, Double]] =
       ordered.map { case (name, fn) =>
@@ -31,6 +32,9 @@ object Bench {
         } catch { case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
         }
+        // between-queries, outside the timer: per-query caches/pins are
+        // dead weight for every query after this one — see releasePinned
+        graft.engine.Sessions.releasePinned(spark)
         name -> r
       }.toMap
     val passes = Seq(timedPass(), timedPass(), timedPass())

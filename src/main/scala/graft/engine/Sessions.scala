@@ -31,4 +31,20 @@ object Sessions {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Release every block-manager residue a finished query may have left:
+    * CacheManager entries (the per-query `.cache()`s in the dedup/LSH
+    * pipelines) and pinned RDD blocks (the `localCheckpoint` label/adjacency
+    * frames of iterative operators). Harnesses call this BETWEEN queries —
+    * caches in this engine are scoped to one query execution, and a
+    * long-running session (bench pass, pipeline job) must not accumulate
+    * storage across queries: at 100 TB an unreleased cache per query turns
+    * executor storage memory into a ratchet that degrades everything
+    * scheduled later. Unpersist is non-blocking; freeing is off the
+    * critical path. */
+  def releasePinned(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }

@@ -2,7 +2,8 @@ package graft.operators
 
 import graft.QueryModule
 import graft.engine.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -261,40 +262,63 @@ object DedupQueries extends QueryModule {
     *    references the previous labels exactly once per round (a
     *    labels-union-neighbors formulation references it twice and doubles
     *    the plan every round — 2^k Catalyst blowup);
-    *  - every round's labels are `localCheckpoint`ed: the iterated plan
-    *    stays ONE join deep instead of replanning k-deep lineage (and the
-    *    upstream LSH pipeline is never replayed);
+    *  - every round's labels are pinned (RDD `localCheckpoint`): the
+    *    iterated plan stays ONE join deep instead of replanning k-deep
+    *    lineage (and the upstream LSH pipeline is never replayed) — and
+    *    pinning at the RDD level (not `Dataset.localCheckpoint`, whose
+    *    blocks only the ContextCleaner can free) keeps an explicit handle,
+    *    so each round UNPERSISTS the previous round's blocks the moment its
+    *    successor is materialized, and `adj` is freed at convergence.
+    *    Block-manager storage held across the whole call is therefore one
+    *    adjacency frame plus two label frames, regardless of round count —
+    *    in a long-running session (a bench pass, a real pipeline job) an
+    *    unreleased block per round is a session-lifetime leak that starves
+    *    every query scheduled after it;
     *  - the convergence probe is a count over the (small) label frame —
     *    the canonical iterative-driver pattern (GraphX Pregel does the
     *    same); it is NOT a data-path collect.
+    * The returned frame is backed by the final round's pinned blocks (a
+    * leaf plan, nothing upstream replayed); they are freed by the session's
+    * next `releasePinned`/`clearCache` sweep (see [[graft.engine.Sessions]]).
     * The O(log n)-round scale variant (alternating large-star/small-star,
     * Kiveris et al., "Connected Components in MapReduce") uses the same
     * join-shaped building blocks; plain propagation is right while observed
     * near-dup diameters stay small, and the fixpoint check makes the
     * assumption self-verifying. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val s = pairs.sparkSession
+    // materialize df into lineage-truncated, explicitly-freeable blocks:
+    // the returned frame is a leaf over the pinned RDD, and the RDD handle
+    // is what unpersist() needs (Dataset.unpersist only covers CacheManager
+    // entries, not checkpoint blocks)
+    def pin(df: DataFrame): (DataFrame, RDD[Row]) = {
+      val r = df.rdd.localCheckpoint()
+      r.count()
+      (s.createDataFrame(r, df.schema), r)
+    }
     val edges = pairs.select(col("i"), col("j"))
       .union(pairs.select(col("j").as("i"), col("i").as("j")))
     val nodes = edges.select(col("i").as("id")).distinct()
-    val adj = edges
-      .union(nodes.select(col("id").as("i"), col("id").as("j")))
-      .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    val (adj, adjPin) = pin(edges
+      .union(nodes.select(col("id").as("i"), col("id").as("j"))))
+    var (labels, labelsPin) = pin(nodes.select(col("id"), col("id").as("lbl")))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
       round += 1
       // the self-loop row (nbr == id) carries the node's PREVIOUS label, so
       // the change-count falls out of the same aggregate — no second join
-      val next = adj.join(labels, adj("j") === labels("id"))
+      val (next, nextPin) = pin(adj.join(labels, adj("j") === labels("id"))
         .select(adj("i").as("id"), labels("id").as("nbr"), col("lbl"))
         .groupBy(col("id"))
         .agg(min(col("lbl")).as("lbl"),
-          min(when(col("nbr") === col("id"), col("lbl"))).as("prev_lbl"))
-        .localCheckpoint()
+          min(when(col("nbr") === col("id"), col("lbl"))).as("prev_lbl")))
       changed = next.filter(col("lbl") =!= col("prev_lbl")).count()
+      labelsPin.unpersist(blocking = false)
       labels = next.select(col("id"), col("lbl"))
+      labelsPin = nextPin
     }
+    adjPin.unpersist(blocking = false)
     require(changed == 0,
       s"connectedComponents did not converge in $maxRounds rounds " +
         "(component diameter exceeds the cap); raise maxRounds or switch " +
@@ -314,7 +338,14 @@ object DedupQueries extends QueryModule {
     val sh = shingled(s, dir).cache()
     val bands = lshBands(sh, "sh").cache()
     val pairs = verifyPairs(bandPairs(bands), sh).select(col("i"), col("j"))
-    connectedComponents(pairs)
+    // the iterative driver runs EAGERLY inside connectedComponents, so by
+    // the time it returns the candidate pipeline has been fully consumed
+    // (pairs are pinned into adj) — release the caches here, not at some
+    // hoped-for later point; the returned plan reads only the pinned labels
+    val labels = connectedComponents(pairs)
+    sh.unpersist(blocking = false)
+    bands.unpersist(blocking = false)
+    labels
       .groupBy(col("lbl").as("keep_id"))
       .agg(count(lit(1)).as("n_members"),
         max(col("id")).as("max_id"),

@@ -70,6 +70,22 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("q59 leaves bounded storage; releasePinned drains it to zero") {
+    // the r3/r4 bench pathology: per-round checkpoint blocks and per-query
+    // caches accumulating across a session. After a full q59 run, live
+    // storage must be O(1) frames (final labels + query caches), NOT
+    // O(rounds); after the harness sweep it must be exactly zero.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = DedupQueries.q59DedupClusters(spark, sfDir01)
+    assert(out.count() > 0)
+    val live = spark.sparkContext.getPersistentRDDs.size - before
+    assert(live <= 4, s"q59 left $live persisted RDDs — per-round leak is back")
+    graft.engine.Sessions.releasePinned(spark)
+    assert(spark.sparkContext.getPersistentRDDs.values
+      .forall(_.getStorageLevel.useMemory == false),
+      "releasePinned must drop every cached/pinned block")
+  }
+
   test("exact dedup accounting is consistent") {
     val r = DedupQueries.q50Exact(spark, sfDir01).collect().head
     val nDistinct = r.getLong(0); val nDocs = r.getLong(1); val nDropped = r.getLong(2)
