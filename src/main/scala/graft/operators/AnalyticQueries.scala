@@ -99,21 +99,32 @@ object AnalyticQueries extends QueryModule {
         count(when(col("l_tax") === 0.0, lit(1))).as("n_taxfree"))
       .orderBy(col("l_returnflag"))
 
-  /** q37 — sketch aggregates: HLL++ approximate distinct + KLL-style approx
-    * percentile beside their exact counterparts. Sketches are THE 100 TB
-    * path (one pass, mergeable partial states, no value multiset held);
-    * results are engine-specific so this is a declared rows-only op (no
-    * DuckDB oracle), with the exact columns as in-row ground truth. */
+  /** q37 — sketch aggregates: HLL++ approximate distinct + approximate
+    * percentile (Greenwald–Khanna summaries) beside their exact
+    * counterparts. Sketches are THE 100 TB path (one pass, mergeable
+    * partial states, no value multiset held). Raw sketch estimates are
+    * engine-specific, so the output carries (a) the exact columns, fully
+    * hash-checked against the oracle, and (b) the sketch estimates reduced
+    * to accuracy FLAGS inside declared error bounds (HLL++ default rsd 5% →
+    * 3σ = 15%; approx_percentile at accuracy 10000 → rank error ≤ n/10⁴,
+    * well inside 1% of the p50 value) — the oracle emits the literal 1s the
+    * flags must reach, so an out-of-contract sketch hash-mismatches rather
+    * than hiding behind a rows-only check. */
   val q37Sketches: Q = (s, dir) =>
     Tables.load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_orderkey")).as("hll"),
         countDistinct(col("l_orderkey")).as("exact_orders"),
         expr("approx_percentile(CAST(round(l_extendedprice*100) AS BIGINT), 0.5, 10000)")
-          .as("approx_p50_cents"),
+          .as("gk"),
         expr("percentile(CAST(round(l_extendedprice*100) AS BIGINT), 0.5)")
           .as("exact_p50_cents"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_p50_cents"),
+        (abs(col("hll") - col("exact_orders")) <= col("exact_orders") * 0.15)
+          .cast("long").as("hll_within_3sd"),
+        (abs(col("gk") - col("exact_p50_cents")) <= col("exact_p50_cents") * 0.01)
+          .cast("long").as("gk_within_1pct"))
       .orderBy(col("l_returnflag"))
 
   /** q38 — subquery surface: scalar subquery (global average), correlated
@@ -183,6 +194,13 @@ object AnalyticQueries extends QueryModule {
     "q36_case_agg"      -> q36CaseAgg)
 
   def oracles: Map[String, String] = Map(
+    "q37_sketches" -> """
+      SELECT l_returnflag,
+        count(DISTINCT l_orderkey) AS exact_orders,
+        quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.5) AS exact_p50_cents,
+        CAST(1 AS BIGINT) AS hll_within_3sd,
+        CAST(1 AS BIGINT) AS gk_within_1pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q38_subqueries" -> """
       SELECT c_mktsegment,
         count(*) AS n_rich,
