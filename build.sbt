@@ -11,15 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// KryoSpec builds its own SparkSession with a different core serializer —
-// one SparkContext per JVM, so it runs in its own forked test JVM while
-// every other suite shares the default-session JVM.
+// KryoSpec and CodecSpec build their own SparkSessions with context-level
+// core settings (serializer / shuffle codec + encryption) — one SparkContext
+// per JVM, so each runs in its own forked test JVM while every other suite
+// shares the default-session JVM.
 Test / testGrouping := {
   val tests = (Test / definedTests).value
   val opts = (Test / javaOptions).value.toVector
-  val (kryo, rest) = tests.partition(_.name.contains("KryoSpec"))
+  val (kryo, rest0) = tests.partition(_.name.contains("KryoSpec"))
+  val (codec, rest) = rest0.partition(_.name.contains("CodecSpec"))
   Seq(
     Tests.Group("kryo", kryo,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts))),
+    Tests.Group("codec", codec,
       Tests.SubProcess(ForkOptions().withRunJVMOptions(opts))),
     Tests.Group("default", rest,
       Tests.SubProcess(ForkOptions().withRunJVMOptions(opts))),

@@ -11,14 +11,31 @@ import org.scalacheck.Test.{check, Parameters}
   * Keys are NULLABLE (~1 in 6 rows): the reference pushes null keys and
   * values through its sorter explicitly (RemoteSorterSuite.scala:220-243),
   * so every law here must hold with nulls flowing through exchange,
-  * aggregation, sort, and distinct. */
+  * aggregation, sort, and distinct.
+  *
+  * Keys are also ADVERSARIAL: alongside a dense collision-heavy band
+  * (−50..50 — many duplicate keys per run), the generator injects the
+  * numeric extremes the reference's sorter suite pushes through its hash
+  * and sort paths (`Int.MaxValue`, collision-key mixes —
+  * RemoteSorterSuite.scala:104-243): Long.MinValue/MaxValue (negation and
+  * abs() overflow, sign-extension bugs in hash mixing), Int boundary
+  * values widened to Long (truncation bugs), 0/−1 (all-zeros/all-ones bit
+  * patterns), and ±2³² (keys equal mod 32 bits — a hash that only mixes
+  * the low word collides them into one partition/group). */
 class PropertySpec extends SparkSpec {
+
+  private val edgeKeys = Gen.oneOf(
+    Long.MinValue, Long.MaxValue,
+    Int.MinValue.toLong, Int.MaxValue.toLong,
+    Int.MinValue.toLong - 1, Int.MaxValue.toLong + 1,
+    0L, -1L, 1L << 32, -(1L << 32))
 
   private val rowsGen: Gen[List[(Option[Long], String, Double)]] = for {
     n <- Gen.choose(0, 300)
     rows <- Gen.listOfN(n, for {
       k <- Gen.frequency(
-        5 -> Gen.choose(-50L, 50L).map(Some(_): Option[Long]),
+        4 -> Gen.choose(-50L, 50L).map(Some(_): Option[Long]),
+        1 -> edgeKeys.map(Some(_): Option[Long]),
         1 -> Gen.const(None: Option[Long]))
       s <- Gen.oneOf("a", "b", "c", "d", "")
       v <- Gen.choose(-1000, 1000).map(_ / 100.0)
@@ -80,6 +97,27 @@ class PropertySpec extends SparkSpec {
       val safeGot = lf.join(rf, col("k") <=> col("k2")).count()
       equiGot == equiWant && safeGot == safeWant
     })
+  }
+
+  test("single-bucket skew: one hot key + extremes + nulls survive exchange/agg/sort") {
+    // deterministic worst case the generator only approximates: 20k copies
+    // of ONE key (every row in one hash bucket — the skew AQE exists for),
+    // plus one row per numeric extreme and a null block. Counts, distinct,
+    // and total order must all be exact.
+    import spark.implicits._
+    val extremes = Seq(Long.MinValue, Long.MaxValue, Int.MinValue.toLong,
+      Int.MaxValue.toLong, 0L, -1L, 1L << 32, -(1L << 32))
+    val rows = List.fill(20000)(Option(42L)) ++ extremes.map(Option(_)) ++
+      List.fill(100)(Option.empty[Long])
+    val df = rows.toDF("k").repartition(32, col("k"))
+    assert(df.count() == rows.length)
+    val counts = df.groupBy(col("k")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (key(r), r.getLong(1))).toMap
+    assert(counts(Some(42L)) == 20000L && counts(None) == 100L)
+    extremes.foreach(e => assert(counts(Some(e)) == 1L, s"key $e"))
+    val sorted = df.orderBy(col("k")).collect().map(key).toList
+    assert(sorted == rows.sorted)
+    assert(sorted.head.isEmpty && sorted.last.contains(Long.MaxValue))
   }
 
   test("groupBy count equals multiset cardinality (null keys form one group)") {
