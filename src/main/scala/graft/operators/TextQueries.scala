@@ -123,12 +123,45 @@ object TextQueries extends QueryModule {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** q70 — benchmark DECONTAMINATION: flag corpus documents sharing any
+    * 8-token n-gram with a benchmark/eval set (here the deterministic
+    * `doc_id % 20 == 0` slice stands in for the eval corpus). The standard
+    * training-data hygiene pass: an eval answer leaked verbatim into
+    * training text shows up as a long shared n-gram.
+    *
+    * Scale shape — this is the one pairwise text op that needs NO LSH and
+    * NO shuffle of the corpus: the benchmark side is small by construction
+    * (eval sets are thousands of docs, not billions), so its distinct grams
+    * BROADCAST, the corpus grams stream map-side through a broadcast hash
+    * join, and the only exchange is the final per-doc aggregate of matches
+    * (near-empty after the join prunes clean docs). At 100 TB the corpus is
+    * read once, projected to two columns, and never repartitioned. The
+    * 8-token width keeps the gram space specific (coincidental matches die
+    * out exponentially in width) — widen per eval-set policy. */
+  val q70Decontaminate: Q = (s, dir) => {
+    val grams = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(t)-8), i -> concat_ws(' ', slice(t, i+1, 8)))")))
+        .as("g"))
+    val bench = grams.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    val corpus = grams.filter(col("doc_id") % 20 =!= 0)
+    corpus.join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_refs"),
+        countDistinct(col("g")).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q64_tfidf"       -> q64TfIdf,
     "q60_lang_id"     -> q60LangId,
     "q61_quality"     -> q61Quality,
     "q62_token_count" -> q62TokenCount,
-    "q63_fingerprint" -> q63Fingerprint)
+    "q63_fingerprint" -> q63Fingerprint,
+    "q70_decontaminate" -> q70Decontaminate)
 
   private val duckStop = "['the','a','an','and','of','is','to','in']"
 
@@ -191,6 +224,20 @@ object TextQueries extends QueryModule {
         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
         CAST(length(text) AS BIGINT) AS n_chars
       FROM documents ORDER BY doc_id""",
+    "q70_decontaminate" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      g AS (
+        SELECT doc_id,
+          unnest(list_distinct([array_to_string(t[i:i+7], ' ')
+                                for i in range(1, len(t)-6)])) AS g
+        FROM tok WHERE len(t) >= 8),
+      bench AS (SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 20 = 0),
+      corpus AS (SELECT doc_id, g FROM g WHERE doc_id % 20 <> 0)
+      SELECT c.doc_id,
+        count(DISTINCT b.bench_id) AS n_bench_refs,
+        count(DISTINCT c.g) AS n_shared_grams
+      FROM corpus c JOIN bench b USING (g)
+      GROUP BY c.doc_id ORDER BY c.doc_id""",
     "q63_fingerprint" -> """
       WITH c AS (
         SELECT doc_id,

@@ -1,0 +1,45 @@
+package graft
+
+import graft.engine.Tables
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators with non-SQL-shaped ground truths. The DuckDB
+  * oracle is the main gate for q60–q64/q70; here q70's index-join shape is
+  * checked against an independent pairwise formulation, and its scale
+  * posture (broadcast bench side) is asserted on the physical plan. */
+class TextSpec extends SparkSpec {
+
+  test("q70 decontamination equals brute-force pairwise gram intersection") {
+    val g = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(t)-8), i -> concat_ws(' ', slice(t, i+1, 8)))"))
+        .as("gs"))
+    val bench = g.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("bench_id"), col("gs").as("gs_b"))
+    val corpus = g.filter(col("doc_id") % 20 =!= 0)
+    // independent path: full pairwise array_intersect (no inverted-index
+    // join, no broadcast hint) — viable only at fixture scale, which is
+    // exactly why q70 itself uses the gram-index broadcast join
+    val want = corpus.join(bench, expr("size(array_intersect(gs, gs_b)) > 0"))
+      .select(col("doc_id"), col("bench_id"),
+        explode(array_intersect(col("gs"), col("gs_b"))).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_refs"),
+        countDistinct(col("g")).as("n_shared_grams"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val got = graft.operators.TextQueries.q70Decontaminate(spark, sfDir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "fixture should contain contaminated docs")
+  }
+
+  test("q70 plans the bench gram set as the broadcast side") {
+    val p = graft.operators.TextQueries.q70Decontaminate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "decontamination must stream the corpus through a broadcast join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+}
