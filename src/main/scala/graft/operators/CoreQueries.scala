@@ -180,6 +180,31 @@ object CoreQueries extends QueryModule {
         sum(col("o_orderkey")).as("key_checksum"),
         Num.sumCents(col("o_totalprice"), "price_cents"))
 
+  /** q71 — STRATIFIED deterministic sampling: per-stratum rates (domain
+    * mixing weights) applied with q29's engine-portable multiplicative hash.
+    * This is the training-data "source mixing" op — each source gets its own
+    * target inclusion rate (here derived from the source index: 100–700‰),
+    * and the same docs are selected on any engine at any scale. One narrow
+    * scan + one small per-source aggregate: the rate lookup and hash are
+    * map-side codegen'd expressions, the shuffle carries one row per
+    * stratum, and nothing about the plan changes when the corpus grows
+    * 1000× — the canonical shape for mixing-weight jobs at 100 TB. Conditional
+    * sums keep NULL semantics identical to the oracle (empty stratum sample
+    * → NULL checksum in both engines). */
+  val q71StratifiedSample: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+      .withColumn("rate",
+        lit(100L) + pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) * 200L)
+      .withColumn("h",
+        pmod(pmod(col("doc_id"), lit(999983)) * 2654435761L, lit(1000)))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("h") < col("rate"), 1L).otherwise(0L)).as("n_sampled"),
+        min(col("rate")).as("target_permille"),
+        sum(when(col("h") < col("rate"), col("doc_id"))).as("sampled_id_sum"))
+      .orderBy(col("source"))
+  }
+
   /** q58 — partition-major ordering, asserted directly (reference P3,
     * RWritablePartitionedPairCollection.scala:75-100: records are emitted
     * partition-by-partition, key-sorted within each). Hash-repartition on the
@@ -221,6 +246,7 @@ object CoreQueries extends QueryModule {
     "q58_partition_sort" -> q58PartitionSort,
     "q28_setops_all"     -> q28SetOpsAll,
     "q29_sample"         -> q29Sample,
+    "q71_stratified_sample" -> q71StratifiedSample,
     "q01_agg"            -> q01Agg,
     "q02_repartition"    -> q02Repartition,
     "q03_sort_global"    -> q03SortGlobal,
@@ -247,6 +273,17 @@ object CoreQueries extends QueryModule {
         CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS price_cents
       FROM orders
       WHERE ((o_orderkey % 999983) * 2654435761) % 1000 < 50""",
+    "q71_stratified_sample" -> """
+      WITH d AS (
+        SELECT source, doc_id,
+          100 + (CAST(substring(source, 4) AS BIGINT) % 4) * 200 AS rate,
+          ((doc_id % 999983) * 2654435761) % 1000 AS h
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        CAST(min(rate) AS BIGINT) AS target_permille,
+        CAST(sum(CASE WHEN h < rate THEN doc_id END) AS BIGINT) AS sampled_id_sum
+      FROM d GROUP BY source ORDER BY source""",
     "q58_partition_sort" -> """
       SELECT (SELECT count(*) FROM orders) AS n_rows,
         CAST(0 AS BIGINT) AS sort_violations,
