@@ -70,6 +70,37 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("star-contraction CC handles a diameter-64 chain in O(log n) rounds") {
+    import spark.implicits._
+    // 64 propagation rounds would exceed plain CC's default cap; the
+    // star-contraction variant must converge well under its own cap and
+    // produce the single component, with the disjoint pair untouched
+    val pairs = ((0L until 64L).map(k => (k, k + 1)) :+ (500L, 501L)).toDF("i", "j")
+    val labels = DedupQueries.connectedComponentsStar(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == 67)
+    (0L to 64L).foreach(id => assert(labels(id) == 0L, s"node $id"))
+    assert(labels(500L) == 500L && labels(501L) == 500L)
+  }
+
+  test("star-contraction CC equals min-label propagation on random graphs") {
+    import spark.implicits._
+    // three deterministic random graphs (fixed seeds): same component
+    // PARTITION and same min-label representatives from both drivers
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val pairs = List.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("i", "j")
+      val plain = DedupQueries.connectedComponents(pairs, maxRounds = 45)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val star = DedupQueries.connectedComponentsStar(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(star == plain, s"seed $seed")
+    }
+  }
+
   test("q59 leaves bounded storage; releasePinned drains it to zero") {
     // the r3/r4 bench pathology: per-round checkpoint blocks and per-query
     // caches accumulating across a session. After a full q59 run, live
