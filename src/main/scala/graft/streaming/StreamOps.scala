@@ -89,6 +89,29 @@ object StreamOps {
         col("c_ts"), col("e_ts"))
   }
 
+  /** LEFT OUTER variant of [[clickErrorJoin]]: every click emits, with null
+    * error columns when no error follows within the window. The outer side
+    * makes the watermark LOAD-BEARING for emission, not just eviction: a
+    * click's null row can only emit once the global watermark (the MIN of
+    * both streams' watermarks) proves no matching error can still arrive —
+    * so results are exactly-once and never retracted, and unmatched rows
+    * surface with bounded (watermark-delay) latency instead of waiting
+    * forever. Same both-direction time bound as the inner join, which is
+    * what Spark requires to run an outer stream-stream join at all. On
+    * static frames this is a plain left interval join — the batch twin is
+    * the same code; the spec asserts both agree, including the null rows. */
+  def clickErrorJoinLeft(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("c_ts", "10 minutes")
+    val e = errors.withWatermark("e_ts", "10 minutes")
+    c.join(e,
+      col("c_user") === col("e_user") &&
+      col("e_ts") >= col("c_ts") &&
+      col("e_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("c_id"), col("e_id"),
+        col("c_ts"), col("e_ts"))
+  }
+
   /** Gap between events that closes a session, and the session gap horizon
     * used for the event-time timeout (shared with the batch q24/q66). */
   private val GapS = 600L

@@ -118,6 +118,50 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("left-outer stream-stream join emits null rows only after the watermark proves no match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1's click gets an error inside the 10-min window; user 2's never
+    // does — its null row may only surface once both watermarks pass the
+    // click's match horizon
+    val cs = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val es = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = StreamOps.clickErrorJoinLeft(
+        cs.toDF().toDF("c_user", "c_ts", "c_id"),
+        es.toDF().toDF("e_user", "e_ts", "e_id"))
+      .writeStream.format("memory").queryName("ssleft").outputMode("append").start()
+    cs.addData((1L, ts(1000), 101L), (2L, ts(1000), 102L))
+    es.addData((1L, ts(1200), 201L))
+    q.processAllAvailable()
+    def rows() = spark.table("ssleft")
+      .filter(col("user_id") <= 2)
+      .select(col("user_id"), col("c_id"),
+        when(col("e_id").isNull, -1L).otherwise(col("e_id")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // before the watermark advances, only the matched row may have emitted
+    assert(!rows().contains((2L, 102L, -1L)),
+      "outer row emitted before the watermark could prove no match")
+    // advance BOTH watermarks well past the horizon (global wm = min of the
+    // two), then run the follow-up batch that flushes proven-unmatched state
+    cs.addData((9L, ts(100000), 900L)); es.addData((9L, ts(100000), 901L))
+    q.processAllAvailable()
+    cs.addData((9L, ts(110000), 910L)); es.addData((9L, ts(110000), 911L))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows() == Set((1L, 101L, 201L), (2L, 102L, -1L)))
+    // batch twin: the same code on static frames is a plain left interval
+    // join, nulls included
+    val want = StreamOps.clickErrorJoinLeft(
+        Seq((1L, ts(1000), 101L), (2L, ts(1000), 102L))
+          .toDF("c_user", "c_ts", "c_id"),
+        Seq((1L, ts(1200), 201L)).toDF("e_user", "e_ts", "e_id"))
+      .select(col("user_id"), col("c_id"),
+        when(col("e_id").isNull, -1L).otherwise(col("e_id")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows() == want)
+  }
+
   test("native session_window streaming equals the batch stateful fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
