@@ -262,10 +262,10 @@ object DedupQueries extends QueryModule {
     *    references the previous labels exactly once per round (a
     *    labels-union-neighbors formulation references it twice and doubles
     *    the plan every round — 2^k Catalyst blowup);
-    *  - every round's labels are pinned (RDD `localCheckpoint`): the
-    *    iterated plan stays ONE join deep instead of replanning k-deep
-    *    lineage (and the upstream LSH pipeline is never replayed) — and
-    *    pinning at the RDD level (not `Dataset.localCheckpoint`, whose
+    *  - every round's labels are pinned (RDD-level persist behind a leaf
+    *    plan): the iterated plan stays ONE join deep instead of replanning
+    *    k-deep lineage (and the upstream LSH pipeline is never replayed) —
+    *    and pinning at the RDD level (not `Dataset.localCheckpoint`, whose
     *    blocks only the ContextCleaner can free) keeps an explicit handle,
     *    so each round UNPERSISTS the previous round's blocks the moment its
     *    successor is materialized, and `adj` is freed at convergence.
@@ -285,12 +285,17 @@ object DedupQueries extends QueryModule {
     * join-shaped building blocks; plain propagation is right while observed
     * near-dup diameters stay small, and the fixpoint check makes the
     * assumption self-verifying. */
-  /** Materialize a frame into lineage-truncated, explicitly-freeable blocks:
-    * the returned frame is a leaf over the pinned RDD, and the RDD handle is
-    * what unpersist() needs (Dataset.unpersist only covers CacheManager
-    * entries, not checkpoint blocks). Shared by both iterative CC drivers. */
+  /** Materialize a frame into explicitly-freeable blocks behind a leaf plan:
+    * the returned frame is a leaf over the pinned RDD (so the iterated PLAN
+    * stays one join deep — Catalyst never sees prior rounds), and the RDD
+    * handle is what unpersist() needs (Dataset.unpersist only covers
+    * CacheManager entries). persist — not localCheckpoint — on purpose: the
+    * RDD keeps its lineage, so a block lost to eviction or a freed prior
+    * round recomputes from source instead of throwing; a checkpoint's
+    * truncated lineage makes every unpersist a point of no return. Shared
+    * by both iterative CC drivers. */
   private def pin(df: DataFrame): (DataFrame, RDD[Row]) = {
-    val r = df.rdd.localCheckpoint()
+    val r = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     r.count()
     (df.sparkSession.createDataFrame(r, df.schema), r)
   }
