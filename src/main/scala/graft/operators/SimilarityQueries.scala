@@ -118,10 +118,42 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** q72 — k-means Lloyd STEP over the embedding corpus: assign every vector
+    * to its nearest seed centroid (exact squared-Euclidean on quantized
+    * integers: ‖v‖² − 2⟨v,c⟩ + ‖c‖², all BIGINT), then emit the full centroid
+    * UPDATE table — per (cluster, component): member count, exact component
+    * sum, and the floor-averaged new coordinate. This is the workhorse of
+    * embedding-space curation (cluster-then-sample, cluster balancing,
+    * semantic dedup seeding) expressed as the two shuffles it minimally
+    * needs: seeds broadcast against a single corpus scan (assignment is
+    * map-side, ties broken by seed id), one partial-aggregated shuffle for
+    * the per-component sums. Iterating = re-running with the emitted
+    * centroids; K and dim scale the broadcast (K×dim longs), never the
+    * corpus path. Seeds are the first K=4 vectors — deterministic and
+    * data-derived, so both engines assign identically. */
+  val q72KMeansStep: Q = (s, dir) => {
+    val e = quantized(s, dir).select(col("vec_id"), col("q"), col("n2"))
+    val seeds = broadcast(e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val best = e.join(seeds)
+      .select(col("vec_id"), col("q"), col("cid"),
+        (col("n2") - lit(2L) * expr("dot_long(q, cq)") + col("cn2")).as("d2"))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+    best.select(col("cid").as("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(count(lit(1)).as("n_members"), sum(col("v")).as("sum_v"))
+      .select(col("cluster"), col("pos").cast("long").as("pos"),
+        col("n_members"), col("sum_v"),
+        floor(col("sum_v") / col("n_members")).cast("long").as("new_cv"))
+      .orderBy(col("cluster"), col("pos"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q55_knn_brute" -> q55KnnBrute,
     "q56_knn_lsh"   -> q56KnnLsh,
-    "q57_knn_ivf"   -> q57KnnIvf)
+    "q57_knn_ivf"   -> q57KnnIvf,
+    "q72_kmeans_step" -> q72KMeansStep)
 
   private val duckQuant = """
     q AS (
@@ -133,6 +165,31 @@ object SimilarityQueries extends QueryModule {
         CAST(list_sum([x * x for x in qv]) AS BIGINT) AS n2 FROM q)"""
 
   def oracles: Map[String, String] = Map(
+    "q72_kmeans_step" -> """
+      WITH q AS (
+        SELECT vec_id,
+          [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS qv
+        FROM embeddings),
+      n AS (SELECT vec_id, qv,
+              CAST(list_sum([x * x for x in qv]) AS BIGINT) AS n2 FROM q),
+      seeds AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM n WHERE vec_id < 4),
+      d AS (
+        SELECT n.vec_id, n.qv, s.cid,
+          n.n2 - 2 * CAST(list_sum([n.qv[k] * s.cq[k]
+                                    for k in range(1, len(n.qv)+1)]) AS BIGINT)
+               + s.cn2 AS d2
+        FROM n, seeds s),
+      best AS (
+        SELECT vec_id, qv, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r
+          FROM d) WHERE r = 1),
+      ex AS (
+        SELECT cid AS cluster, CAST(k - 1 AS BIGINT) AS pos, qv[CAST(k AS INT)] AS v
+        FROM best, range(1, 65) t(k))
+      SELECT cluster, pos, count(*) AS n_members,
+        CAST(sum(v) AS BIGINT) AS sum_v,
+        CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS new_cv
+      FROM ex GROUP BY cluster, pos ORDER BY cluster, pos""",
     "q55_knn_brute" -> s"""
       WITH $duckQuant,
       scored AS (
