@@ -436,7 +436,64 @@ object DedupQueries extends QueryModule {
       .orderBy(col("keep_id"))
   }
 
+  /** q73 — the composed TRAINING-DATA PIPELINE, end to end in one query:
+    * near-dup removal (q59's verified-pair connected components, keep the
+    * min doc per cluster) → quality gate (≥ 50 tokens) → decontamination
+    * (drop the eval slice and every doc sharing an 8-token gram with it,
+    * q70's broadcast gram index) → stratified source-mixing sample (q71's
+    * portable per-stratum hash rates). Emits per-stage doc counts and
+    * id-checksums — the retention ledger a production pipeline publishes.
+    *
+    * The point is COMPOSITION: every stage is the already-proven operator
+    * reused verbatim, all narrowing filters are anti-joins/semi-predicates
+    * on broadcast-sized key sets, and the corpus is scanned once per stage
+    * with nothing corpus-sized materialized. Stage order is the cost-aware
+    * one (cheap high-mass drops first, sampling last so earlier stages see
+    * the full distribution). */
+  val q73Pipeline: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    // stage 1 — near-dup survivors via clustered pair graph (min per cluster)
+    val sh = shingled(s, dir).cache()
+    val bands = lshBands(sh, "sh").cache()
+    val pairs = verifyPairs(bandPairs(bands), sh).select(col("i"), col("j"))
+    val labels = connectedComponents(pairs)
+    sh.unpersist(blocking = false)
+    bands.unpersist(blocking = false)
+    val dupDropped = labels.filter(col("id") =!= col("lbl"))
+      .select(col("id").as("doc_id"))
+    val s1 = docs.join(broadcast(dupDropped), Seq("doc_id"), "left_anti")
+    // stage 2 — quality gate
+    val s2 = s1.filter(size(split(col("text"), " ")) >= 50)
+    // stage 3 — decontamination vs the doc_id % 20 eval slice
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(t)-8), i -> concat_ws(' ', slice(t, i+1, 8)))")))
+        .as("g"))
+    val benchGrams = grams(docs.filter(col("doc_id") % 20 === 0))
+      .select(col("g")).distinct()
+    val contaminated = grams(s2.filter(col("doc_id") % 20 =!= 0))
+      .join(broadcast(benchGrams), "g")
+      .select(col("doc_id")).distinct()
+    val s3 = s2.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    // stage 4 — stratified source-mixing sample (q71 rates)
+    val s4 = s3.filter(
+      pmod(pmod(col("doc_id"), lit(999983)) * 2654435761L, lit(1000)) <
+        lit(100L) + pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) * 200L)
+    Seq("0_input" -> docs, "1_dedup" -> s1, "2_quality" -> s2,
+        "3_decontam" -> s3, "4_sample" -> s4)
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+          .select(lit(name).as("stage"), col("n_docs"), col("id_sum"))
+      }
+      .reduce(_ union _)
+      .orderBy(col("stage"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q73_pipeline"        -> q73Pipeline,
     "q59_dedup_clusters"  -> q59DedupClusters,
     "q50_dedup_exact"     -> q50Exact,
     "q51_dedup_minhash"   -> q51MinHashLsh,
@@ -465,6 +522,52 @@ object DedupQueries extends QueryModule {
       ORDER BY i, j"""
 
   def oracles: Map[String, String] = Map(
+    "q73_pipeline" -> s"""
+      WITH RECURSIVE $duckShingles,
+      pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.ss) > 0 AND len(b.ss) > 0
+          AND len(list_intersect(a.ss, b.ss)) >=
+              len(list_distinct(list_concat(a.ss, b.ss))) * 0.8),
+      edges AS (
+        SELECT i AS a, j AS b FROM pairs
+        UNION ALL SELECT j AS a, i AS b FROM pairs),
+      reach(id, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      comp AS (SELECT id, min(r) AS keep_id FROM reach GROUP BY id),
+      s1 AS (SELECT * FROM documents
+             WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> keep_id)),
+      s2 AS (SELECT * FROM s1 WHERE len(string_split(text, ' ')) >= 50),
+      bgrams AS (
+        SELECT DISTINCT unnest(list_distinct([array_to_string(t[i:i+7], ' ')
+                                for i in range(1, len(t)-6)])) AS g
+        FROM (SELECT string_split(text, ' ') AS t FROM documents
+              WHERE doc_id % 20 = 0)
+        WHERE len(t) >= 8),
+      cgrams AS (
+        SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+7], ' ')
+                                for i in range(1, len(t)-6)])) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM s2
+              WHERE doc_id % 20 <> 0)
+        WHERE len(t) >= 8),
+      contaminated AS (
+        SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b USING (g)),
+      s3 AS (SELECT * FROM s2 WHERE doc_id % 20 <> 0
+             AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      s4 AS (SELECT * FROM s3
+             WHERE ((doc_id % 999983) * 2654435761) % 1000 <
+                   100 + (CAST(substring(source, 4) AS BIGINT) % 4) * 200)
+      SELECT stage, n_docs, id_sum FROM (
+        SELECT '0_input' AS stage, count(*) AS n_docs,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents
+        UNION ALL SELECT '1_dedup', count(*), CAST(sum(doc_id) AS BIGINT) FROM s1
+        UNION ALL SELECT '2_quality', count(*), CAST(sum(doc_id) AS BIGINT) FROM s2
+        UNION ALL SELECT '3_decontam', count(*), CAST(sum(doc_id) AS BIGINT) FROM s3
+        UNION ALL SELECT '4_sample', count(*), CAST(sum(doc_id) AS BIGINT) FROM s4)
+      ORDER BY stage""",
     "q59_dedup_clusters" -> s"""
       WITH RECURSIVE $duckShingles,
       pairs AS (
