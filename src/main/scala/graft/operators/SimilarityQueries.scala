@@ -130,16 +130,25 @@ object SimilarityQueries extends QueryModule {
     * the per-component sums. Iterating = re-running with the emitted
     * centroids; K and dim scale the broadcast (K×dim longs), never the
     * corpus path. Seeds are the first K=4 vectors — deterministic and
-    * data-derived, so both engines assign identically. */
+    * data-derived, so both engines assign identically.
+    *
+    * Nearest-centroid selection is a `min_by` AGGREGATE, not a window: the
+    * K candidate rows per vector are co-located in the task that produced
+    * them (broadcast join), so partial aggregation collapses K·n rows to n
+    * map-side and the exchange carries one row per vector — a
+    * `row_number().over(partitionBy(vec_id))` window would shuffle and
+    * sort all K·n rows instead. Ties are impossible: the ordering key is
+    * (d2, cid) and cid differs across candidates. */
   val q72KMeansStep: Q = (s, dir) => {
     val e = quantized(s, dir).select(col("vec_id"), col("q"), col("n2"))
     val seeds = broadcast(e.filter(col("vec_id") < 4)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
     val best = e.join(seeds)
       .select(col("vec_id"), col("q"), col("cid"),
         (col("n2") - lit(2L) * expr("dot_long(q, cq)") + col("cn2")).as("d2"))
-      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cid"), col("q")), struct(col("d2"), col("cid"))).as("b"))
+      .select(col("b.cid").as("cid"), col("b.q").as("q"))
     best.select(col("cid").as("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
       .groupBy(col("cluster"), col("pos"))
       .agg(count(lit(1)).as("n_members"), sum(col("v")).as("sum_v"))
