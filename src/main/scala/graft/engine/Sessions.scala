@@ -41,7 +41,17 @@ object Sessions {
     * storage across queries: at 100 TB an unreleased cache per query turns
     * executor storage memory into a ratchet that degrades everything
     * scheduled later. Unpersist is non-blocking; freeing is off the
-    * critical path. */
+    * critical path.
+    *
+    * Scope note: this sweeps EVERY CacheManager entry and persistent RDD on
+    * the shared context — a single-tenant, between-queries design. A caller
+    * holding an intentionally session-scoped cache (e.g. a cross-run
+    * persisted-signature frame kept hot, or a multi-tenant session) would
+    * have it silently dropped (lineage keeps results correct; the cost is a
+    * full recompute). If caches ever become intentionally session-scoped,
+    * track harness-created pins explicitly (registry of RDD ids) and sweep
+    * only those. The durable cross-run shape is a parquet signature table
+    * (see DedupQueries.signatureIndex), which this sweep never touches. */
   def releasePinned(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values

@@ -105,11 +105,16 @@ object AnalyticQueries extends QueryModule {
     * partial states, no value multiset held). Raw sketch estimates are
     * engine-specific, so the output carries (a) the exact columns, fully
     * hash-checked against the oracle, and (b) the sketch estimates reduced
-    * to accuracy FLAGS inside declared error bounds (HLL++ default rsd 5% →
-    * 3σ = 15%; approx_percentile at accuracy 10000 → rank error ≤ n/10⁴,
-    * well inside 1% of the p50 value) — the oracle emits the literal 1s the
-    * flags must reach, so an out-of-contract sketch hash-mismatches rather
-    * than hiding behind a rows-only check. */
+    * to accuracy FLAGS — the oracle emits the literal 1s the flags must
+    * reach, so an out-of-contract sketch hash-mismatches rather than hiding
+    * behind a rows-only check. Bound provenance: `hll_within_3sd` IS the
+    * sketch contract (HLL++ default rsd 5% → 3σ = 15%). `gk_within_1pct` is
+    * NOT — GK's contract bounds RANK error (≤ n/10⁴ at accuracy 10000), and
+    * rank error only implies small VALUE error where values are dense near
+    * the median; 1% is a fixture-validated EMPIRICAL bound (l_extendedprice
+    * is dense at p50 on every tested SF, where rank±n/10⁴ moves the value
+    * ≪ 1%). On a value-sparse median neighborhood the honest check would be
+    * gk BETWEEN the exact values at ranks p50·n ∓ n/10⁴. */
   val q37Sketches: Q = (s, dir) =>
     Tables.load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))

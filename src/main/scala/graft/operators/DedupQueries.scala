@@ -363,6 +363,13 @@ object DedupQueries extends QueryModule {
     * moment its successor materializes — O(1) storage over O(log n)
     * rounds. */
   def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 60): DataFrame = {
+    // node universe from ALL input endpoints (self-pairs included): canon()
+    // drops self-loops from the edge set, so a node appearing only as (i, i)
+    // would otherwise vanish from the output — connectedComponents labels it,
+    // and the two drivers must agree on any input (the equivalence spec
+    // includes a self-pair-only node)
+    val nodes = pairs.select(col("i").as("id"))
+      .union(pairs.select(col("j").as("id"))).distinct()
     // canonical undirected edge set: (i, j) with i > j, no self-loops
     def canon(df: DataFrame): DataFrame =
       df.select(greatest(col("i"), col("j")).as("i"),
@@ -403,9 +410,13 @@ object DedupQueries extends QueryModule {
     require(changed == 0,
       s"connectedComponentsStar did not converge in $maxRounds rounds")
     // fixpoint is a forest of stars centered at component minima:
-    // children point at the center, centers label themselves
-    edges.select(col("i").as("id"), col("j").as("lbl"))
+    // children point at the center, centers label themselves, and isolated
+    // nodes (no surviving edge — e.g. self-pair-only input) label themselves
+    val labeled = edges.select(col("i").as("id"), col("j").as("lbl"))
       .union(edges.select(col("j").as("id"), col("j").as("lbl")).distinct())
+    labeled.union(
+      nodes.join(labeled.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("lbl")))
   }
 
   /** q59 — near-dup CLUSTERING: connected components over the verified

@@ -193,8 +193,11 @@ object SimilarityQueries extends QueryModule {
           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r
           FROM d) WHERE r = 1),
       ex AS (
-        SELECT cid AS cluster, CAST(k - 1 AS BIGINT) AS pos, qv[CAST(k AS INT)] AS v
-        FROM best, range(1, 65) t(k))
+        -- positions derived from the list itself (generate_subscripts), not a
+        -- hard-coded dim, so the oracle tracks the data like the Spark side
+        SELECT cid AS cluster,
+          CAST(generate_subscripts(qv, 1) - 1 AS BIGINT) AS pos, unnest(qv) AS v
+        FROM best)
       SELECT cluster, pos, count(*) AS n_members,
         CAST(sum(v) AS BIGINT) AS sum_v,
         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS new_cv
@@ -233,9 +236,10 @@ object SimilarityQueries extends QueryModule {
     "q57_knn_ivf" -> s"""
       WITH $duckQuant,
       comp AS (
-        SELECT label, k AS pos, CAST(floor(avg(qv[k])) AS BIGINT) AS cv
-        FROM n, range(1, 65) r(k)
-        GROUP BY label, k),
+        SELECT label, pos, CAST(floor(avg(v)) AS BIGINT) AS cv
+        FROM (SELECT label, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v
+              FROM n)
+        GROUP BY label, pos),
       cents AS (
         SELECT label AS clabel, list(cv ORDER BY pos) AS cvec,
           CAST(list_sum([c2 * c2 for c2 in list(cv ORDER BY pos)]) AS BIGINT) AS cn2

@@ -112,6 +112,30 @@ object StreamOps {
         col("c_ts"), col("e_ts"))
   }
 
+  /** FULL OUTER variant of [[clickErrorJoin]], completing the stream-stream
+    * join family (inner / left / full): every click AND every error emits —
+    * matched pairs once, unmatched rows from EITHER side with nulls on the
+    * other. Both null directions are watermark-gated: a click's null row
+    * waits until the global watermark proves no error can still arrive in
+    * its forward window, an error's null row until no click can still
+    * arrive in its backward window — so emission is exactly-once with
+    * bounded latency on both sides. `user_id` coalesces across sides
+    * because either may be null. Same both-direction event-time bound as
+    * the inner join (Spark's requirement for any outer stream-stream join);
+    * on static frames this is a plain full interval join — the batch twin
+    * is the same code. */
+  def clickErrorJoinFull(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("c_ts", "10 minutes")
+    val e = errors.withWatermark("e_ts", "10 minutes")
+    c.join(e,
+      col("c_user") === col("e_user") &&
+      col("e_ts") >= col("c_ts") &&
+      col("e_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+      "full_outer")
+      .select(coalesce(col("c_user"), col("e_user")).as("user_id"),
+        col("c_id"), col("e_id"), col("c_ts"), col("e_ts"))
+  }
+
   /** Gap between events that closes a session, and the session gap horizon
     * used for the event-time timeout (shared with the batch q24/q66). */
   private val GapS = 600L

@@ -83,15 +83,29 @@ class DedupSpec extends SparkSpec {
     assert(labels(500L) == 500L && labels(501L) == 500L)
   }
 
+  test("star-contraction CC labels self-pair-only nodes like plain propagation") {
+    import spark.implicits._
+    // node 9 appears ONLY as a self-pair: star's canonical edge set drops
+    // self-loops, so without the node-universe union it would vanish from
+    // the output while plain propagation labels it — both drivers must
+    // agree on any pair input (dedup pair generators can emit i==j rows)
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 9L), (5L, 5L), (5L, 6L)).toDF("i", "j")
+    val plain = DedupQueries.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val star = DedupQueries.connectedComponentsStar(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(plain == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L, 5L -> 5L, 6L -> 5L))
+    assert(star == plain)
+  }
+
   test("star-contraction CC equals min-label propagation on random graphs") {
     import spark.implicits._
-    // three deterministic random graphs (fixed seeds): same component
-    // PARTITION and same min-label representatives from both drivers
+    // three deterministic random graphs (fixed seeds, self-pairs kept):
+    // same component PARTITION and same min-label representatives
     for (seed <- Seq(1, 7, 42)) {
       val rnd = new scala.util.Random(seed)
       val n = 40
       val pairs = List.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-        .filter { case (a, b) => a != b }
         .toDF("i", "j")
       val plain = DedupQueries.connectedComponents(pairs, maxRounds = 45)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

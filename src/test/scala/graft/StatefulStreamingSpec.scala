@@ -162,6 +162,52 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(rows() == want)
   }
 
+  test("full-outer stream-stream join emits unmatched rows from BOTH sides, watermark-gated") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: matched pair; user 2: click with no error (null right);
+    // user 3: error with no click (null left) — both null rows may only
+    // surface once the global watermark passes their match horizons
+    val cs = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val es = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = StreamOps.clickErrorJoinFull(
+        cs.toDF().toDF("c_user", "c_ts", "c_id"),
+        es.toDF().toDF("e_user", "e_ts", "e_id"))
+      .writeStream.format("memory").queryName("ssfull").outputMode("append").start()
+    cs.addData((1L, ts(1000), 101L), (2L, ts(1000), 102L))
+    es.addData((1L, ts(1200), 201L), (3L, ts(1200), 203L))
+    q.processAllAvailable()
+    def rows() = spark.table("ssfull")
+      .filter(col("user_id") <= 3)
+      .select(col("user_id"),
+        when(col("c_id").isNull, -1L).otherwise(col("c_id")).as("c"),
+        when(col("e_id").isNull, -1L).otherwise(col("e_id")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // before the watermark advances, neither unmatched row may have emitted
+    assert(!rows().contains((2L, 102L, -1L)),
+      "left-side outer row emitted before the watermark could prove no match")
+    assert(!rows().contains((3L, -1L, 203L)),
+      "right-side outer row emitted before the watermark could prove no match")
+    // advance BOTH watermarks past the horizons, then the flush batch
+    cs.addData((9L, ts(100000), 900L)); es.addData((9L, ts(100000), 901L))
+    q.processAllAvailable()
+    cs.addData((9L, ts(110000), 910L)); es.addData((9L, ts(110000), 911L))
+    q.processAllAvailable()
+    q.stop()
+    val want = StreamOps.clickErrorJoinFull(
+        Seq((1L, ts(1000), 101L), (2L, ts(1000), 102L))
+          .toDF("c_user", "c_ts", "c_id"),
+        Seq((1L, ts(1200), 201L), (3L, ts(1200), 203L))
+          .toDF("e_user", "e_ts", "e_id"))
+      .select(col("user_id"),
+        when(col("c_id").isNull, -1L).otherwise(col("c_id")).as("c"),
+        when(col("e_id").isNull, -1L).otherwise(col("e_id")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows() == want)
+    assert(rows() == Set((1L, 101L, 201L), (2L, 102L, -1L), (3L, -1L, 203L)))
+  }
+
   test("native session_window streaming equals the batch stateful fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
