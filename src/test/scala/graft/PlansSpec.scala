@@ -97,6 +97,57 @@ class PlansSpec extends SparkSpec {
       s"expected < $staticParts post-shuffle partitions")
   }
 
+  test("AQE skew-join split actually engages on a skewed join (and results match)") {
+    // the reference's partition-range reader API exists to serve AQE skew
+    // splits (RemoteShuffleManager.scala:91-110); config alone proves
+    // nothing, so: build a join where ONE key carries ~50% of the rows —
+    // the shape of the hot key in a 100 TB near-dup pair graph — and
+    // assert the executed plan really split it (skew-marked SMJ), with
+    // results identical to the unsplit run. Thresholds are lowered to make
+    // test-scale partitions (MBs, not the 256 MB default) eligible; at
+    // cluster scale the defaults do the same job.
+    import spark.implicits._
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> util.Try(spark.conf.get(k)).toOption)
+    // half the rows hash to key 0; md5 payloads keep shuffle bytes honest
+    // (incompressible), so the hot partition's size dwarfs the median
+    val left = spark.range(0, 200000).select(
+      when(col("id") % 2 === 0, lit(0L))
+        .otherwise(pmod(col("id"), lit(1000))).as("k"),
+      md5(col("id").cast("string")).as("payload"))
+    val right = spark.range(0, 2000)
+      .select(pmod(col("id"), lit(1000)).as("k"), (col("id") * 7).as("v"))
+    def run(): (Array[org.apache.spark.sql.Row], String) = {
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"),
+          sum(pmod(xxhash64(col("k"), col("payload"), col("v")),
+            lit(1000000007L))).as("checksum"))
+      val rows = joined.collect()
+      (rows, joined.queryExecution.executedPlan.toString)
+    }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val (want, plainPlan) = run()
+      assert(!plainPlan.contains("skew=true"))
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val (got, skewPlan) = run()
+      assert(skewPlan.contains("isFinalPlan=true"), "adaptive plan not finalized")
+      assert(skewPlan.contains("skew=true"),
+        s"AQE did not mark the join as skew-handled:\n$skewPlan")
+      assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq,
+        "skew-split join must produce identical results")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation (skew pattern) equals plain aggregation") {
     // two-phase skew-safe aggregation: key+salt partial, then key final
     val li = Tables.load(spark, sfDir, "lineitem")
