@@ -9,57 +9,163 @@ import org.apache.spark.sql.functions._
   * parquet `binary`, metadata as scalar columns alongside). */
 case class MediaBlob(doc_id: Long, media_type: String, payload: Array[Byte])
 
-/** Deterministic per-blob features standing in for a real decoder's output. */
+/** A decoded blob's features: detected format + header-derived geometry. */
 case class MediaFeatures(
-    doc_id: Long, media_type: String, n_bytes: Long,
-    first_byte: Long, byte_sum: Long, width: Long, height: Long)
+    doc_id: Long, format: String, n_bytes: Long,
+    first_byte: Long, width: Long, height: Long)
+
+/** Real byte-level codecs for the multimodal path: a PNG/JPEG header WRITER
+  * (used to synthesize format-true fixtures from the text corpus — the
+  * container ships no image fixtures) and a header PARSER (the operator
+  * under test). The parser never sees how a payload was built: it detects
+  * the format from magic bytes and walks the real container structure —
+  * PNG chunk grammar with CRC32 verification, JPEG marker segments — to
+  * extract dimensions, exactly what a decode-free metadata pass does over
+  * a binary image column at scale (full pixel decode stays out-of-engine;
+  * see q65's doc). */
+object MediaCodec {
+  private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n').map(_.toByte)
+
+  private def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+    (v >>> 8).toByte, v.toByte)
+  private def be16(v: Int) = Array((v >>> 8).toByte, v.toByte)
+  private def readBe32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+  private def readBe16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+  private def crc32(bytes: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32; c.update(bytes); c.getValue
+  }
+
+  /** Spec-conformant PNG prefix: 8-byte signature, then an IHDR chunk
+    * (length, type, 13-byte data, CRC32 over type+data — PNG §5.3) with the
+    * given dimensions (8-bit RGB, no interlace), then `body` as trailing
+    * payload bytes. Total prefix length: 8 + 25 = 33 bytes. */
+  def encodePng(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+    val data = be32(width) ++ be32(height) ++
+      Array[Byte](8, 2, 0, 0, 0) // bit depth, color type RGB, compr, filter, interlace
+    val typed = "IHDR".getBytes("US-ASCII") ++ data
+    PngSig ++ be32(data.length) ++ typed ++ be32(crc32(typed).toInt) ++ body
+  }
+
+  /** Spec-conformant JPEG/JFIF prefix: SOI, APP0 JFIF segment, SOF0 frame
+    * header carrying the dimensions (precision 8, 3 components), then `body`
+    * as entropy-coded filler, then EOI. Prefix before body: 2 + 18 + 19 = 39
+    * bytes; +2 trailing. A dimension parser must WALK the marker segments
+    * (skipping APP0 by its declared length) to reach SOF0 — there is no
+    * fixed offset in JPEG. */
+  def encodeJpeg(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+    val app0 = Array[Byte](0xFF.toByte, 0xE0.toByte) ++ be16(16) ++
+      "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0) ++
+      be16(1) ++ be16(1) ++ Array[Byte](0, 0)
+    val sof0 = Array[Byte](0xFF.toByte, 0xC0.toByte) ++ be16(17) ++
+      Array[Byte](8) ++ be16(height) ++ be16(width) ++ Array[Byte](3,
+        1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    Array[Byte](0xFF.toByte, 0xD8.toByte) ++ app0 ++ sof0 ++ body ++
+      Array[Byte](0xFF.toByte, 0xD9.toByte)
+  }
+
+  /** Format detection + header-derived dimensions, from bytes alone.
+    *
+    * PNG: verify the 8-byte signature, read the first chunk, require it to
+    * be IHDR (mandatory-first per PNG §5.6) and its CRC32 to check out, then
+    * take width/height from the chunk data (big-endian 32-bit).
+    * JPEG: verify SOI, then walk marker segments by their declared lengths —
+    * skipping APPn/COM/anything else — until a start-of-frame marker
+    * (SOF0–SOF15 minus DHT/DAC/RSTn per ITU T.81) yields height/width
+    * (big-endian 16-bit after the precision byte). Anything that fails
+    * structural validation is classified `raw` with dimensions -1 — a
+    * malformed header must degrade, not throw, when a 100 TB corpus is
+    * guaranteed to contain garbage bytes. */
+  def decode(b: Array[Byte]): (String, Long, Long) = {
+    def isPng: Boolean = b.length >= 33 &&
+      (0 until 8).forall(i => b(i) == PngSig(i))
+    if (isPng && readBe32(b, 8) >= 13 &&
+        16 + readBe32(b, 8) + 4 <= b.length && // full chunk + CRC present
+        new String(b.slice(12, 16), "US-ASCII") == "IHDR" &&
+        crc32(b.slice(12, 16 + readBe32(b, 8).toInt)) ==
+          readBe32(b, 16 + readBe32(b, 8).toInt)) {
+      ("png", readBe32(b, 16), readBe32(b, 20))
+    } else if (b.length >= 4 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) {
+      var o = 2
+      while (o + 3 < b.length && b(o) == 0xFF.toByte) {
+        val m = b(o + 1) & 0xFF
+        val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+        if (isSof) {
+          return if (o + 9 < b.length)
+            ("jpeg", readBe16(b, o + 7).toLong, readBe16(b, o + 5).toLong)
+          else ("raw", -1L, -1L)
+        } else if (m == 0xD9 || m == 0xDA) {
+          return ("jpeg", -1L, -1L) // end of image / scan data: no frame header seen
+        } else {
+          o += 2 + readBe16(b, o + 2) // skip this segment by declared length
+        }
+      }
+      ("raw", -1L, -1L) // marker walk fell off the structure: not a JPEG
+    } else ("raw", -1L, -1L)
+  }
+}
 
 /** Multimodal-column operators: binary payloads + typed metadata, batch
   * feature extraction via `mapPartitions`.
   *
-  * The decode step is a clearly-marked deterministic STUB (`fakeDecode`) —
-  * image/audio codecs aren't available here — but the Spark-side plumbing is
-  * real and what matters at scale: payloads travel as parquet `binary` (never
-  * strings), extraction runs once per partition with zero driver involvement,
-  * and the feature schema is a typed case class so downstream ops are
-  * columnar again. Swapping `fakeDecode` for a JNI/codec call changes no
-  * plan shape.
+  * The payloads are REAL format bytes: the corpus text is wrapped in
+  * spec-conformant PNG / JPEG containers (see [[MediaCodec]]) and the
+  * operator detects the format and parses dimensions from the headers —
+  * magic bytes, chunk CRCs, marker walking — not from metadata riding
+  * alongside. What stays out of scope is pixel decode (no codec libs in
+  * this container); at scale that is a JNI call inside the same
+  * mapPartitions batch, changing no plan shape. Payloads travel as parquet
+  * `binary`, extraction runs once per partition with zero driver
+  * involvement, and the feature schema is a typed case class so downstream
+  * ops are columnar again.
   */
 object MultimodalQueries extends QueryModule {
 
-  /** STUB decoder: byte statistics + a fake geometry derived from the payload
-    * length. A real implementation would parse the codec header here. */
-  private[graft] def fakeDecode(b: MediaBlob): MediaFeatures = {
-    var sum = 0L
-    var i = 0
-    while (i < b.payload.length) { sum += b.payload(i) & 0xFF; i += 1 }
-    val n = b.payload.length.toLong
-    MediaFeatures(b.doc_id, b.media_type, n,
-      if (n > 0) (b.payload(0) & 0xFF).toLong else -1L,
-      sum, width = n % 640, height = (sum % 480))
+  /** Build the format-true payload for one doc: text bytes wrapped in a PNG
+    * header (doc_id ≡ 0 mod 3), a JPEG container (≡ 1), or left raw (≡ 2);
+    * dimensions derive from doc_id so the oracle can predict what the
+    * PARSER must recover from the bytes. */
+  private[graft] def synthesize(docId: Long, text: String): Array[Byte] = {
+    val body = text.getBytes("UTF-8")
+    val (w, h) = ((docId % 640 + 16).toInt, (docId % 480 + 16).toInt)
+    docId % 3 match {
+      case 0 => MediaCodec.encodePng(w, h, body)
+      case 1 => MediaCodec.encodeJpeg(w, h, body)
+      case _ => body
+    }
   }
 
-  /** q65 — binary feature extraction: documents' text bytes stand in for
-    * media payloads (`cast(text as binary)` = UTF-8 bytes); media_type cycles
-    * deterministically. mapPartitions batches the "decode"; output aggregates
-    * per media_type so results stay bounded at any corpus size. */
+  /** q65 — multimodal feature extraction: synthesize format-true binary
+    * payloads from the text corpus, then detect format and parse
+    * header-derived dimensions with [[MediaCodec.decode]] inside one
+    * mapPartitions batch; aggregate per detected format so results stay
+    * bounded at any corpus size. The oracle recomputes the expected
+    * geometry/byte counts from the synthesis arithmetic — so a parser that
+    * misreads the real header bytes (wrong endianness, wrong offset, CRC
+    * skipped) hash-mismatches. */
   val q65Multimodal: Q = (s, dir) => {
     import s.implicits._
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        concat(lit("img/"), (col("doc_id") % 3).cast("string")).as("media_type"),
-        col("text").cast("binary").as("payload"))
-      .as[MediaBlob]
-      .mapPartitions(_.map(fakeDecode))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val payload = synthesize(id, text)
+        val (fmt, w, h) = MediaCodec.decode(payload)
+        MediaFeatures(id, fmt, payload.length.toLong,
+          if (payload.nonEmpty) (payload(0) & 0xFF).toLong else -1L, w, h)
+      })
       .toDF()
-      .groupBy(col("media_type"))
+      .groupBy(col("format"))
       .agg(count(lit(1)).as("n_blobs"),
         sum(col("n_bytes")).as("tot_bytes"),
-        sum(col("byte_sum")).as("tot_byte_sum"),
         min(col("first_byte")).as("min_first"),
         max(col("width")).as("max_width"),
-        max(col("height")).as("max_height"))
-      .orderBy(col("media_type"))
+        max(col("height")).as("max_height"),
+        sum(col("width")).as("sum_width"),
+        sum(col("height")).as("sum_height"))
+      .orderBy(col("format"))
   }
 
   /** q67 — frame sampling: chunk each binary payload into fixed 32-byte
@@ -92,24 +198,33 @@ object MultimodalQueries extends QueryModule {
     "q65_multimodal" -> q65Multimodal,
     "q67_frame_sample" -> q67FrameSample)
 
-  /** The fixture text is ASCII, so byte stats equal character-code stats —
-    * which DuckDB can compute without a binary decoder. */
+  /** The oracle derives expectations from the synthesis arithmetic: header
+    * prefix sizes are format constants (PNG 8+25 = 33 bytes before the body,
+    * JPEG 39 before + 2 after), dimensions are the doc_id formulas, first
+    * bytes are the magic values (PNG 0x89 = 137, JPEG 0xFF = 255; raw = the
+    * text's first UTF-8 byte — the fixture is ASCII so unicode() matches). */
   def oracles: Map[String, String] = Map(
     "q65_multimodal" -> """
       WITH f AS (
         SELECT doc_id,
-          'img/' || CAST(doc_id % 3 AS VARCHAR) AS media_type,
-          CAST(length(text) AS BIGINT) AS n_bytes,
-          CAST(unicode(text[1]) AS BIGINT) AS first_byte,
-          CAST(list_sum([unicode(text[i]) for i in range(1, length(text)+1)]) AS BIGINT) AS byte_sum
+          CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'raw' END AS format,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 33 + length(text)
+               WHEN 1 THEN 41 + length(text)
+               ELSE length(text) END AS BIGINT) AS n_bytes,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 137 WHEN 1 THEN 255
+               ELSE CASE WHEN length(text) = 0 THEN -1 ELSE unicode(text[1]) END
+               END AS BIGINT) AS first_byte,
+          CAST(CASE WHEN doc_id % 3 = 2 THEN -1 ELSE doc_id % 640 + 16 END AS BIGINT) AS width,
+          CAST(CASE WHEN doc_id % 3 = 2 THEN -1 ELSE doc_id % 480 + 16 END AS BIGINT) AS height
         FROM documents)
-      SELECT media_type, count(*) AS n_blobs,
+      SELECT format, count(*) AS n_blobs,
         CAST(sum(n_bytes) AS BIGINT) AS tot_bytes,
-        CAST(sum(byte_sum) AS BIGINT) AS tot_byte_sum,
         min(first_byte) AS min_first,
-        max(n_bytes % 640) AS max_width,
-        max(byte_sum % 480) AS max_height
-      FROM f GROUP BY media_type ORDER BY media_type""",
+        max(width) AS max_width,
+        max(height) AS max_height,
+        CAST(sum(width) AS BIGINT) AS sum_width,
+        CAST(sum(height) AS BIGINT) AS sum_height
+      FROM f GROUP BY format ORDER BY format""",
     "q67_frame_sample" -> """
       WITH f AS (
         SELECT doc_id, i AS frame_idx, substring(text, i*32 + 1, 32) AS fr

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{MediaBlob, MultimodalQueries, SimilarityQueries}
+import graft.operators.{MultimodalQueries, SimilarityQueries}
 import org.apache.spark.sql.functions._
 
 class SimilarityMultimodalSpec extends SparkSpec {
@@ -33,19 +33,55 @@ class SimilarityMultimodalSpec extends SparkSpec {
     lsh.foreach(r => assert(r.getDouble(2) <= 1.0 && r.getDouble(2) >= -1.0))
   }
 
-  test("fakeDecode computes exact byte statistics") {
-    val blob = MediaBlob(7L, "img/1", Array[Byte](65, 66, 67, -1))
-    val f = MultimodalQueries.fakeDecode(blob)
-    assert(f.n_bytes == 4)
-    assert(f.first_byte == 65)
-    assert(f.byte_sum == 65 + 66 + 67 + 255)
-    assert(f.width == 4 % 640 && f.height == f.byte_sum % 480)
+  test("PNG round-trip: decode recovers dimensions from real header bytes") {
+    import graft.operators.MediaCodec
+    val body = "some payload".getBytes("UTF-8")
+    val png = MediaCodec.encodePng(800, 600, body)
+    // genuine PNG structure: signature, IHDR length 13, type at offset 12
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    assert(new String(png.slice(12, 16), "US-ASCII") == "IHDR")
+    assert(png.length == 33 + body.length)
+    assert(MediaCodec.decode(png) == (("png", 800L, 600L)))
   }
 
-  test("multimodal pipeline aggregates all media types") {
+  test("PNG with a corrupted IHDR CRC is rejected, not misparsed") {
+    import graft.operators.MediaCodec
+    val png = MediaCodec.encodePng(800, 600, "x".getBytes)
+    png(30) = (png(30) ^ 0x7F).toByte // flip bits inside the CRC field
+    assert(MediaCodec.decode(png)._1 == "raw")
+    // truncated signature is not a PNG either
+    assert(MediaCodec.decode(png.drop(1))._1 == "raw")
+  }
+
+  test("JPEG decode walks marker segments (APP0 and inserted COM) to SOF0") {
+    import graft.operators.MediaCodec
+    val jpg = MediaCodec.encodeJpeg(1920, 1080, "body".getBytes)
+    assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8)
+    assert(MediaCodec.decode(jpg) == (("jpeg", 1920L, 1080L)))
+    // splice an extra COM segment (FF FE, length 5, 3 junk bytes) between
+    // SOI and APP0: a parser that assumes fixed offsets misreads, a marker
+    // walker skips it by declared length
+    val com = Array[Byte](0xFF.toByte, 0xFE.toByte, 0, 5, 1, 2, 3)
+    val spliced = jpg.take(2) ++ com ++ jpg.drop(2)
+    assert(MediaCodec.decode(spliced) == (("jpeg", 1920L, 1080L)))
+  }
+
+  test("non-image bytes classify as raw with no dimensions") {
+    import graft.operators.MediaCodec
+    assert(MediaCodec.decode("just some text".getBytes) == (("raw", -1L, -1L)))
+    assert(MediaCodec.decode(Array.emptyByteArray) == (("raw", -1L, -1L)))
+    assert(MediaCodec.decode(Array[Byte](0xFF.toByte)) == (("raw", -1L, -1L)))
+  }
+
+  test("multimodal pipeline detects all three formats with consistent counts") {
     val rows = MultimodalQueries.q65Multimodal(spark, sfDir).collect()
-    assert(rows.map(_.getString(0)).toSet == Set("img/0", "img/1", "img/2"))
+    assert(rows.map(_.getString(0)).toSet == Set("png", "jpeg", "raw"))
     val total = rows.map(_.getLong(1)).sum
     assert(total == graft.engine.Tables.load(spark, sfDir, "documents").count())
+    // parsed geometry stays inside the synthesis ranges
+    rows.filter(r => r.getString(0) != "raw").foreach { r =>
+      assert(r.getLong(4) >= 16 && r.getLong(4) < 640 + 16, "max_width range")
+      assert(r.getLong(5) >= 16 && r.getLong(5) < 480 + 16, "max_height range")
+    }
   }
 }
