@@ -295,20 +295,10 @@ object DedupQueries extends QueryModule {
     * join-shaped building blocks; plain propagation is right while observed
     * near-dup diameters stay small, and the fixpoint check makes the
     * assumption self-verifying. */
-  /** Materialize a frame into explicitly-freeable blocks behind a leaf plan:
-    * the returned frame is a leaf over the pinned RDD (so the iterated PLAN
-    * stays one join deep — Catalyst never sees prior rounds), and the RDD
-    * handle is what unpersist() needs (Dataset.unpersist only covers
-    * CacheManager entries). persist — not localCheckpoint — on purpose: the
-    * RDD keeps its lineage, so a block lost to eviction or a freed prior
-    * round recomputes from source instead of throwing; a checkpoint's
-    * truncated lineage makes every unpersist a point of no return. Shared
-    * by both iterative CC drivers. */
-  private def pin(df: DataFrame): (DataFrame, RDD[Row]) = {
-    val r = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    r.count()
-    (df.sparkSession.createDataFrame(r, df.schema), r)
-  }
+  /** Round materialization for the iterative drivers — see
+    * [[graft.engine.Pin]] for the leaf-plan/unpersist discipline shared
+    * with the k-means driver. */
+  private def pin(df: DataFrame): (DataFrame, RDD[Row]) = graft.engine.Pin.pin(df)
 
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val edges = pairs.select(col("i"), col("j"))

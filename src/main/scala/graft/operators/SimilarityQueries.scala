@@ -158,6 +158,70 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("cluster"), col("pos"))
   }
 
+  /** Iterated k-means (Lloyd) over a (vec_id, q: array<bigint>) frame —
+    * q72 is ONE step; this is the driver a cluster-then-sample curation
+    * pipeline actually runs. Seeds are the k lowest vec_ids (deterministic,
+    * data-derived). Each round is q72's two shuffles: seeds broadcast
+    * against one corpus scan (nearest centroid via `min_by`, exact integer
+    * squared-Euclidean, ties broken by cid), then one partial-aggregated
+    * shuffle for per-component floor-averaged means. An empty cluster keeps
+    * its previous centroid (the standard Lloyd's degenerate-case choice
+    * that never loses a center).
+    *
+    * Same resource discipline as the CC drivers ([[graft.engine.Pin]]):
+    * every round's centroid frame is pinned behind a leaf plan — so the
+    * iterated plan stays one broadcast-join deep instead of replanning
+    * k-deep lineage — and the previous round is unpersisted the moment its
+    * successor materializes: O(1) storage over any iteration count. The
+    * corpus frame is cached once and released before returning.
+    * Convergence is CHECKED (zero centroids moved — exact integer
+    * comparison, so a fixpoint is a true fixpoint) and the cap is LOUD:
+    * floor-averaged integer centroids cannot cycle silently into an
+    * accepted result. Returns the converged (cid, cq) centroid frame,
+    * backed by the final round's pinned blocks (freed by the session's
+    * next `releasePinned` sweep). */
+  def kmeans(vecs: DataFrame, k: Int, maxIters: Int = 30): DataFrame = {
+    require(k >= 1, "k must be positive")
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    import graft.engine.Pin.pin
+    val e = vecs.select(col("vec_id"), col("q"))
+      .withColumn("n2", expr("dot_long(q, q)")).cache()
+    val seedRows = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    var (cents, centsPin) = pin(seedRows)
+    var moved = 1L
+    var iter = 0
+    while (moved > 0 && iter < maxIters) {
+      iter += 1
+      val withN2 = broadcast(cents.withColumn("cn2", expr("dot_long(cq, cq)")))
+      val assigned = e.join(withN2)
+        .select(col("vec_id"), col("q"), col("cid"),
+          (col("n2") - lit(2L) * expr("dot_long(q, cq)") + col("cn2")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cid"), col("q")), struct(col("d2"), col("cid"))).as("b"))
+      val means = assigned
+        .select(col("b.cid").as("cid"), posexplode(col("b.q")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("cv"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
+        .select(col("cid"), expr("transform(pc, p -> p.cv)").as("new_cq"))
+      val stepped = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("new_cq"), col("cq")).as("cq"),
+          col("cq").as("prev_cq"))
+      val (next, nextPin) = pin(stepped)
+      moved = next.filter(col("cq") =!= col("prev_cq")).count()
+      centsPin.unpersist(blocking = false)
+      cents = next.select(col("cid"), col("cq"))
+      centsPin = nextPin
+    }
+    e.unpersist(blocking = false)
+    require(moved == 0,
+      s"kmeans did not converge in $maxIters iterations " +
+        s"($moved centroids still moving); raise maxIters")
+    cents
+  }
+
   def queries: Map[String, Q] = Map(
     "q55_knn_brute" -> q55KnnBrute,
     "q56_knn_lsh"   -> q56KnnLsh,

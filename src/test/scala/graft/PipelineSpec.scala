@@ -47,6 +47,54 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("kmeans driver recovers planted clusters and converges with O(1) storage") {
+    import spark.implicits._
+    // 3 well-separated planted clusters in 8 dims (centers at c*100000 per
+    // component), 21 points each with deterministic jitter; ids interleave
+    // (id % 3 = cluster) so the first-k seeds land one per cluster
+    val dim = 8
+    val pts = (0 until 63).map { id =>
+      val c = id % 3
+      val jitter = (id / 3) % 7 - 3 // -3..3, mean 0 over each cluster's 21 points
+      (id.toLong, (0 until dim).map(d => c * 100000L + jitter * (d + 1)).toArray)
+    }
+    val df = pts.toDF("vec_id", "q")
+    val cents = graft.operators.SimilarityQueries.kmeans(df, 3, maxIters = 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toMap
+    assert(cents.keySet == Set(0L, 1L, 2L), "seed ids are the k lowest vec_ids")
+    // each converged centroid sits within the jitter radius of its planted
+    // center — floor-mean of 21 symmetric jitters stays within one unit
+    for (c <- 0 until 3; d <- 0 until dim) {
+      val want = c * 100000L
+      val got = cents(c.toLong)(d)
+      assert(math.abs(got - want) <= 3 * (d + 1), s"cluster $c dim $d: $got vs $want")
+    }
+    // purity: every point's nearest converged centroid is its planted cluster
+    pts.foreach { case (id, q) =>
+      val nearest = cents.minBy { case (_, cq) =>
+        q.zip(cq).map { case (a, b) => (a - b) * (a - b) }.sum
+      }._1
+      assert(nearest == id % 3, s"vec $id assigned to $nearest")
+    }
+    // pin discipline: only the final centroid round may remain pinned
+    assert(spark.sparkContext.getPersistentRDDs.size <= 2,
+      "kmeans must unpersist prior rounds as it iterates")
+    graft.engine.Sessions.releasePinned(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("kmeans fails loudly when the iteration cap is hit") {
+    import spark.implicits._
+    // two far-apart points, one seed is irrelevant: with maxIters = 0 the
+    // driver must refuse to return an unconverged result
+    val df = Seq((0L, Array(0L, 0L)), (1L, Array(1000L, 1000L))).toDF("vec_id", "q")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.SimilarityQueries.kmeans(df, 1, maxIters = 0)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("q73 pipeline ledger: stages only narrow, checksums stay consistent") {
     val rows = graft.operators.DedupQueries.q73Pipeline(spark, sfDir01)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
