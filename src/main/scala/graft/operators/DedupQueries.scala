@@ -76,24 +76,39 @@ object DedupQueries extends QueryModule {
     * — the standard fingerprinting/winnowing move for char-gram dedup, where
     * gram volume is ~n_chars per doc (~10× token-shingle volume). */
   private def lshBands(items: DataFrame, itemsCol: String,
+      winnowMod: Int = 1, meta: Seq[String] = Nil): DataFrame =
+    bandRows(minhashSigs(items, itemsCol, winnowMod, meta), meta)
+
+  /** The signature half of [[lshBands]]: (doc_id, meta..., sig) with the
+    * whole 32-hash signature folded in ONE codegen'd map-side pass per doc
+    * (native minhash_sig: item hashed once, 32 seed mixes, winnow applied
+    * inline) — no item explosion, no 32-column min aggregation, no shuffle.
+    * Docs with every item winnowed away yield a NULL signature and drop
+    * out, exactly like an empty group in the aggregate formulation.
+    *
+    * This frame IS the persisted-signature shape: at 100 TB it is written
+    * once to parquet (32 longs/doc ≈ 0.3% of a 100 KB doc) and reused by
+    * every later dedup run — see [[q74IncrementalDedup]]. */
+  private[graft] def minhashSigs(items: DataFrame, itemsCol: String,
       winnowMod: Int = 1, meta: Seq[String] = Nil): DataFrame = {
     graft.functions.GraftFunctions.register(items.sparkSession)
     val keys = col("doc_id") +: meta.map(col)
-    // the whole 32-hash signature folds in ONE codegen'd map-side pass per
-    // doc (native minhash_sig: item hashed once, 32 seed mixes, winnow
-    // applied inline) — no item explosion, no 32-column min aggregation, no
-    // shuffle before the band join; docs with every item winnowed away
-    // yield a NULL signature and drop out, exactly like an empty group in
-    // the aggregate formulation
-    val sig = items
+    items
       .select(keys :+ expr(s"minhash_sig($itemsCol, $winnowMod)").as("sig"): _*)
       .filter(col("sig").isNotNull)
+  }
+
+  /** The banding half of [[lshBands]]: 8 (doc_id, meta..., band, band-hash)
+    * rows per signature — derivable from a persisted signature table, so
+    * banding parameters can change without re-reading payloads. */
+  private[graft] def bandRows(sigs: DataFrame, meta: Seq[String] = Nil): DataFrame = {
+    val keys = col("doc_id") +: meta.map(col)
     val bandCols = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         xxhash64((4 * b until 4 * b + 4).map(i =>
           element_at(col("sig"), i + 1)): _*).as("bh"))
     }
-    sig.select(keys :+ explode(array(bandCols: _*)).as("bb"): _*)
+    sigs.select(keys :+ explode(array(bandCols: _*)).as("bb"): _*)
       .select(keys :+ col("bb.band").as("band") :+ col("bb.bh").as("bh"): _*)
   }
 
@@ -437,6 +452,40 @@ object DedupQueries extends QueryModule {
       .orderBy(col("keep_id"))
   }
 
+  /** q74 — INCREMENTAL near-dup dedup over a PERSISTED signature index: the
+    * production ingest shape, where a new batch arrives and must be deduped
+    * against a corpus whose signatures were computed by earlier runs. The
+    * old docs' (doc_id, sig) frame is written to parquet and READ BACK (the
+    * round-trip is inside the oracle-checked path — a signature that
+    * doesn't survive parquet would hash-mismatch here); only the NEW
+    * batch's signatures are computed from payloads. Banding unions the two
+    * with an `is_new` flag, and the candidate self-join is gated on "at
+    * least one side new" INSIDE the join — old×old pairs, the bulk of the
+    * pair space, are never materialized. Exact-Jaccard verification is
+    * unchanged, so precision stays 1 and the result equals the full-corpus
+    * run restricted to new-involving pairs (spec'd, and the oracle is
+    * exactly that restriction).
+    *
+    * At 100 TB this is THE dedup cost model: per ingest batch, one
+    * signature pass over the batch (map-side), one parquet append, and a
+    * band join whose output is |new|-proportional — the full corpus is
+    * re-read never, its signatures (32 longs ≈ 0.3% of a 100 KB doc)
+    * always. The new batch here is the doc_id ≡ 3 (mod 7) slice —
+    * arbitrary but deterministic, so both engines agree. */
+  val q74IncrementalDedup: Q = (s, dir) => {
+    val isNew = col("doc_id") % 7 === 3
+    val sh = shingled(s, dir).cache()
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft_sig_index").toString
+    minhashSigs(sh.filter(!isNew), "sh")
+      .write.mode("overwrite").parquet(indexPath)
+    val oldSigs = s.read.parquet(indexPath).withColumn("is_new", lit(false))
+    val newSigs = minhashSigs(sh.filter(isNew), "sh").withColumn("is_new", lit(true))
+    val bands = bandRows(oldSigs.unionByName(newSigs), meta = Seq("is_new"))
+    val cand = bandPairs(bands, gate = Some(col("x.is_new") || col("y.is_new")))
+    verifyPairs(cand, sh)
+  }
+
   /** q73 — the composed TRAINING-DATA PIPELINE, end to end in one query:
     * near-dup removal (q59's verified-pair connected components, keep the
     * min doc per cluster) → quality gate (≥ 50 tokens) → decontamination
@@ -500,7 +549,8 @@ object DedupQueries extends QueryModule {
     "q51_dedup_minhash"   -> q51MinHashLsh,
     "q52_dedup_simhash"   -> q52SimHash,
     "q53_dedup_ngram"     -> q53NgramJaccard,
-    "q54_dedup_embedding" -> q54EmbeddingDup)
+    "q54_dedup_embedding" -> q54EmbeddingDup,
+    "q74_dedup_incremental" -> q74IncrementalDedup)
 
   /** Shared DuckDB fragment: distinct 3-token shingles, 1-based lists. */
   private val duckShingles =
@@ -596,6 +646,20 @@ object DedupQueries extends QueryModule {
       FROM (SELECT min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY text)""",
     "q51_dedup_minhash" -> duckPairJaccard,
+    // the incremental run must equal the full brute-force pair set
+    // restricted to pairs with at least one side in the new batch
+    "q74_dedup_incremental" -> s"""WITH $duckShingles
+      SELECT a.doc_id AS i, b.doc_id AS j,
+        CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) AS inter,
+        CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS BIGINT) AS uni,
+        CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) /
+          CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS BIGINT) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE (a.doc_id % 7 = 3 OR b.doc_id % 7 = 3)
+        AND len(a.ss) > 0 AND len(b.ss) > 0
+        AND len(list_intersect(a.ss, b.ss)) >=
+            len(list_distinct(list_concat(a.ss, b.ss))) * 0.8
+      ORDER BY i, j""",
     "q53_dedup_ngram" -> """
       WITH g AS (
         SELECT doc_id, n_chars,

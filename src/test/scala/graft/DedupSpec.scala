@@ -83,6 +83,20 @@ class DedupSpec extends SparkSpec {
     assert(labels(500L) == 500L && labels(501L) == 500L)
   }
 
+  test("incremental dedup over a persisted signature index equals the full run on new-involving pairs") {
+    // the production ingest shape: old signatures come back from parquet,
+    // only the new batch computes from payloads — the pair set must be
+    // EXACTLY the full-corpus run restricted to pairs touching the batch
+    val full = graft.operators.DedupQueries.q51MinHashLsh(spark, sfDir01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 % 7 == 3 || p._2 % 7 == 3)
+    val inc = graft.operators.DedupQueries.q74IncrementalDedup(spark, sfDir01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full)
+    assert(inc.nonEmpty, "fixture must exercise the incremental path")
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("star-contraction CC labels self-pair-only nodes like plain propagation") {
     import spark.implicits._
     // node 9 appears ONLY as a self-pair: star's canonical edge set drops
