@@ -33,6 +33,20 @@ class SimilarityMultimodalSpec extends SparkSpec {
     lsh.foreach(r => assert(r.getDouble(2) <= 1.0 && r.getDouble(2) >= -1.0))
   }
 
+  test("multi-probe IVF recall@3 is at least single-probe recall@3 vs brute force") {
+    // brute-force truth: top-3 per query from q55's top-10
+    val truth = SimilarityQueries.q55KnnBrute(spark, sfDir01).collect()
+      .filter(_.getLong(3) <= 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet.intersect(truth).size
+    val single = hits(SimilarityQueries.q57KnnIvf(spark, sfDir01).collect())
+    val multi = hits(SimilarityQueries.q75KnnIvfMultiprobe(spark, sfDir01).collect())
+    assert(multi >= single,
+      s"probing a second cell must not lose recall: $multi < $single")
+    assert(multi > 0, "fixture must produce some true neighbours")
+  }
+
   test("PNG round-trip: decode recovers dimensions from real header bytes") {
     import graft.operators.MediaCodec
     val body = "some payload".getBytes("UTF-8")
