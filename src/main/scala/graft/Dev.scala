@@ -28,6 +28,44 @@ object Dev {
             .reduce(_.bitwiseOR(_)).as("f"))
         .coalesce(1).write.mode("overwrite").parquet("/tmp/simham")
       println("[dev] simham written to /tmp/simham")
+    } else if (name == "cold") {
+      // honest cold timings: caches released between reps, like Bench.
+      // Usage: runMain graft.Dev <sfDir> cold <reps> <queryName>
+      val qname = args(3)
+      val fn = SparkEntry.queries(qname)
+      (1 to reps).foreach { i =>
+        graft.engine.Sessions.releasePinned(spark)
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[dev] cold $qname rep$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      }
+      spark.stop()
+    } else if (name == "q53cand") {
+      // how many distinct docs reach the verify stage, and stage timings
+      import org.apache.spark.sql.functions._
+      graft.functions.GraftFunctions.register(spark)
+      val docs = graft.engine.Tables.load(spark, sfDir, "documents")
+        .filter(length(col("text")) >= 5)
+      val t0 = System.nanoTime()
+      val sigs = docs.select(col("doc_id"), col("n_chars"),
+          expr("chargram_minhash(text, 5, 4)").as("sig"))
+        .filter(col("sig").isNotNull)
+      val bands = graft.operators.DedupQueries.bandRows(sigs, Seq("n_chars")).cache()
+      bands.count()
+      val t1 = System.nanoTime()
+      val base = col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        abs(col("x.n_chars") - col("y.n_chars")) <= 20
+      val cand = bands.as("x").join(bands.as("y"), base)
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j")).distinct().cache()
+      val nCand = cand.count()
+      val t2 = System.nanoTime()
+      val nDocs = cand.select(col("i").as("d")).union(cand.select(col("j").as("d")))
+        .distinct().count()
+      val t3 = System.nanoTime()
+      println(f"[dev] sigs+bands=${(t1 - t0) / 1e9}%.2fs selfjoin=${(t2 - t1) / 1e9}%.2fs " +
+        f"candDocs=${(t3 - t2) / 1e9}%.2fs nCand=$nCand nCandDocs=$nDocs of ${docs.count()}")
+      spark.stop()
     } else if (name == "all") {
       (1 to reps).foreach { i =>
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (qn, f) =>

@@ -9,7 +9,8 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_long" -> (es => LongArrayDot(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
-    "minhash_sig" -> (es => MinHashSig(es(0), es(1))))
+    "minhash_sig" -> (es => MinHashSig(es(0), es(1))),
+    "chargram_minhash" -> (es => ChargramMinHash(es(0), es(1), es(2))))
 
   /** Idempotent per-session registration; queries call this so they work on
     * any SparkSession, extension-injected or not. */
@@ -36,5 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (es: Seq[Expression]) => MinHashSig(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("chargram_minhash"),
+      new ExpressionInfo(classOf[ChargramMinHash].getName, "chargram_minhash"),
+      (es: Seq[Expression]) => ChargramMinHash(es(0), es(1), es(2))))
   }
 }

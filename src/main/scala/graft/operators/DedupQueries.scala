@@ -228,6 +228,30 @@ object DedupQueries extends QueryModule {
       .orderBy(col("i"), col("j"))
   }
 
+  /** q53 cold-cost ledger — two candidate optimizations were built and
+    * MEASURED at sf0.1 (5000 docs, cold caches between reps, Dev probes),
+    * and both rejected for this scale; recorded so the next tuning pass
+    * doesn't re-run them:
+    *
+    *  1. Size-ratio verify gate (the sound bound J ≤ min|A|,|B| /
+    *     max|A|,|B| added to the band join): with |Δn_chars| ≤ 20 already
+    *     gating, it pruned 45 of 4692 candidates (~1%) and moved cold
+    *     timings within noise (3.2–3.3 s both ways). Worth revisiting only
+    *     if the length gate is loosened.
+    *  2. Candidates-only gram materialization (native
+    *     [[graft.functions.ChargramMinHash]] signatures straight off the
+    *     string bytes — spec-pinned byte-identical to the array
+    *     formulation — plus a broadcast semi-join so verify builds gram
+    *     arrays only for candidate docs): SLOWER here, 4.2–5.1 s vs
+    *     3.2–3.3 s. Mechanism: 3167 of 5000 docs (63%) reach the verify
+    *     stage on this dense synthetic fixture, so the semi-join saves
+    *     little gram work while adding three stages whose fixed cost
+    *     (~0.5 s each at 32 partitions) dominates at this corpus size.
+    *     The expression stays: at production candidate densities (≪1% of
+    *     a 100 TB corpus) the corpus-wide array materialization is the
+    *     term that matters and the candidates-only structure wins; the
+    *     crossover is candidate-density-driven, not SF-driven. */
+
   /** q54 — embedding near-dup by cosine ≥ 0.45 over integer-quantized
     * components (×1e6): dot and norms are exact BIGINT sums, so both engines
     * derive bit-identical cosines.

@@ -103,6 +103,35 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("chargram_minhash equals minhash_sig over materialized gram arrays") {
+    graft.functions.GraftFunctions.register(spark)
+    // the native string-walking path must produce BYTE-IDENTICAL signatures
+    // to the array formulation (same per-gram xxhash64, same winnow, same
+    // slot folds) — this is what guarantees q53's candidate set did not
+    // change when the gram-array materialization was optimized away
+    for (mod <- Seq(1, 4)) {
+      val both = graft.engine.Tables.load(spark, sfDir, "documents")
+        .filter(length(col("text")) >= 5)
+        .selectExpr("doc_id",
+          s"chargram_minhash(text, 5, $mod) AS fast",
+          s"""minhash_sig(transform(sequence(0, length(text)-5),
+              i -> substring(text, i+1, 5)), $mod) AS slow""")
+      assert(both.filter(not(col("fast") <=> col("slow"))).count() == 0,
+        s"mod=$mod")
+      assert(both.filter(col("fast").isNotNull).count() > 0)
+    }
+    // shorter than one gram → NULL, like an empty feature set
+    val r = spark.sql("SELECT chargram_minhash('abcd', 5, 1) AS s").collect()
+    assert(r.head.isNullAt(0))
+    // multi-byte codepoints: windows count CHARACTERS, not bytes — pin the
+    // equivalence on non-ASCII too
+    val uni = spark.sql(
+      """SELECT chargram_minhash('héllo wörld déjà vu', 5, 1) AS fast,
+           minhash_sig(transform(sequence(0, length('héllo wörld déjà vu')-5),
+             i -> substring('héllo wörld déjà vu', i+1, 5)), 1) AS slow""").collect()
+    assert(uni.head.getSeq[Long](0) == uni.head.getSeq[Long](1))
+  }
+
   test("dot_long propagates null arrays") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

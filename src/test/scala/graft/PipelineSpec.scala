@@ -59,6 +59,9 @@ class PipelineSpec extends SparkSpec {
       (id.toLong, (0 until dim).map(d => c * 100000L + jitter * (d + 1)).toArray)
     }
     val df = pts.toDF("vec_id", "q")
+    // start from a clean block manager: earlier suites in the shared JVM may
+    // leave query-scoped caches, and the storage assertion below is absolute
+    graft.engine.Sessions.releasePinned(spark)
     val cents = graft.operators.SimilarityQueries.kmeans(df, 3, maxIters = 10)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toMap
     assert(cents.keySet == Set(0L, 1L, 2L), "seed ids are the k lowest vec_ids")
