@@ -28,7 +28,12 @@ object DedupQueries extends QueryModule {
     * token ORDER, which is what separates near-duplicates from the merely
     * same-vocabulary (token-set Jaccard is degenerate on bounded vocab). */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    shingledDocs(Tables.load(s, dir, "documents"))
+
+  /** Same shingling over any (doc_id, text) frame — the streaming
+    * incremental-dedup path shingles micro-batches and doc-store reads. */
+  private[graft] def shingledDocs(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3) // sequence(0, n) needs n >= 0
       .select(col("doc_id"), array_distinct(expr(
@@ -508,6 +513,64 @@ object DedupQueries extends QueryModule {
     val bands = bandRows(oldSigs.unionByName(newSigs), meta = Seq("is_new"))
     val cand = bandPairs(bands, gate = Some(col("x.is_new") || col("y.is_new")))
     verifyPairs(cand, sh)
+  }
+
+  /** One micro-batch of STREAMING incremental dedup — the foreachBatch body
+    * behind [[graft.streaming.StreamOps.incrementalDedupStream]], reusing
+    * q74's machinery with durable, replay-safe state:
+    *
+    *  - the batch lands in the doc store FIRST, partitioned by ingest batch
+    *    with dynamic partition overwrite — a replayed micro-batch (Structured
+    *    Streaming's foreachBatch is at-least-once on failure) overwrites its
+    *    own partition instead of duplicating rows, which is the standard
+    *    idempotent-sink recipe;
+    *  - prior-corpus signatures come from the persisted index (never from
+    *    payloads), the batch's signatures are computed map-side, and the
+    *    candidate join is gated at-least-one-side-new exactly like q74;
+    *  - emitted pairs are PINNED (materialized) before the batch's
+    *    signatures are appended to the index — the index read is lazy, so
+    *    appending first would let this batch's own signatures flow back in
+    *    as "old" rows;
+    *  - state is therefore the parquet index + doc store, NOT the state
+    *    store: executor memory stays flat however many batches stream
+    *    through, restarts resume from the index, and each near-dup pair is
+    *    flagged exactly once (when its later doc arrives) — spec-asserted
+    *    equal, across batches, to the full-corpus q51 pair set. */
+  def incrementalDedupBatch(batch: DataFrame, batchId: Long,
+      docStorePath: String, indexPath: String): DataFrame = {
+    val s = batch.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    batch.select(col("doc_id"), col("text"))
+      .withColumn("ingest_batch", lit(batchId))
+      .write.partitionBy("ingest_batch").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(docStorePath)
+    val newSigs = minhashSigs(shingledDocs(batch), "sh")
+    val oldSigs = readSigIndex(s, indexPath)
+    val bands = bandRows(
+      oldSigs.withColumn("is_new", lit(false))
+        .unionByName(newSigs.withColumn("is_new", lit(true))),
+      meta = Seq("is_new"))
+    val cand = bandPairs(bands, gate = Some(col("x.is_new") || col("y.is_new")))
+    val store = s.read.parquet(docStorePath).select(col("doc_id"), col("text"))
+    val (pairs, _) = graft.engine.Pin.pin(verifyPairs(cand, shingledDocs(store)))
+    newSigs.withColumn("ingest_batch", lit(batchId))
+      .write.partitionBy("ingest_batch").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(indexPath)
+    pairs
+  }
+
+  /** The signature index, or an empty frame before the first batch. */
+  private def readSigIndex(s: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) s.read.parquet(path).select(col("doc_id"), col("sig"))
+    else s.createDataFrame(s.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sig",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))))
   }
 
   /** q73 — the composed TRAINING-DATA PIPELINE, end to end in one query:

@@ -136,6 +136,38 @@ object StreamOps {
         col("c_id"), col("e_id"), col("c_ts"), col("e_ts"))
   }
 
+  /** Stream-STATIC enrichment join: each micro-batch of events joins the
+    * static dimension frame — the stateless member of the streaming join
+    * family (no watermark, no state store; Spark replans the static side
+    * per batch, picking up dimension updates for free on file sources).
+    * The dimension is broadcast: enrichment dims are the canonical
+    * broadcast-sized side, and keeping the stream side shuffle-free is what
+    * lets a 100 TB/day event stream enrich at scan speed. Left join so
+    * events with no dimension row survive with nulls (the production
+    * default — dropping unmatched events silently is how funnels go
+    * missing). On static frames this is a plain broadcast left join — the
+    * batch twin is the same code. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** STREAMING incremental near-dup dedup over a persisted signature index:
+    * foreachBatch drives [[graft.operators.DedupQueries.incrementalDedupBatch]]
+    * — per micro-batch: land the docs in the partitioned doc store
+    * (replay-idempotent), band-join the batch's map-side signatures against
+    * the parquet index, verify with exact Jaccard, hand the flagged pairs to
+    * `onPairs`, then append the batch's signatures to the index. All durable
+    * state is the index + store; the state store holds nothing, so executor
+    * memory is flat over an unbounded stream and a restart resumes from the
+    * index (add `checkpointLocation` via `options` in production). Each
+    * near-dup pair surfaces exactly once — when its later doc arrives. */
+  def incrementalDedupStream(docs: DataFrame, docStorePath: String,
+      indexPath: String)(onPairs: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onPairs(graft.operators.DedupQueries.incrementalDedupBatch(
+        batch, batchId, docStorePath, indexPath), batchId)
+    }.start()
+
   /** Gap between events that closes a session, and the session gap horizon
     * used for the event-time timeout (shared with the batch q24/q66). */
   private val GapS = 600L

@@ -208,6 +208,68 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(rows() == Set((1L, 101L, 201L), (2L, 102L, -1L), (3L, -1L, 203L)))
   }
 
+  test("stream-static enrichment join equals the batch broadcast left join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    // static dim covering only half the users: unmatched events must
+    // survive with nulls, not drop
+    val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_user_events"))
+      .filter(col("user_id") % 2 === 0)
+    val want = StreamOps.enrichWithDim(ev, dim, "user_id")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_user_events"), lit(-1L)).as("n"))
+      .collect().map(_.toSeq).toSet
+    val stream = MemoryStream[(Long, Long, Double)]
+    stream.addData(ev.as[(Long, Long, Double)].collect().toSeq)
+    val q = StreamOps.enrichWithDim(
+        stream.toDF().toDF("event_id", "user_id", "value"), dim, "user_id")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_user_events"), lit(-1L)).as("n"))
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enrich").collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.exists(_(2) == -1L), "uncovered users must surface with nulls")
+    assert(got.exists(_(2) != -1L))
+  }
+
+  test("streaming incremental dedup flags every near-dup pair exactly once across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.engine.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    // two ingest batches split by doc parity: batch-1 pairs are even-even,
+    // batch-2 pairs touch an odd doc — disjoint by construction, so the
+    // exactly-once claim is testable as plain set arithmetic
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    val stream = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.Buffer[(Long, Long, Long)]()
+    val q = StreamOps.incrementalDedupStream(
+        stream.toDF().toDF("doc_id", "text"),
+        s"$dir/docs", s"$dir/sigs") { (pairs, id) =>
+      seen ++= pairs.select(col("i"), col("j")).collect()
+        .map(r => (id, r.getLong(0), r.getLong(1)))
+    }
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = seen.map(p => (p._2, p._3)).toSet
+    assert(seen.size == got.size, "a pair must be flagged exactly once")
+    // across batches the union equals the full-corpus run
+    val want = graft.operators.DedupQueries.q51MinHashLsh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the index persisted one signature row per shingled doc, batch-partitioned
+    val idx = spark.read.parquet(s"$dir/sigs")
+    assert(idx.select(col("doc_id")).distinct().count() == idx.count())
+    assert(idx.select(col("ingest_batch")).distinct().count() == 2)
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("native session_window streaming equals the batch stateful fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
