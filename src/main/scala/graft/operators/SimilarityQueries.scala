@@ -211,23 +211,7 @@ object SimilarityQueries extends QueryModule {
     var iter = 0
     while (moved > 0 && iter < maxIters) {
       iter += 1
-      val withN2 = broadcast(cents.withColumn("cn2", expr("dot_long(cq, cq)")))
-      val assigned = e.join(withN2)
-        .select(col("vec_id"), col("q"), col("cid"),
-          (col("n2") - lit(2L) * expr("dot_long(q, cq)") + col("cn2")).as("d2"))
-        .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("cid"), col("q")), struct(col("d2"), col("cid"))).as("b"))
-      val means = assigned
-        .select(col("b.cid").as("cid"), posexplode(col("b.q")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("cv"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
-        .select(col("cid"), expr("transform(pc, p -> p.cv)").as("new_cq"))
-      val stepped = cents.join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("new_cq"), col("cq")).as("cq"),
-          col("cq").as("prev_cq"))
-      val (next, nextPin) = pin(stepped)
+      val (next, nextPin) = pin(lloydStep(e, cents))
       moved = next.filter(col("cq") =!= col("prev_cq")).count()
       centsPin.unpersist(blocking = false)
       cents = next.select(col("cid"), col("cq"))
@@ -240,12 +224,87 @@ object SimilarityQueries extends QueryModule {
     cents
   }
 
+  /** One Lloyd update over (vec_id, q, n2) corpus `e` and (cid, cq)
+    * centroids: broadcast-assign every vector to its nearest centroid
+    * (exact integer squared-Euclidean, ties by cid), floor-average the
+    * members per component, and keep an empty cluster's previous centroid.
+    * Emits (cid, cq, prev_cq) so callers check movement for free. Shared
+    * by the [[kmeans]] driver and the oracle-checked q76. */
+  private def lloydStep(e: DataFrame, cents: DataFrame): DataFrame = {
+    val withN2 = broadcast(cents.withColumn("cn2", expr("dot_long(cq, cq)")))
+    val assigned = e.join(withN2)
+      .select(col("vec_id"), col("q"), col("cid"),
+        (col("n2") - lit(2L) * expr("dot_long(q, cq)") + col("cn2")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cid"), col("q")), struct(col("d2"), col("cid"))).as("b"))
+    val means = assigned
+      .select(col("b.cid").as("cid"), posexplode(col("b.q")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("cv"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
+      .select(col("cid"), expr("transform(pc, p -> p.cv)").as("new_cq"))
+    cents.join(means, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("new_cq"), col("cq")).as("cq"),
+        col("cq").as("prev_cq"))
+  }
+
+  /** q76 — TWO chained Lloyd iterations, oracle-checked: q72 proves one
+    * step's update table, the kmeans spec proves the driver's convergence
+    * mechanics, and this pins the part neither covers under the hash gate —
+    * RE-SEEDING, i.e. step 2 assigning against step 1's floor-averaged
+    * output rather than the original seeds (a wrong empty-cluster rule, a
+    * missed floor, or a components-out-of-order rebuild diverges here). Two
+    * steps is the minimal chain exhibiting re-seeding while staying
+    * expressible as straight-line SQL for DuckDB (the oracle repeats the
+    * step CTE block; it cannot iterate to a data-dependent fixpoint). */
+  val q76KMeansIter: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    val e = quantized(s, dir).select(col("vec_id"), col("q"), col("n2"))
+    val seeds = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    val c1 = lloydStep(e, seeds).select(col("cid"), col("cq"))
+    val c2 = lloydStep(e, c1).select(col("cid"), col("cq"))
+    c2.select(col("cid").as("cluster"), posexplode(col("cq")).as(Seq("pos", "cv")))
+      .select(col("cluster"), col("pos").cast("long").as("pos"), col("cv"))
+      .orderBy(col("cluster"), col("pos"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q55_knn_brute" -> q55KnnBrute,
     "q56_knn_lsh"   -> q56KnnLsh,
     "q57_knn_ivf"   -> q57KnnIvf,
     "q75_knn_ivf_multiprobe" -> q75KnnIvfMultiprobe,
-    "q72_kmeans_step" -> q72KMeansStep)
+    "q72_kmeans_step" -> q72KMeansStep,
+    "q76_kmeans_iter" -> q76KMeansIter)
+
+  /** One DuckDB Lloyd step as a CTE block: centroids `$from` → `c$step`,
+    * mirroring [[lloydStep]] exactly (assign by (d2, cid), floor means,
+    * empty cluster keeps its centroid via the left-join coalesce). */
+  private def duckLloyd(step: Int, from: String): String = s"""
+      s${step}n AS (
+        SELECT cid, cq, CAST(list_sum([x * x for x in cq]) AS BIGINT) AS cn2
+        FROM $from),
+      d$step AS (
+        SELECT n.vec_id, n.qv, s.cid,
+          n.n2 - 2 * CAST(list_sum([n.qv[k] * s.cq[k]
+                                    for k in range(1, len(n.qv)+1)]) AS BIGINT)
+               + s.cn2 AS d2
+        FROM n, s${step}n s),
+      b$step AS (
+        SELECT vec_id, qv, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r
+          FROM d$step) WHERE r = 1),
+      m$step AS (
+        SELECT cid, pos, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+        FROM (SELECT cid, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v
+              FROM b$step)
+        GROUP BY cid, pos),
+      c$step AS (
+        SELECT s.cid, coalesce(m.cq2, s.cq) AS cq
+        FROM $from s LEFT JOIN
+          (SELECT cid, list(cv ORDER BY pos) AS cq2 FROM m$step GROUP BY cid) m
+          USING (cid))"""
 
   private val duckQuant = """
     q AS (
@@ -257,6 +316,19 @@ object SimilarityQueries extends QueryModule {
         CAST(list_sum([x * x for x in qv]) AS BIGINT) AS n2 FROM q)"""
 
   def oracles: Map[String, String] = Map(
+    "q76_kmeans_iter" -> s"""
+      WITH q AS (
+        SELECT vec_id,
+          [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS qv
+        FROM embeddings),
+      n AS (SELECT vec_id, qv,
+              CAST(list_sum([x * x for x in qv]) AS BIGINT) AS n2 FROM q),
+      seeds AS (SELECT vec_id AS cid, qv AS cq FROM n WHERE vec_id < 4),
+      ${duckLloyd(1, "seeds")},
+      ${duckLloyd(2, "c1")}
+      SELECT cid AS cluster,
+        CAST(generate_subscripts(cq, 1) - 1 AS BIGINT) AS pos, unnest(cq) AS cv
+      FROM c2 ORDER BY cluster, pos""",
     "q72_kmeans_step" -> """
       WITH q AS (
         SELECT vec_id,
