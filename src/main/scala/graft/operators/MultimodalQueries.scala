@@ -107,6 +107,68 @@ object MediaCodec {
   }
 }
 
+/** PGM (netpbm P5) raster codec — the uncompressed format that makes PIXEL
+  * operations implementable without codec libraries: an ASCII header
+  * (`P5`, width, height, maxval, `#` comments allowed per the netpbm spec)
+  * followed by row-major raw bytes. Encoder synthesizes format-true
+  * fixtures; the parser and the nearest-neighbour resample are the
+  * operators under test — real header grammar, real pixel addressing. */
+object PgmCodec {
+  def encode(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w) px(y * w + x) = (pixel(x, y) & 0xFF).toByte
+    header ++ px
+  }
+
+  /** Parse the P5 grammar: magic, whitespace/comment-separated width,
+    * height, maxval, one whitespace, then w·h raw bytes. Structural
+    * failures return None — garbage must degrade, not throw. */
+  def decode(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '5') return None
+    var pos = 2
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && pos < b.length) {
+        val c = (b(pos) & 0xFF).toChar
+        if (c == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+        else done = true
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = -1
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = math.max(v, 0) * 10 + (b(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    if (w <= 0 || h <= 0 || maxv != 255 || pos >= b.length) return None
+    pos += 1 // the single whitespace byte that terminates the header
+    if (pos + w * h > b.length) return None
+    Some((w, h, java.util.Arrays.copyOfRange(b, pos, pos + w * h)))
+  }
+
+  /** Nearest-neighbour resample: out(x, y) = in(⌊x·w/ow⌋, ⌊y·h/oh⌋),
+    * row-major — the standard thumbnail/downsample kernel. */
+  def resizeNearest(px: Array[Byte], w: Int, h: Int, ow: Int, oh: Int): Array[Byte] = {
+    val out = new Array[Byte](ow * oh)
+    var y = 0
+    while (y < oh) {
+      val sy = y * h / oh
+      var x = 0
+      while (x < ow) {
+        out(y * ow + x) = px(sy * w + x * w / ow)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}
+
 /** Multimodal-column operators: binary payloads + typed metadata, batch
   * feature extraction via `mapPartitions`.
   *
@@ -194,9 +256,37 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** q77 — image RESIZE over real raster bytes: synthesize a PGM payload
+    * per doc (dimensions and pixel values from doc_id formulas), parse it
+    * back through the real P5 grammar, nearest-neighbour downsample to a
+    * 4×4 thumbnail, and emit the thumbnail's checksum — all inside one
+    * mapPartitions batch. This is the one pixel-level op implementable
+    * without codec libraries (PGM is uncompressed), so the "resize" verb of
+    * the multimodal brief runs on ACTUAL pixels; for PNG/JPEG the same
+    * mapPartitions shape wraps a library decode. The oracle recomputes the
+    * thumbnail arithmetic symbolically — a resample that samples the wrong
+    * source pixel (row/column swap, wrong floor) hash-mismatches. */
+  val q77Resize: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = ((id % 24 + 8).toInt, (id % 16 + 8).toInt)
+        val payload = PgmCodec.encode(w, h, (x, y) => ((x * 31 + y * 17 + id) % 256).toInt)
+        val (dw, dh, px) = PgmCodec.decode(payload)
+          .getOrElse(throw new IllegalStateException(s"undecodable PGM for doc $id"))
+        val thumb = PgmCodec.resizeNearest(px, dw, dh, 4, 4)
+        (id, dw.toLong, dh.toLong,
+          thumb.map(b => (b & 0xFF).toLong).sum, (thumb(0) & 0xFF).toLong)
+      })
+      .toDF("doc_id", "w", "h", "resized_sum", "resized_first")
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q65_multimodal" -> q65Multimodal,
-    "q67_frame_sample" -> q67FrameSample)
+    "q67_frame_sample" -> q67FrameSample,
+    "q77_resize" -> q77Resize)
 
   /** The oracle derives expectations from the synthesis arithmetic: header
     * prefix sizes are format constants (PNG 8+25 = 33 bytes before the body,
@@ -204,6 +294,21 @@ object MultimodalQueries extends QueryModule {
     * bytes are the magic values (PNG 0x89 = 137, JPEG 0xFF = 255; raw = the
     * text's first UTF-8 byte — the fixture is ASCII so unicode() matches). */
   def oracles: Map[String, String] = Map(
+    // thumbnail arithmetic recomputed symbolically: source pixel of out
+    // cell (i, j) is (i·w//4, j·h//4), its value (sx·31 + sy·17 + doc_id)
+    // mod 256 — DuckDB's // is integer division like the Scala resampler
+    "q77_resize" -> """
+      WITH cells AS (
+        SELECT doc_id,
+          CAST(doc_id % 24 + 8 AS BIGINT) AS w,
+          CAST(doc_id % 16 + 8 AS BIGINT) AS h,
+          i, j
+        FROM documents, range(0, 4) r1(i), range(0, 4) r2(j))
+      SELECT doc_id, w, h,
+        CAST(sum(((i * w // 4) * 31 + (j * h // 4) * 17 + doc_id) % 256) AS BIGINT)
+          AS resized_sum,
+        CAST(min(doc_id % 256) AS BIGINT) AS resized_first
+      FROM cells GROUP BY doc_id, w, h ORDER BY doc_id""",
     "q65_multimodal" -> """
       WITH f AS (
         SELECT doc_id,

@@ -80,6 +80,23 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(MediaCodec.decode(spliced) == (("jpeg", 1920L, 1080L)))
   }
 
+  test("PGM codec: round-trip, comment handling, and exact nearest-neighbour resize") {
+    import graft.operators.PgmCodec
+    val pgm = PgmCodec.encode(6, 4, (x, y) => x * 10 + y)
+    val Some((w, h, px)) = PgmCodec.decode(pgm)
+    assert(w == 6 && h == 4)
+    assert((px(0) & 0xFF) == 0 && (px(1 * 6 + 3) & 0xFF) == 31) // (x=3, y=1)
+    // netpbm allows # comments in the header: splice one after the magic
+    val withComment = pgm.take(3) ++ "# a comment\n".getBytes ++ pgm.drop(3)
+    assert(PgmCodec.decode(withComment).map(t => (t._1, t._2)) == Some((6, 4)))
+    // truncated pixel data and wrong magic must degrade to None
+    assert(PgmCodec.decode(pgm.dropRight(1)).isEmpty)
+    assert(PgmCodec.decode("P6\n1 1\n255\nx".getBytes).isEmpty)
+    // 2x2 resize of the 6x4 raster picks pixels at (0,0),(3,0),(0,2),(3,2)
+    val thumb = PgmCodec.resizeNearest(px, 6, 4, 2, 2)
+    assert(thumb.map(_ & 0xFF).toSeq == Seq(0, 30, 2, 32))
+  }
+
   test("non-image bytes classify as raw with no dimensions") {
     import graft.operators.MediaCodec
     assert(MediaCodec.decode("just some text".getBytes) == (("raw", -1L, -1L)))
