@@ -97,6 +97,23 @@ class PlansSpec extends SparkSpec {
       s"expected < $staticParts post-shuffle partitions")
   }
 
+  test("round-6 queries keep scale-safe plan shapes") {
+    // q74: incremental dedup's candidate generation must stay an equi-join
+    // (no cartesian/BNL), like the full-corpus variant
+    val p74 = planString(graft.operators.DedupQueries.q74IncrementalDedup(spark, sfDir))
+    assert(!p74.contains("CartesianProduct") && !p74.contains("BroadcastNestedLoop"))
+    // q75: multi-probe scoring joins cells via broadcast or shuffle hash —
+    // never a nested loop over the corpus
+    val p75 = planString(graft.operators.SimilarityQueries.q75KnnIvfMultiprobe(spark, sfDir))
+    assert(!p75.contains("CartesianProduct"))
+    // q76: both Lloyd assignments broadcast the (K-sized) centroids; the
+    // corpus side must never shuffle for the join
+    val p76 = planString(graft.operators.SimilarityQueries.q76KMeansIter(spark, sfDir))
+    assert(p76.contains("BroadcastNestedLoopJoin") || p76.contains("BroadcastHashJoin"),
+      "centroids must be the broadcast side")
+    assert(!p76.contains("CartesianProduct"))
+  }
+
   test("AQE skew-join split actually engages on a skewed join (and results match)") {
     // the reference's partition-range reader API exists to serve AQE skew
     // splits (RemoteShuffleManager.scala:91-110); config alone proves
