@@ -3,7 +3,7 @@ package graft.operators
 import graft.{Num, QueryModule}
 import graft.engine.Tables
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.{Encoder, Encoders}
 
 /** One event row for the typed-Aggregator path (reference A1/A2's
@@ -205,6 +205,36 @@ object CoreQueries extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** q78 — QUOTA sampling: exactly min(quota, |stratum|) docs per source,
+    * the fixed-token-budget companion to q71's rate mixing (a training mix
+    * is usually specified as "N tokens from source X", not a rate). Docs
+    * rank within their stratum by the engine-portable multiplicative hash
+    * (ties by doc_id), so selection is deterministic on any engine and
+    * independent of physical row order. The per-stratum top-k is a window
+    * rank — at 100 TB the same result comes from a partial top-k
+    * (per-partition heap via mapPartitions, then merge k·strata rows),
+    * since only the quota-sized head of each stratum's order matters; the
+    * window form is the declarative statement of that contract. Output is
+    * one row per stratum (count + id-checksum of the selected docs), so
+    * the oracle pins exactly WHICH docs were chosen, not just how many. */
+  val q78QuotaSample: Q = (s, dir) => {
+    val quota = lit(20L) +
+      pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) * 15L
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .withColumn("quota", quota)
+      .withColumn("h",
+        pmod(pmod(col("doc_id"), lit(999983)) * 2654435761L, lit(1000000)))
+      .withColumn("rnk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quota")).as("quota"),
+        sum(when(col("rnk") <= col("quota"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("rnk") <= col("quota"), col("doc_id"))).as("sampled_id_sum"))
+      .orderBy(col("source"))
+  }
+
   /** q58 — partition-major ordering, asserted directly (reference P3,
     * RWritablePartitionedPairCollection.scala:75-100: records are emitted
     * partition-by-partition, key-sorted within each). Hash-repartition on the
@@ -247,6 +277,7 @@ object CoreQueries extends QueryModule {
     "q28_setops_all"     -> q28SetOpsAll,
     "q29_sample"         -> q29Sample,
     "q71_stratified_sample" -> q71StratifiedSample,
+    "q78_quota_sample" -> q78QuotaSample,
     "q01_agg"            -> q01Agg,
     "q02_repartition"    -> q02Repartition,
     "q03_sort_global"    -> q03SortGlobal,
@@ -273,6 +304,17 @@ object CoreQueries extends QueryModule {
         CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS price_cents
       FROM orders
       WHERE ((o_orderkey % 999983) * 2654435761) % 1000 < 50""",
+    "q78_quota_sample" -> """
+      WITH r AS (
+        SELECT source, doc_id,
+          CAST(20 + (CAST(substring(source, 4) AS BIGINT) % 4) * 15 AS BIGINT) AS quota,
+          row_number() OVER (PARTITION BY source
+            ORDER BY ((doc_id % 999983) * 2654435761) % 1000000, doc_id) AS rnk
+        FROM documents)
+      SELECT source, count(*) AS n_docs, min(quota) AS quota,
+        CAST(sum(CASE WHEN rnk <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        CAST(sum(CASE WHEN rnk <= quota THEN doc_id END) AS BIGINT) AS sampled_id_sum
+      FROM r GROUP BY source ORDER BY source""",
     "q71_stratified_sample" -> """
       WITH d AS (
         SELECT source, doc_id,

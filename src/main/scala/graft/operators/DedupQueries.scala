@@ -80,7 +80,7 @@ object DedupQueries extends QueryModule {
     * concentrates on the true Jaccard while signature volume drops winnowMod×
     * — the standard fingerprinting/winnowing move for char-gram dedup, where
     * gram volume is ~n_chars per doc (~10× token-shingle volume). */
-  private def lshBands(items: DataFrame, itemsCol: String,
+  private[graft] def lshBands(items: DataFrame, itemsCol: String,
       winnowMod: Int = 1, meta: Seq[String] = Nil): DataFrame =
     bandRows(minhashSigs(items, itemsCol, winnowMod, meta), meta)
 
@@ -120,12 +120,38 @@ object DedupQueries extends QueryModule {
   /** Distinct candidate (i, j) pairs from band rows: equi-join on
     * (band, band-hash) plus an optional extra join-time gate evaluated on the
     * x/y aliases (e.g. a length window) — gating inside the join beats
-    * re-joining a meta table onto the pair list afterwards. */
-  private def bandPairs(bands: DataFrame,
-      gate: Option[Column] = None): DataFrame = {
+    * re-joining a meta table onto the pair list afterwards.
+    *
+    * `maxBandSize` is the HOT-BUCKET CAP — the dedup-side skew defense AQE
+    * cannot provide: a bucket of n docs emits n² candidate rows, and that
+    * blowup is join OUTPUT, not partition size, so runtime skew splitting
+    * never sees it. Boilerplate corpora produce exactly this (thousands of
+    * near-identical short docs collapse to one signature, so every one of
+    * their buckets goes hot). With a cap, buckets larger than `cap` are
+    * dropped BEFORE the self-join (one extra aggregation over the 8-per-doc
+    * band frame), bounding per-bucket work at cap² — the standard
+    * production LSH guard. Semantics are a DECLARED recall trade: a pair is
+    * kept iff it shares at least one sub-cap bucket, so pairs living ONLY
+    * in hot buckets (the boilerplate cluster itself) are not flagged —
+    * which is why production pipelines run exact dedup (q50) before
+    * near-dup, leaving hot buckets populated only by the boilerplate tail
+    * exact-dedup already collapsed. Off by default; the oracle-checked
+    * queries keep full LSH semantics and the spec pins both sides of the
+    * trade (normal pairs unaffected, hot-only pairs dropped, candidate
+    * volume bounded). */
+  private[graft] def bandPairs(bands: DataFrame, gate: Option[Column] = None,
+      maxBandSize: Option[Int] = None): DataFrame = {
+    val pruned = maxBandSize match {
+      case Some(cap) =>
+        val keep = bands.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
+          .select(col("band"), col("bh"))
+        bands.join(keep, Seq("band", "bh"), "left_semi")
+      case None => bands
+    }
     val base = col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
       col("x.doc_id") < col("y.doc_id")
-    bands.as("x").join(bands.as("y"), gate.map(base && _).getOrElse(base))
+    pruned.as("x").join(pruned.as("y"), gate.map(base && _).getOrElse(base))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j")).distinct()
   }
 

@@ -97,6 +97,33 @@ class DedupSpec extends SparkSpec {
     graft.engine.Sessions.releasePinned(spark)
   }
 
+  test("hot-band cap bounds candidate blowup without touching normal pairs") {
+    import spark.implicits._
+    import graft.operators.DedupQueries.{bandPairs, lshBands, shingledDocs}
+    // corpus = the real fixture docs + a 60-doc boilerplate cluster whose
+    // members all collapse to ONE signature (identical tiny shingle set) —
+    // every bucket they occupy goes hot, the n² shape the cap exists for
+    val boiler = (100000L until 100060L)
+      .map(id => (id, "lorem ipsum dolor sit amet boilerplate notice"))
+    val docs = graft.engine.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .union(boiler.toDF("doc_id", "text"))
+    val bands = lshBands(shingledDocs(docs), "sh").cache()
+    def pairSet(cap: Option[Int]) = bandPairs(bands, maxBandSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairSet(None)
+    val capped = pairSet(Some(30))
+    def isBoiler(p: (Long, Long)) = p._1 >= 100000L && p._2 >= 100000L
+    // the hot cluster's own 60*59/2 pairs are the declared recall trade...
+    assert(uncapped.count(isBoiler) == 60 * 59 / 2)
+    assert(capped.count(isBoiler) == 0, "hot-only pairs must be dropped")
+    // ...and every candidate among normal docs survives untouched
+    assert(capped.filterNot(isBoiler) == uncapped.filterNot(isBoiler))
+    // candidate volume is bounded: the blowup term is gone
+    assert(capped.size <= uncapped.size - 60 * 59 / 2)
+    bands.unpersist(blocking = false)
+  }
+
   test("star-contraction CC labels self-pair-only nodes like plain propagation") {
     import spark.implicits._
     // node 9 appears ONLY as a self-pair: star's canonical edge set drops
