@@ -4,7 +4,7 @@ import graft.{Num, QueryModule}
 import graft.engine.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.{Aggregator, Window}
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 
 /** One event row for the typed-Aggregator path (reference A1/A2's
   * createCombiner/mergeValue/mergeCombiners closures —
@@ -233,6 +233,47 @@ object CoreQueries extends QueryModule {
         sum(when(col("rnk") <= col("quota"), 1L).otherwise(0L)).as("n_sampled"),
         sum(when(col("rnk") <= col("quota"), col("doc_id"))).as("sampled_id_sum"))
       .orderBy(col("source"))
+  }
+
+  /** The 100-TB formulation of q78's per-stratum top-k, implemented rather
+    * than merely claimed: a full `row_number` window sorts EVERY row of
+    * every stratum, but only the quota-sized head matters — so each input
+    * partition keeps a bounded per-stratum buffer of its best (hash,
+    * doc_id) keys (mapPartitions, O(strata·quota) memory), the survivors
+    * (≤ partitions·strata·quota rows, corpus-size-independent) shuffle
+    * once, and the exact head is re-selected per stratum. Returns the
+    * selected (source, doc_id) rows; equality with the window formulation
+    * is spec-pinned, stratum by stratum. */
+  def quotaSampleTopK(docs: DataFrame, quotaOf: Column): DataFrame = {
+    import docs.sparkSession.implicits._
+    val keyed = docs
+      .withColumn("quota", quotaOf)
+      .withColumn("h",
+        pmod(pmod(col("doc_id"), lit(999983)) * 2654435761L, lit(1000000)))
+      .select(col("source"), col("quota"), col("h"), col("doc_id"))
+      .as[(String, Long, Long, Long)]
+    val partial = keyed.mapPartitions { it =>
+      // per-stratum bounded buffer: the quota best (h, doc_id) keys seen in
+      // this partition — everything else provably cannot reach the head
+      val best = scala.collection.mutable.Map
+        .empty[String, (Long, scala.collection.mutable.PriorityQueue[(Long, Long)])]
+      it.foreach { case (src, quota, h, id) =>
+        val (_, heap) = best.getOrElseUpdate(
+          src, (quota, scala.collection.mutable.PriorityQueue.empty[(Long, Long)]))
+        if (heap.size < quota) heap.enqueue((h, id))
+        else if (Ordering[(Long, Long)].lt((h, id), heap.head)) {
+          heap.dequeue(); heap.enqueue((h, id))
+        }
+      }
+      best.iterator.flatMap { case (src, (quota, heap)) =>
+        heap.iterator.map { case (h, id) => (src, quota, h, id) }
+      }
+    }
+    val w = Window.partitionBy(col("_1")).orderBy(col("_3"), col("_4"))
+    partial.toDF()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= col("_2"))
+      .select(col("_1").as("source"), col("_4").as("doc_id"))
   }
 
   /** q58 — partition-major ordering, asserted directly (reference P3,

@@ -47,6 +47,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("partial top-k quota sampling equals the window formulation per stratum") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir01, "documents")
+    val quota = lit(20L) +
+      pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) * 15L
+    val topk = graft.operators.CoreQueries.quotaSampleTopK(docs, quota)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // window twin: the q78 selection restated as raw (source, doc_id) rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    val window = docs
+      .withColumn("quota", quota)
+      .withColumn("h",
+        pmod(pmod(col("doc_id"), lit(999983)) * 2654435761L, lit(1000000)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= col("quota"))
+      .select(col("source"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(topk == window)
+    assert(topk.nonEmpty)
+    // every stratum lands exactly at min(quota, |stratum|)
+    val sizes = docs.groupBy(col("source")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val bySrc = topk.groupBy(_._1).view.mapValues(_.size).toMap
+    bySrc.foreach { case (src, n) =>
+      val q = math.min(20 + (src.drop(3).toLong % 4) * 15, sizes(src))
+      assert(n == q, s"$src: $n != $q")
+    }
+    // at least one stratum must actually be CUT by its quota for the test
+    // to exercise the selection (src*0/4/8... have quota 20 < 25 docs)
+    assert(bySrc.exists { case (src, n) => n < sizes(src) })
+  }
+
   test("kmeans driver recovers planted clusters and converges with O(1) storage") {
     import spark.implicits._
     // 3 well-separated planted clusters in 8 dims (centers at c*100000 per
