@@ -233,7 +233,42 @@ object JoinQueries extends QueryModule {
       .orderBy(col("action"))
   }
 
+  /** q79 — FUZZY self-join (edit distance ≤ 2 over customer names): the
+    * entity-resolution primitive of data curation (same record typed twice,
+    * OCR'd names, near-identical metadata). Blocking is length-window and
+    * PROVABLY COMPLETE: ED ≤ 2 ⇒ |Δlen| ≤ 2, and with width-3 length
+    * buckets |Δlen| ≤ 2 ⇒ bucket distance ≤ 1, so exploding each probe row
+    * to its bucket ±1 and equi-joining on the bucket reaches every true
+    * pair — the exact `levenshtein` then decides (precision 1, recall 1;
+    * oracle is the brute-force length-filtered join). A given pair meets on
+    * exactly one (bb, b) combination, so no dedup shuffle is needed. At
+    * 100 TB, length blocking alone leaves fat buckets (names cluster by
+    * length); the production refinement is partition-based signatures
+    * (PassJoin-style segment matching with shift tolerance) layered INSIDE
+    * each length bucket — same join shape, finer keys. Output aggregates
+    * per distance with key checksums, so the oracle pins which pairs
+    * matched, not just how many. */
+  val q79FuzzyJoin: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_name").as("nm"),
+        length(col("c_name")).cast("long").as("ln"))
+      .withColumn("b", (col("ln") / 3).cast("long"))
+    val probe = c.withColumn("bb",
+      explode(array(col("b") - 1, col("b"), col("b") + 1)))
+    probe.as("x").join(c.as("y"),
+        col("x.bb") === col("y.b") && col("x.k") < col("y.k") &&
+        abs(col("x.ln") - col("y.ln")) <= 2)
+      .select(col("x.k").as("i"), col("y.k").as("j"),
+        levenshtein(col("x.nm"), col("y.nm")).cast("long").as("dist"))
+      .filter(col("dist") >= 1 && col("dist") <= 2)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("i")).as("i_sum"), sum(col("j")).as("j_sum"))
+      .orderBy(col("dist"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q79_fuzzy_join"     -> q79FuzzyJoin,
     "q69_merge_upsert"   -> q69MergeUpsert,
     "q19_join_full"      -> q19JoinFull,
     "q68_join_right"     -> q68JoinRight,
@@ -248,6 +283,16 @@ object JoinQueries extends QueryModule {
     "q18_range_join"     -> q18RangeJoin)
 
   def oracles: Map[String, String] = Map(
+    "q79_fuzzy_join" -> """
+      SELECT CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+        count(*) AS n_pairs,
+        CAST(sum(a.c_custkey) AS BIGINT) AS i_sum,
+        CAST(sum(b.c_custkey) AS BIGINT) AS j_sum
+      FROM customer a JOIN customer b
+        ON a.c_custkey < b.c_custkey
+        AND abs(length(a.c_name) - length(b.c_name)) <= 2
+      WHERE levenshtein(a.c_name, b.c_name) BETWEEN 1 AND 2
+      GROUP BY 1 ORDER BY 1""",
     "q69_merge_upsert" -> """
       WITH base AS (
         SELECT o_orderkey AS k, CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
