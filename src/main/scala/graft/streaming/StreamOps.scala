@@ -158,14 +158,26 @@ object StreamOps {
     * `onPairs`, then append the batch's signatures to the index. All durable
     * state is the index + store; the state store holds nothing, so executor
     * memory is flat over an unbounded stream and a restart resumes from the
-    * index (add `checkpointLocation` via `options` in production). Each
-    * near-dup pair surfaces exactly once — when its later doc arrives. */
+    * index. Each near-dup pair surfaces exactly once — when its later doc
+    * arrives (restart-spec'd: a brand-new query over the same store+index
+    * continues correctly).
+    *
+    * Restart discipline: the store/index partitions are keyed by batch id,
+    * so ids must never repeat against the same paths. With
+    * `checkpointLocation` set (production), Structured Streaming itself
+    * continues batch ids monotonically across restarts and `batchIdBase`
+    * stays 0; for checkpoint-free restarts (tests, ad-hoc backfills) pass a
+    * `batchIdBase` beyond every id already used — otherwise the replayed
+    * id's dynamic overwrite, the very mechanism that makes failure replays
+    * idempotent, would clobber a prior run's partition. */
   def incrementalDedupStream(docs: DataFrame, docStorePath: String,
-      indexPath: String)(onPairs: (DataFrame, Long) => Unit)
+      indexPath: String, batchIdBase: Long = 0L)
+      (onPairs: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       onPairs(graft.operators.DedupQueries.incrementalDedupBatch(
-        batch, batchId, docStorePath, indexPath), batchId)
+        batch, batchIdBase + batchId, docStorePath, indexPath),
+        batchIdBase + batchId)
     }.start()
 
   /** Gap between events that closes a session, and the session gap horizon

@@ -254,8 +254,19 @@ class StatefulStreamingSpec extends SparkSpec {
         .map(r => (id, r.getLong(0), r.getLong(1)))
     }
     stream.addData(b1); q.processAllAvailable()
-    stream.addData(b2); q.processAllAvailable()
     q.stop()
+    // RESTART: a brand-new stream and query over the same store + index —
+    // all state the resumed pipeline needs must come back from parquet,
+    // which is the operator's whole durability claim
+    val stream2 = MemoryStream[(Long, String)]
+    val q2 = StreamOps.incrementalDedupStream(
+        stream2.toDF().toDF("doc_id", "text"),
+        s"$dir/docs", s"$dir/sigs", batchIdBase = 100L) { (pairs, id) =>
+      seen ++= pairs.select(col("i"), col("j")).collect()
+        .map(r => (id, r.getLong(0), r.getLong(1)))
+    }
+    stream2.addData(b2); q2.processAllAvailable()
+    q2.stop()
     val got = seen.map(p => (p._2, p._3)).toSet
     assert(seen.size == got.size, "a pair must be flagged exactly once")
     // across batches the union equals the full-corpus run
