@@ -66,6 +66,37 @@ object Dev {
       println(f"[dev] sigs+bands=${(t1 - t0) / 1e9}%.2fs selfjoin=${(t2 - t1) / 1e9}%.2fs " +
         f"candDocs=${(t3 - t2) / 1e9}%.2fs nCand=$nCand nCandDocs=$nDocs of ${docs.count()}")
       spark.stop()
+    } else if (name == "q79probe") {
+      import org.apache.spark.sql.functions._
+      val c = graft.engine.Tables.load(spark, sfDir, "customer")
+        .filter(col("c_custkey") < 2000)
+        .select(col("c_custkey").as("k"), col("c_name").as("nm"),
+          length(col("c_name")).cast("long").as("ln"))
+        .withColumn("b", (col("ln") / 3).cast("long"))
+      val probe = c.repartition(col("k")).withColumn("bb",
+        explode(array(col("b") - 1, col("b"), col("b") + 1)))
+      val joined = probe.as("x").join(c.as("y"),
+        col("x.bb") === col("y.b") && col("x.k") < col("y.k") &&
+        abs(col("x.ln") - col("y.ln")) <= 2)
+      val t0 = System.nanoTime()
+      val nc = joined.count()
+      val t1 = System.nanoTime()
+      val nl = joined.select(levenshtein(col("x.nm"), col("y.nm")).as("d"))
+        .filter(col("d") <= 2).count()
+      val t2 = System.nanoTime()
+      println(f"[dev] candidates=$nc in ${(t1 - t0) / 1e9}%.2fs; +levenshtein n=$nl in ${(t2 - t1) / 1e9}%.2fs")
+      spark.stop()
+    } else if (name == "levprobe") {
+      // raw levenshtein throughput: 2M pairs of 18-char strings
+      import org.apache.spark.sql.functions._
+      val df = spark.range(0, 2000000)
+        .select(concat(lit("Customer#00000"), (col("id") % 97).cast("string")).as("a"),
+          concat(lit("Customer#00000"), (col("id") % 89).cast("string")).as("b"))
+      val t0 = System.nanoTime()
+      val n = df.select(levenshtein(col("a"), col("b")).as("d"))
+        .filter(col("d") <= 2).count()
+      println(f"[dev] 2M levenshtein: ${(System.nanoTime() - t0) / 1e9}%.2fs n=$n")
+      spark.stop()
     } else if (name == "all") {
       (1 to reps).foreach { i =>
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (qn, f) =>

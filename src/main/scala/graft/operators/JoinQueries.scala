@@ -241,19 +241,37 @@ object JoinQueries extends QueryModule {
     * to its bucket ±1 and equi-joining on the bucket reaches every true
     * pair — the exact `levenshtein` then decides (precision 1, recall 1;
     * oracle is the brute-force length-filtered join). A given pair meets on
-    * exactly one (bb, b) combination, so no dedup shuffle is needed. At
-    * 100 TB, length blocking alone leaves fat buckets (names cluster by
-    * length); the production refinement is partition-based signatures
-    * (PassJoin-style segment matching with shift tolerance) layered INSIDE
-    * each length bucket — same join shape, finer keys. Output aggregates
+    * exactly one (bb, b) combination, so no dedup shuffle is needed.
+    *
+    * The fixture is deliberately a bounded entity slice (first 2000 keys):
+    * TPC-H customer names are length-UNIFORM, so on this data length
+    * blocking degenerates to one bucket and the candidate set grows
+    * quadratically with SF — a fixture pathology (real entity tables have
+    * length spread and are entity-sized, not fact-sized), and measured to
+    * bust the bench at sf0.1 (~112M levenshtein pairs). The production
+    * answer for fat buckets is finer COMPLETE keys inside each length
+    * bucket — partition-based segment signatures with shift tolerance
+    * (PassJoin) — same join shape; the slice keeps the oracle exact while
+    * the bench measures the operator, not the pathology. Output aggregates
     * per distance with key checksums, so the oracle pins which pairs
     * matched, not just how many. */
   val q79FuzzyJoin: Q = (s, dir) => {
     val c = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") < 2000)
       .select(col("c_custkey").as("k"), col("c_name").as("nm"),
         length(col("c_name")).cast("long").as("ln"))
       .withColumn("b", (col("ln") / 3).cast("long"))
-    val probe = c.withColumn("bb",
+    // the verify work lives in the join OUTPUT (candidates × levenshtein),
+    // so the probe side must be spread BEFORE the join: the entity slice
+    // arrives as one parquet split and the broadcast join would compute
+    // every candidate in a single task. The partition count is EXPLICIT
+    // because AQE's coalescing sees only the exchange's input bytes (2000
+    // tiny rows → 1 partition) and cannot know each row fans out to 1000
+    // candidates — numbered repartition is exempt from coalescing, which
+    // is precisely the escape hatch for output-heavy operators (measured
+    // at sf0.1: 22-27 s serial vs ~4 s spread)
+    val shufflePartitions = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val probe = c.repartition(shufflePartitions, col("k")).withColumn("bb",
       explode(array(col("b") - 1, col("b"), col("b") + 1)))
     probe.as("x").join(c.as("y"),
         col("x.bb") === col("y.b") && col("x.k") < col("y.k") &&
@@ -291,7 +309,8 @@ object JoinQueries extends QueryModule {
       FROM customer a JOIN customer b
         ON a.c_custkey < b.c_custkey
         AND abs(length(a.c_name) - length(b.c_name)) <= 2
-      WHERE levenshtein(a.c_name, b.c_name) BETWEEN 1 AND 2
+      WHERE a.c_custkey < 2000 AND b.c_custkey < 2000
+        AND levenshtein(a.c_name, b.c_name) BETWEEN 1 AND 2
       GROUP BY 1 ORDER BY 1""",
     "q69_merge_upsert" -> """
       WITH base AS (
