@@ -41,9 +41,19 @@ case class ChargramMinHash(first: Expression, second: Expression, third: Express
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
       case (StringType, IntegerType, IntegerType) =>
-        if (second.foldable && third.foldable) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure(
-          "gramLen and winnowMod must be literals")
+        if (!second.foldable || !third.foldable)
+          TypeCheckResult.TypeCheckFailure(
+            "gramLen and winnowMod must be literals")
+        else (second.eval(), third.eval()) match {
+          // reject bad parameters at ANALYSIS, not as a per-row
+          // ArithmeticException (winnowMod ring-buffer mod) or a codegen-time
+          // NPE (null literal feeding the lazy eval)
+          case (null, _) | (_, null) => TypeCheckResult.TypeCheckFailure(
+            "gramLen and winnowMod must be non-null literals")
+          case (g: Number, _) if g.intValue() < 1 => TypeCheckResult.TypeCheckFailure(
+            s"gramLen must be >= 1, got ${g.intValue()}")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
         s"chargram_minhash requires (string, int literal, int literal), got ($a, $b, $c)")
     }

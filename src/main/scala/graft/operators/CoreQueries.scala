@@ -194,7 +194,7 @@ object CoreQueries extends QueryModule {
   val q71StratifiedSample: Q = (s, dir) => {
     val d = Tables.load(s, dir, "documents")
       .withColumn("rate",
-        lit(100L) + pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) * 200L)
+        lit(100L) + pmod(expr("substring(source, 4)").cast("long"), lit(4L)) * 200L)
       .withColumn("h",
         pmod(pmod(col("doc_id"), lit(999983)) * 2654435761L, lit(1000)))
     d.groupBy(col("source"))
@@ -219,7 +219,7 @@ object CoreQueries extends QueryModule {
     * the oracle pins exactly WHICH docs were chosen, not just how many. */
   val q78QuotaSample: Q = (s, dir) => {
     val quota = lit(20L) +
-      pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) * 15L
+      pmod(expr("substring(source, 4)").cast("long"), lit(4L)) * 15L
     val w = Window.partitionBy(col("source"))
       .orderBy(col("h"), col("doc_id"))
     Tables.load(s, dir, "documents")

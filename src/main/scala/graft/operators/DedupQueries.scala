@@ -530,8 +530,10 @@ object DedupQueries extends QueryModule {
   val q74IncrementalDedup: Q = (s, dir) => {
     val isNew = col("doc_id") % 7 === 3
     val sh = shingled(s, dir).cache()
-    val indexPath = java.nio.file.Files
-      .createTempDirectory("graft_sig_index").toString
+    // app-scoped scratch (overwritten per rep, deleted at JVM exit), not a
+    // fresh never-deleted temp dir per invocation — bench/verify reps must
+    // not accumulate index copies under /tmp
+    val indexPath = graft.engine.Scratch.dir(s, "q74_sig_index")
     minhashSigs(sh.filter(!isNew), "sh")
       .write.mode("overwrite").parquet(indexPath)
     val oldSigs = s.read.parquet(indexPath).withColumn("is_new", lit(false))
@@ -563,7 +565,7 @@ object DedupQueries extends QueryModule {
     *    flagged exactly once (when its later doc arrives) — spec-asserted
     *    equal, across batches, to the full-corpus q51 pair set. */
   def incrementalDedupBatch(batch: DataFrame, batchId: Long,
-      docStorePath: String, indexPath: String): DataFrame = {
+      docStorePath: String, indexPath: String): (DataFrame, RDD[Row]) = {
     val s = batch.sparkSession
     graft.functions.GraftFunctions.register(s)
     batch.select(col("doc_id"), col("text"))
@@ -578,11 +580,15 @@ object DedupQueries extends QueryModule {
       meta = Seq("is_new"))
     val cand = bandPairs(bands, gate = Some(col("x.is_new") || col("y.is_new")))
     val store = s.read.parquet(docStorePath).select(col("doc_id"), col("text"))
-    val (pairs, _) = graft.engine.Pin.pin(verifyPairs(cand, shingledDocs(store)))
+    // the pin handle is RETURNED, not discarded: the streaming driver frees
+    // each batch's blocks after onPairs returns — one leaked
+    // MEMORY_AND_DISK RDD per micro-batch over an unbounded stream is a
+    // session-lifetime storage leak (disk blocks never auto-evict)
+    val (pairs, pairsPin) = graft.engine.Pin.pin(verifyPairs(cand, shingledDocs(store)))
     newSigs.withColumn("ingest_batch", lit(batchId))
       .write.partitionBy("ingest_batch").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(indexPath)
-    pairs
+    (pairs, pairsPin)
   }
 
   /** The signature index, or an empty frame before the first batch. */
@@ -644,7 +650,7 @@ object DedupQueries extends QueryModule {
     // stage 4 — stratified source-mixing sample (q71 rates)
     val s4 = s3.filter(
       pmod(pmod(col("doc_id"), lit(999983)) * 2654435761L, lit(1000)) <
-        lit(100L) + pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) * 200L)
+        lit(100L) + pmod(expr("substring(source, 4)").cast("long"), lit(4L)) * 200L)
     Seq("0_input" -> docs, "1_dedup" -> s1, "2_quality" -> s2,
         "3_decontam" -> s3, "4_sample" -> s4)
       .map { case (name, df) =>

@@ -157,10 +157,15 @@ object StreamOps {
     * the parquet index, verify with exact Jaccard, hand the flagged pairs to
     * `onPairs`, then append the batch's signatures to the index. All durable
     * state is the index + store; the state store holds nothing, so executor
-    * memory is flat over an unbounded stream and a restart resumes from the
-    * index. Each near-dup pair surfaces exactly once — when its later doc
-    * arrives (restart-spec'd: a brand-new query over the same store+index
-    * continues correctly).
+    * memory is flat over an unbounded stream (each batch's pinned pair
+    * blocks are freed the moment `onPairs` returns) and a restart resumes
+    * from the index. On a CLEAN stream each near-dup pair surfaces once —
+    * when its later doc arrives (restart-spec'd: a brand-new query over the
+    * same store+index continues correctly). Delivery to `onPairs` is
+    * AT-LEAST-ONCE, like foreachBatch itself: a failure replay re-invokes it
+    * with the same batch's pairs (the store/index writes are idempotent via
+    * dynamic partition overwrite, but emission is not), so `onPairs` must
+    * write to an idempotent sink keyed by (batchId, i, j).
     *
     * Restart discipline: the store/index partitions are keyed by batch id,
     * so ids must never repeat against the same paths. With
@@ -175,9 +180,10 @@ object StreamOps {
       (onPairs: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      onPairs(graft.operators.DedupQueries.incrementalDedupBatch(
-        batch, batchIdBase + batchId, docStorePath, indexPath),
-        batchIdBase + batchId)
+      val (pairs, pairsPin) = graft.operators.DedupQueries.incrementalDedupBatch(
+        batch, batchIdBase + batchId, docStorePath, indexPath)
+      try onPairs(pairs, batchIdBase + batchId)
+      finally pairsPin.unpersist(blocking = false)
     }.start()
 
   /** Gap between events that closes a session, and the session gap horizon

@@ -132,6 +132,25 @@ class FunctionsSpec extends SparkSpec {
     assert(uni.head.getSeq[Long](0) == uni.head.getSeq[Long](1))
   }
 
+  test("chargram_minhash rejects bad parameters at analysis, not per-row") {
+    graft.functions.GraftFunctions.register(spark)
+    // gramLen < 1 used to throw ArithmeticException per row (mod 0 on the
+    // ring buffer); a null literal NPE'd inside codegen — both must be
+    // analysis-time type-check failures instead
+    for (sql <- Seq(
+        "SELECT chargram_minhash('abc', -1, 4)",
+        "SELECT chargram_minhash('abc', 0, 4)",
+        "SELECT chargram_minhash('abc', CAST(NULL AS INT), 4)",
+        "SELECT chargram_minhash('abc', 5, CAST(NULL AS INT))")) {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.toLowerCase.contains("gramlen") ||
+        e.getMessage.toLowerCase.contains("chargram"), s"$sql -> ${e.getMessage}")
+    }
+    // winnowMod <= 1 is valid (means "no winnowing") — must still work
+    assert(!spark.sql("SELECT chargram_minhash('abcdef', 5, 0) AS s")
+      .collect().head.isNullAt(0))
+  }
+
   test("dot_long propagates null arrays") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
