@@ -11,7 +11,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.Sessions.build("graft-bench")
+    // dev filter: SPARK_GRAFT_BENCH_ONLY=q79_fuzzy_join,q53_dedup_ngram
+    // times just those queries (unset = the full suite, the driver's mode)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (name, fn) =>
       // warmup failures are non-fatal (the timed passes report them) but
       // must be visible — a query broken only under cold-cache conditions

@@ -233,51 +233,166 @@ object JoinQueries extends QueryModule {
       .orderBy(col("action"))
   }
 
-  /** q79 — FUZZY self-join (edit distance ≤ 2 over customer names): the
-    * entity-resolution primitive of data curation (same record typed twice,
-    * OCR'd names, near-identical metadata). Blocking is length-window and
-    * PROVABLY COMPLETE: ED ≤ 2 ⇒ |Δlen| ≤ 2, and with width-3 length
-    * buckets |Δlen| ≤ 2 ⇒ bucket distance ≤ 1, so exploding each probe row
-    * to its bucket ±1 and equi-joining on the bucket reaches every true
-    * pair — the exact `levenshtein` then decides (precision 1, recall 1;
-    * oracle is the brute-force length-filtered join). A given pair meets on
-    * exactly one (bb, b) combination, so no dedup shuffle is needed.
+  /** FUZZY self-join candidate generation, edit distance ≤ 2 — three
+    * COMPLETE blocking schemes over a (k: long, nm: string) entity frame,
+    * all returning distinct candidate (i, j) pairs with i < j that a
+    * downstream exact `levenshtein` verifies (precision 1 always; blocking
+    * only bounds the candidate volume). Spec-pinned to produce identical
+    * VERIFIED pair sets on varied-length and constant-prefix fixtures.
     *
-    * The fixture is deliberately a bounded entity slice (first 2000 keys):
-    * TPC-H customer names are length-UNIFORM, so on this data length
-    * blocking degenerates to one bucket and the candidate set grows
-    * quadratically with SF — a fixture pathology (real entity tables have
-    * length spread and are entity-sized, not fact-sized), and measured to
-    * bust the bench at sf0.1 (~112M levenshtein pairs). The production
-    * answer for fat buckets is finer COMPLETE keys inside each length
-    * bucket — partition-based segment signatures with shift tolerance
-    * (PassJoin) — same join shape; the slice keeps the oracle exact while
-    * the bench measures the operator, not the pathology. Output aggregates
-    * per distance with key checksums, so the oracle pins which pairs
-    * matched, not just how many. */
-  val q79FuzzyJoin: Q = (s, dir) => {
-    val c = Tables.load(s, dir, "customer")
-      .filter(col("c_custkey") < 2000)
-      .select(col("c_custkey").as("k"), col("c_name").as("nm"),
-        length(col("c_name")).cast("long").as("ln"))
+    *  - [[fuzzyPairsLengthWindow]]: ED ≤ 2 ⇒ |Δlen| ≤ 2; width-3 length
+    *    buckets, probe explodes to bucket ±1. The coarsest key: complete,
+    *    but on length-uniform data it degenerates to ONE bucket and the
+    *    candidate set is all pairs (~n²/2 — measured 112M at sf0.1).
+    *  - [[fuzzyPairsSegments]]: PassJoin-style partition signatures (Li,
+    *    Deng, Feng, "PASS-JOIN", VLDB'12). Each string splits into d+1 = 3
+    *    segments; ≤ 2 edits leave ≥ 1 segment intact (pigeonhole), shifted
+    *    by at most ±2, so the probe enumerates each candidate length's
+    *    segment windows and equi-joins on (length, segment idx, substring).
+    *    Far finer than length alone on real entity data — but any segment
+    *    that is CORPUS-CONSTANT (here `c_name`'s 13-char shared prefix
+    *    covers segments 0 and 1 entirely) is one hot bucket = all pairs
+    *    again. Right scheme for long strings with distributed entropy.
+    *  - [[fuzzyPairsDeletion]]: deletion-neighbourhood blocking (FastSS,
+    *    Bocek et al. 2007): bucket key = every string obtainable by
+    *    deleting ≤ 2 characters. ED(r, s) ≤ 2 ⇒ an optimal alignment's
+    *    matched positions form a common string reachable from BOTH sides
+    *    by ≤ 2 deletions, so true pairs always share a bucket — and a
+    *    bucket collision requires the ENTIRE remaining string to match,
+    *    so constant affixes cannot form hot buckets (the shared prefix is
+    *    in every key, discriminating suffixes survive ≥ 3 of their 5
+    *    chars). O(L²) variants per string caps it to short entity keys
+    *    (names, titles, SKUs — the fuzzy-join use case); for long strings
+    *    use segments. On this fixture: 17M candidates vs 112M, against
+    *    4M TRUE pairs — within 4× of the inherent output. */
+  private[graft] def fuzzyPairsLengthWindow(names: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val c = names.withColumn("ln", length(col("nm")).cast("long"))
       .withColumn("b", (col("ln") / 3).cast("long"))
-    // the verify work lives in the join OUTPUT (candidates × levenshtein),
-    // so the probe side must be spread BEFORE the join: the entity slice
-    // arrives as one parquet split and the broadcast join would compute
-    // every candidate in a single task. The partition count is EXPLICIT
-    // because AQE's coalescing sees only the exchange's input bytes (2000
-    // tiny rows → 1 partition) and cannot know each row fans out to 1000
-    // candidates — numbered repartition is exempt from coalescing, which
-    // is precisely the escape hatch for output-heavy operators (measured
-    // at sf0.1: 22-27 s serial vs ~4 s spread)
-    val shufflePartitions = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val probe = c.repartition(shufflePartitions, col("k")).withColumn("bb",
+    val probe = spreadForFanout(c).withColumn("bb",
       explode(array(col("b") - 1, col("b"), col("b") + 1)))
     probe.as("x").join(c.as("y"),
         col("x.bb") === col("y.b") && col("x.k") < col("y.k") &&
         abs(col("x.ln") - col("y.ln")) <= 2)
-      .select(col("x.k").as("i"), col("y.k").as("j"),
-        levenshtein(col("x.nm"), col("y.nm")).cast("long").as("dist"))
+      .select(col("x.k").as("i"), col("y.k").as("j")).distinct()
+  }
+
+  /** PassJoin segment blocking (see [[fuzzyPairsLengthWindow]] scheme doc).
+    * Index side: 3 (k, len, segIdx, segment) rows per string — longer
+    * segments first (l_i = base + [i < len mod 3]), positions cumulative.
+    * Probe side: for each candidate indexed length ls ∈ [len-2, len+2] and
+    * segment idx, every substring of the probe with that segment's length
+    * starting within ±2 of its indexed position (edits shift an intact
+    * segment by at most the edit count). Both sides require len ≥ 3 so all
+    * three segments are non-empty (pigeonhole needs d+1 non-vacuous
+    * parts); shorter strings — O(alphabet³) of them at most — pair through
+    * [[fuzzyPairsLengthWindow]], which is cheap exactly there. */
+  private[graft] def fuzzyPairsSegments(names: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val c = names.withColumn("ln", length(col("nm")))
+    val long = c.filter(col("ln") >= 3)
+    val idx = long
+      .withColumn("si", explode(sequence(lit(0), lit(2))))
+      .select(col("k"), col("ln"), col("si"),
+        expr("substring(nm, si * (ln div 3) + least(si, ln % 3) + 1," +
+          " (ln div 3) + IF(si < ln % 3, 1, 0))").as("seg"))
+    val probe = spreadForFanout(long)
+      .withColumn("ls", explode(sequence(col("ln") - 2, col("ln") + 2)))
+      .filter(col("ls") >= 3)
+      .withColumn("si", explode(sequence(lit(0), lit(2))))
+      .withColumn("li", expr("(ls div 3) + IF(si < ls % 3, 1, 0)"))
+      .withColumn("pi", expr("si * (ls div 3) + least(si, ls % 3)"))
+      .withColumn("lo", greatest(lit(0), col("pi") - 2))
+      .withColumn("hi", least(col("ln") - col("li"), col("pi") + 2))
+      .filter(col("lo") <= col("hi"))
+      .withColumn("st", explode(sequence(col("lo"), col("hi"))))
+      .select(col("k"), col("ls"), col("si"),
+        expr("substring(nm, st + 1, li)").as("sub"))
+    val segPairs = probe.as("x").join(idx.as("y"),
+        col("x.ls") === col("y.ln") && col("x.si") === col("y.si") &&
+        col("x.sub") === col("y.seg") && col("x.k") < col("y.k"))
+      .select(col("x.k").as("i"), col("y.k").as("j"))
+    val short = c.filter(col("ln") < 3)
+    val shortPairs = fuzzyPairsLengthWindow(short.select(col("k"), col("nm")))
+    // short×long pairs: ED ≤ 2 with len < 3 vs len ≥ 3 forces len = 3,4 on
+    // the long side — equi-join the tiny short side against just those rows
+    val shortLong = short.as("x").join(
+        long.filter(col("ln") <= 4).as("y"),
+        col("x.ln") >= col("y.ln") - 2 && col("x.k") =!= col("y.k"))
+      .select(least(col("x.k"), col("y.k")).as("i"),
+        greatest(col("x.k"), col("y.k")).as("j"))
+    segPairs.union(shortPairs).union(shortLong).distinct()
+  }
+
+  /** Deletion-neighbourhood (FastSS) blocking (see
+    * [[fuzzyPairsLengthWindow]] scheme doc): explode each string to its
+    * distinct ≤2-deletion variants, self-equi-join on the variant.
+    *
+    * The join key is `xxhash64(variant)`, not the variant string: an
+    * 8-byte fixed-width key shrinks the exchange and the join probe, and a
+    * hash COLLISION can only ADD a candidate pair — exact levenshtein
+    * verification downstream discards it, so completeness and precision
+    * are unaffected (the blocking-equivalence spec pins this). */
+  private[graft] def fuzzyPairsDeletion(names: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val v = spreadForFanout(names.filter(length(col("nm")) >= 1))
+      .select(col("k"), explode(expr(
+        """transform(array_distinct(concat(
+             array(nm),
+             transform(sequence(1, length(nm)), a ->
+               concat(substring(nm, 1, a - 1), substring(nm, a + 1, length(nm)))),
+             IF(length(nm) >= 2,
+               flatten(transform(sequence(1, length(nm) - 1), a ->
+                 transform(sequence(a + 1, length(nm)), b ->
+                   concat(substring(nm, 1, a - 1),
+                          substring(nm, a + 1, b - a - 1),
+                          substring(nm, b + 1, length(nm)))))),
+               array()))), w -> xxhash64(w))""")).as("wh"))
+    v.as("x").join(v.as("y"),
+        col("x.wh") === col("y.wh") && col("x.k") < col("y.k"))
+      .select(col("x.k").as("i"), col("y.k").as("j")).distinct()
+  }
+
+  /** The candidate work of every fuzzy blocking lives in join/explode
+    * OUTPUT, which AQE coalescing cannot anticipate (it sees a few
+    * thousand tiny input rows → 1 partition → serial execution; measured
+    * 22–27 s vs ~4 s spread at sf0.1) — numbered repartition is exempt
+    * from coalescing, the escape hatch for output-heavy operators. */
+  private def spreadForFanout(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, col("k"))
+
+  /** q79 — FUZZY self-join (edit distance ≤ 2 over the FULL customer
+    * table): the entity-resolution primitive of data curation (same record
+    * typed twice, OCR'd names, near-identical metadata). Candidates come
+    * from [[fuzzyPairsDeletion]] — the scheme that stays near the true
+    * output volume on this fixture's worst case (length-uniform names
+    * sharing a 13-char constant prefix, where length-window and segment
+    * blocking both degenerate to all pairs: 112M candidates at sf0.1 vs
+    * deletion blocking's 17M against 4M TRUE pairs — the output itself is
+    * inherently quadratic-ish here, every near-identical name pair really
+    * is a match). Names for verification re-join by key (entity frames are
+    * dimension-sized; Catalyst broadcasts under the threshold, shuffles
+    * above — both correct). Output aggregates per distance with key
+    * checksums, so the oracle pins which pairs matched, not just how
+    * many. */
+  val q79FuzzyJoin: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_name").as("nm"))
+    // dedup candidates FIRST (compact 16-byte rows through the only real
+    // shuffle), then verify: both name lookups are broadcast map-side
+    // joins and the threshold-banded levenshtein (O(L·d) band, '-1' =
+    // over threshold) runs once per distinct pair. The reverse order —
+    // verify on the multiset, distinct after — was measured SLOWER here
+    // (8.1 s vs 5.1 s at sf0.1): dragging two 18-char name columns
+    // through every duplicate candidate costs more than the duplicate
+    // rows save in the distinct exchange.
+    fuzzyPairsDeletion(c)
+      .join(c.select(col("k").as("i"), col("nm").as("nm_i")), "i")
+      .join(c.select(col("k").as("j"), col("nm").as("nm_j")), "j")
+      .select(col("i"), col("j"),
+        levenshtein(col("nm_i"), col("nm_j"), 2).cast("long").as("dist"))
       .filter(col("dist") >= 1 && col("dist") <= 2)
       .groupBy(col("dist"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -309,8 +424,7 @@ object JoinQueries extends QueryModule {
       FROM customer a JOIN customer b
         ON a.c_custkey < b.c_custkey
         AND abs(length(a.c_name) - length(b.c_name)) <= 2
-      WHERE a.c_custkey < 2000 AND b.c_custkey < 2000
-        AND levenshtein(a.c_name, b.c_name) BETWEEN 1 AND 2
+      WHERE levenshtein(a.c_name, b.c_name) BETWEEN 1 AND 2
       GROUP BY 1 ORDER BY 1""",
     "q69_merge_upsert" -> """
       WITH base AS (

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.JoinQueries
+
+/** The three fuzzy-join blocking schemes (length-window / PassJoin
+  * segments / deletion-neighbourhood) must be interchangeable: each is a
+  * COMPLETE candidate generator for edit distance ≤ 2, so after exact
+  * levenshtein verification all three must produce the identical pair set —
+  * and that set must equal the brute-force all-pairs truth. Pinned on a
+  * varied-length fixture (where segment blocking is the production path)
+  * and on the constant-prefix customer fixture (where deletion blocking
+  * is — the scheme q79 ships with). */
+class FuzzyJoinSpec extends SparkSpec {
+
+  private def verified(names: DataFrame, pairs: DataFrame): Set[(Long, Long)] =
+    pairs
+      .join(names.select(col("k").as("i"), col("nm").as("nm_i")), "i")
+      .join(names.select(col("k").as("j"), col("nm").as("nm_j")), "j")
+      .filter(levenshtein(col("nm_i"), col("nm_j")).between(1, 2))
+      .select(col("i"), col("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Driver-side ground truth on a test-sized fixture. */
+  private def brute(rows: Seq[(Long, String)]): Set[(Long, Long)] = {
+    def ed(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val cur = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = prev(j); prev(j) = cur
+        }
+      }
+      prev(b.length)
+    }
+    (for {
+      (ki, ni) <- rows; (kj, nj) <- rows if ki < kj
+      d = ed(ni, nj) if d >= 1 && d <= 2
+    } yield (ki, kj)).toSet
+  }
+
+  /** Varied lengths (1..21 chars, including the < 3 fallback range),
+    * planted near-duplicates (1 substitution / 1 deletion / 1 insertion /
+    * 2 mixed edits), plus unrelated strings. */
+  private lazy val varied: Seq[(Long, String)] = {
+    val bases = Seq("a", "ab", "xy", "entity", "acme corporation",
+      "northwind traders ltd", "data curation", "qz")
+    val edits = bases.zipWithIndex.flatMap { case (b, i) =>
+      val sub = if (b.nonEmpty) Seq(('s', b.updated(0, '#'))) else Nil
+      val del = if (b.length >= 2) Seq(('d', b.drop(1))) else Nil
+      val ins = Seq(('i', "_" + b), ('t', b + "_!"))
+      (sub ++ del ++ ins).map { case (tag, s) => s"$tag$i" -> s }
+    }
+    val all = bases.zipWithIndex.map { case (b, i) => s"b$i" -> b } ++ edits ++
+      Seq("u1" -> "completely different", "u2" -> "zzzzzzzzzzzzzzzzzzzzz")
+    all.zipWithIndex.map { case ((_, s), idx) => (idx.toLong, s) }
+  }
+
+  private def toNames(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", "nm")
+  }
+
+  test("all three blockings verify to the brute-force truth on varied lengths") {
+    val names = toNames(varied)
+    val truth = brute(varied)
+    assert(truth.nonEmpty, "fixture must contain true near-pairs")
+    val lw = verified(names, JoinQueries.fuzzyPairsLengthWindow(names))
+    val sg = verified(names, JoinQueries.fuzzyPairsSegments(names))
+    val dl = verified(names, JoinQueries.fuzzyPairsDeletion(names))
+    assert(lw == truth, "length-window blocking missed or invented pairs")
+    assert(sg == truth, "segment blocking missed or invented pairs")
+    assert(dl == truth, "deletion blocking missed or invented pairs")
+  }
+
+  test("all three blockings agree on the constant-prefix customer fixture") {
+    val names = graft.engine.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("k"), col("c_name").as("nm"))
+    val lw = verified(names, JoinQueries.fuzzyPairsLengthWindow(names))
+    val sg = verified(names, JoinQueries.fuzzyPairsSegments(names))
+    val dl = verified(names, JoinQueries.fuzzyPairsDeletion(names))
+    assert(lw.nonEmpty)
+    assert(sg == lw)
+    assert(dl == lw)
+  }
+
+  test("deletion blocking prunes where length/segment blocking cannot") {
+    // the scale claim behind q79's scheme choice: on length-uniform
+    // constant-prefix names, length-window candidates are ALL pairs while
+    // deletion candidates track the true output volume. The pruning factor
+    // GROWS with corpus size (the discriminating digit region widens only
+    // logarithmically): measured 2.3× at 1.5k names, 6.5× at 15k (17M of
+    // 112M all-pairs, against 4M true pairs) — asserted here at the scale
+    // a test can afford
+    val names = graft.engine.Tables.load(spark, sfDir01, "customer")
+      .select(col("c_custkey").as("k"), col("c_name").as("nm"))
+    val n = names.count()
+    val lwCand = JoinQueries.fuzzyPairsLengthWindow(names).count()
+    val dlCand = JoinQueries.fuzzyPairsDeletion(names).count()
+    assert(lwCand == n * (n - 1) / 2, "uniform lengths: one bucket, all pairs")
+    assert(dlCand * 2 < lwCand,
+      s"deletion candidates ($dlCand) must stay well under all-pairs ($lwCand)")
+  }
+}

@@ -114,6 +114,14 @@ class PlansSpec extends SparkSpec {
     assert(!p76.contains("CartesianProduct"))
   }
 
+  test("q79 deletion-blocked fuzzy join is equi-join-shaped end to end") {
+    // full-table fuzzy join: candidates come from an equi-join on the
+    // hashed deletion variant, never a cartesian/BNL over the entity table
+    val p79 = planString(graft.operators.JoinQueries.q79FuzzyJoin(spark, sfDir))
+    assert(!p79.contains("CartesianProduct") && !p79.contains("BroadcastNestedLoop"),
+      "fuzzy candidates must be an equi-join on the variant hash")
+  }
+
   test("AQE skew-join split actually engages on a skewed join (and results match)") {
     // the reference's partition-range reader API exists to serve AQE skew
     // splits (RemoteShuffleManager.scala:91-110); config alone proves
