@@ -370,7 +370,18 @@ object DedupQueries extends QueryModule {
     * with the k-means driver. */
   private def pin(df: DataFrame): (DataFrame, RDD[Row]) = graft.engine.Pin.pin(df)
 
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame =
+    propagateMinLabel(pairs, maxRounds).getOrElse(
+      throw new IllegalArgumentException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          "(component diameter exceeds the cap); raise maxRounds or use " +
+          "connectedComponentsStar (O(log n) rounds, diameter-independent)"))
+
+  /** The propagation loop behind [[connectedComponents]], returning None on
+    * cap-hit (with every pinned block already freed) instead of throwing —
+    * the hook [[connectedComponentsAuto]] needs to fall back cleanly. */
+  private def propagateMinLabel(pairs: DataFrame, maxRounds: Int)
+      : Option[DataFrame] = {
     val edges = pairs.select(col("i"), col("j"))
       .union(pairs.select(col("j").as("i"), col("i").as("j")))
     val nodes = edges.select(col("i").as("id")).distinct()
@@ -394,12 +405,27 @@ object DedupQueries extends QueryModule {
       labelsPin = nextPin
     }
     adjPin.unpersist(blocking = false)
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxRounds rounds " +
-        "(component diameter exceeds the cap); raise maxRounds or use " +
-        "connectedComponentsStar (O(log n) rounds, diameter-independent)")
-    labels
+    if (changed == 0) Some(labels)
+    else { labelsPin.unpersist(blocking = false); None }
   }
+
+  /** Connected components with AUTOMATIC driver selection — the default
+    * entry the dedup queries use. Min-label propagation is the cheapest
+    * per round (one join + one partial aggregate) but needs `diameter`
+    * rounds; star contraction costs ~2× per round but logarithmically many
+    * regardless of diameter. Diameter is unknowable without running, so:
+    * propagate up to `propagationCap` rounds (detection costs diameter + 1
+    * rounds, so the default covers diameters to 11 — every observed
+    * near-dup diameter with slack), and on cap-hit — a long-chain
+    * component, where propagation is the WRONG driver — discard its labels
+    * (blocks already freed) and rerun via [[connectedComponentsStar]]
+    * instead of failing loudly. The wasted capped rounds are bounded and
+    * cheap relative to a propagation that would have needed
+    * diameter >> cap rounds; both drivers are spec-pinned equivalent, so
+    * the fallback changes cost, never results. */
+  def connectedComponentsAuto(pairs: DataFrame, propagationCap: Int = 12): DataFrame =
+    propagateMinLabel(pairs, propagationCap)
+      .getOrElse(connectedComponentsStar(pairs))
 
   /** Connected components in O(log n) rounds via alternating large-star /
     * small-star edge contractions (Kiveris et al., "Connected Components in
@@ -495,7 +521,7 @@ object DedupQueries extends QueryModule {
     // the time it returns the candidate pipeline has been fully consumed
     // (pairs are pinned into adj) — release the caches here, not at some
     // hoped-for later point; the returned plan reads only the pinned labels
-    val labels = connectedComponents(pairs)
+    val labels = connectedComponentsAuto(pairs)
     sh.unpersist(blocking = false)
     bands.unpersist(blocking = false)
     labels
@@ -625,7 +651,7 @@ object DedupQueries extends QueryModule {
     val sh = shingled(s, dir).cache()
     val bands = lshBands(sh, "sh").cache()
     val pairs = verifyPairs(bandPairs(bands), sh).select(col("i"), col("j"))
-    val labels = connectedComponents(pairs)
+    val labels = connectedComponentsAuto(pairs)
     sh.unpersist(blocking = false)
     bands.unpersist(blocking = false)
     val dupDropped = labels.filter(col("id") =!= col("lbl"))

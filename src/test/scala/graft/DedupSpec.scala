@@ -70,6 +70,27 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("auto CC: propagation within the cap, star fallback beyond it") {
+    import spark.implicits._
+    // diameter 4: plain propagation converges under the default cap —
+    // auto must equal plain
+    val small = ((0L until 4L).map(k => (k, k + 1)) :+ (9L, 10L)).toDF("i", "j")
+    val gotSmall = DedupQueries.connectedComponentsAuto(small).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 4L).forall(gotSmall(_) == 0L) &&
+      gotSmall(9L) == 9L && gotSmall(10L) == 9L)
+    // diameter 64 with a tiny cap: plain propagation hits the cap, and
+    // auto must fall back to star contraction instead of throwing — the
+    // single long component still resolves, the disjoint pair untouched
+    val chain = ((0L until 64L).map(k => (k, k + 1)) :+ (500L, 501L)).toDF("i", "j")
+    val gotChain = DedupQueries.connectedComponentsAuto(chain, propagationCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotChain.size == 67)
+    (0L to 64L).foreach(id => assert(gotChain(id) == 0L, s"node $id"))
+    assert(gotChain(500L) == 500L && gotChain(501L) == 500L)
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("star-contraction CC handles a diameter-64 chain in O(log n) rounds") {
     import spark.implicits._
     // 64 propagation rounds would exceed plain CC's default cap; the
