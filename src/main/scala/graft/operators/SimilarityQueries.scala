@@ -270,13 +270,80 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("cluster"), col("pos"))
   }
 
+  /** Within-cluster embedding near-dup against a given centroid frame —
+    * the verification half of SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023:
+    * cluster the embedding space, then search for near-duplicates only
+    * inside each cluster). Every vector broadcast-assigns to its nearest
+    * centroid (exact integer squared-Euclidean via `min_by`, q72's
+    * assignment shape), and q54's tiled exact all-pairs then runs with the
+    * tile key EXTENDED by the cluster id — pair work drops from n²/2 to
+    * Σ|cluster|²/2 (k× less at balanced k), and the DECLARED recall trade
+    * is exactly SemDeDup's: a near-dup pair straddling a cluster boundary
+    * is not flagged. Tasks stay evenly sized ((cluster, tile) grid, no
+    * CartesianProduct/BNL — PlansSpec), B scales with the cluster fleet,
+    * and k scales with corpus size, which is what makes embedding dedup
+    * affordable at 100 TB where global all-pairs (q54) is not. */
+  def withinClusterNearDup(e: DataFrame, cents: DataFrame,
+      b: Int, minCos: Double): DataFrame = {
+    import e.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    val withN2 = broadcast(cents.withColumn("cn2", expr("dot_long(cq, cq)")))
+    val assigned = e.join(withN2)
+      .select(col("vec_id"), col("q"), col("n2"), col("cid"),
+        (col("n2") - lit(2L) * expr("dot_long(q, cq)") + col("cn2")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cid"), col("q"), col("n2")),
+        struct(col("d2"), col("cid"))).as("bst"))
+      .select(col("vec_id"), col("bst.cid").as("cid"), col("bst.q").as("q"),
+        col("bst.n2").as("n2"), pmod(col("vec_id"), lit(b)).as("g"))
+    val tiles = (for { p <- 0 until b; q <- p until b } yield (p * b + q, p, q))
+      .toDF("tid", "tp", "tq")
+    val rows = assigned.join(broadcast(tiles), col("g") === col("tp"))
+      .select(col("cid"), col("tid"), col("tp"), col("tq"),
+        col("vec_id").as("ri"), col("q").as("qi"), col("n2").as("n2i"))
+    val cols = assigned.join(broadcast(tiles), col("g") === col("tq"))
+      .select(col("cid").as("ccid"), col("tid").as("ctid"),
+        col("vec_id").as("rj"), col("q").as("qj"), col("n2").as("n2j"))
+    rows.join(cols, col("cid") === col("ccid") && col("tid") === col("ctid"))
+      .filter(col("tp") =!= col("tq") || col("ri") < col("rj"))
+      .select(col("cid").as("cluster"),
+        least(col("ri"), col("rj")).as("i"),
+        greatest(col("ri"), col("rj")).as("j"),
+        expr("dot_long(qi, qj)").as("dot"), col("n2i"), col("n2j"))
+      .withColumn("cos", col("dot") / (sqrt(col("n2i")) * sqrt(col("n2j"))))
+      .filter(col("cos") >= minCos)
+      .select(col("cluster"), col("i"), col("j"), col("dot"), col("cos"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** q80 — SEMANTIC DEDUP, oracle-checked: two Lloyd iterations from the
+    * deterministic seeds (the q76 chain — straight-line expressible for
+    * DuckDB, which cannot iterate to a data-dependent fixpoint), then
+    * [[withinClusterNearDup]] at q54's threshold. The bridge between the
+    * k-means and dedup families: same centroids, same assignment math,
+    * same exact cosine verification — only the candidate space changes
+    * (within-cluster instead of global). The CONVERGED-centroid variant is
+    * the same composition with [[kmeans]] supplying `cents`; the spec pins
+    * it against a driver-side brute force since the fixpoint's round count
+    * is data-dependent. */
+  val q80SemanticDedup: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    val e = quantized(s, dir).select(col("vec_id"), col("q"), col("n2"))
+    val seeds = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    val c2 = lloydStep(e, lloydStep(e, seeds).select(col("cid"), col("cq")))
+      .select(col("cid"), col("cq"))
+    withinClusterNearDup(e, c2, b = 8, minCos = 0.45)
+  }
+
   def queries: Map[String, Q] = Map(
     "q55_knn_brute" -> q55KnnBrute,
     "q56_knn_lsh"   -> q56KnnLsh,
     "q57_knn_ivf"   -> q57KnnIvf,
     "q75_knn_ivf_multiprobe" -> q75KnnIvfMultiprobe,
     "q72_kmeans_step" -> q72KMeansStep,
-    "q76_kmeans_iter" -> q76KMeansIter)
+    "q76_kmeans_iter" -> q76KMeansIter,
+    "q80_semantic_dedup" -> q80SemanticDedup)
 
   /** One DuckDB Lloyd step as a CTE block: centroids `$from` → `c$step`,
     * mirroring [[lloydStep]] exactly (assign by (d2, cid), floor means,
@@ -316,6 +383,37 @@ object SimilarityQueries extends QueryModule {
         CAST(list_sum([x * x for x in qv]) AS BIGINT) AS n2 FROM q)"""
 
   def oracles: Map[String, String] = Map(
+    "q80_semantic_dedup" -> s"""
+      WITH q AS (
+        SELECT vec_id,
+          [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS qv
+        FROM embeddings),
+      n AS (SELECT vec_id, qv,
+              CAST(list_sum([x * x for x in qv]) AS BIGINT) AS n2 FROM q),
+      seeds AS (SELECT vec_id AS cid, qv AS cq FROM n WHERE vec_id < 4),
+      ${duckLloyd(1, "seeds")},
+      ${duckLloyd(2, "c1")},
+      fcn AS (
+        SELECT cid, cq, CAST(list_sum([x * x for x in cq]) AS BIGINT) AS cn2
+        FROM c2),
+      fd AS (
+        SELECT n.vec_id, n.qv, n.n2, c.cid,
+          n.n2 - 2 * CAST(list_sum([n.qv[k] * c.cq[k]
+                                    for k in range(1, len(n.qv)+1)]) AS BIGINT)
+               + c.cn2 AS d2
+        FROM n, fcn c),
+      fasg AS (
+        SELECT vec_id, qv, n2, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r
+          FROM fd) WHERE r = 1)
+      SELECT a.cid AS cluster, a.vec_id AS i, b.vec_id AS j,
+        CAST(list_sum([a.qv[k] * b.qv[k] for k in range(1, len(a.qv)+1)]) AS BIGINT) AS dot,
+        CAST(list_sum([a.qv[k] * b.qv[k] for k in range(1, len(a.qv)+1)]) AS BIGINT)
+          / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+      FROM fasg a JOIN fasg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE CAST(list_sum([a.qv[k] * b.qv[k] for k in range(1, len(a.qv)+1)]) AS BIGINT)
+          / (sqrt(a.n2) * sqrt(b.n2)) >= 0.45
+      ORDER BY i, j""",
     "q76_kmeans_iter" -> s"""
       WITH q AS (
         SELECT vec_id,

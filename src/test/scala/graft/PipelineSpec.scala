@@ -120,6 +120,39 @@ class PipelineSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("semantic dedup over CONVERGED centroids equals driver-side brute force") {
+    import org.apache.spark.sql.functions._
+    // q80 oracles the 2-step chain (DuckDB cannot iterate to a fixpoint);
+    // this pins the converged composition: kmeans driver -> within-cluster
+    // exact cosine, against a driver-side recomputation of both stages
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = graft.engine.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
+    val cents = graft.operators.SimilarityQueries.kmeans(vecs, 4)
+    val e = vecs.withColumn("n2", expr("dot_long(q, q)"))
+    val got = graft.operators.SimilarityQueries
+      .withinClusterNearDup(e, cents, b = 4, minCos = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver-side truth
+    val cs = cents.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector))
+    val vs = vecs.collect().toSeq.map(r => (r.getLong(0), r.getSeq[Long](1).toVector))
+    def dot(a: Vector[Long], b: Vector[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val byCluster = vs.groupBy { case (_, q) =>
+      cs.minBy { case (cid, cq) => (dot(q, q) - 2 * dot(q, cq) + dot(cq, cq), cid) }._1
+    }
+    val want = (for {
+      (cid, members) <- byCluster.toSeq
+      (ki, qi) <- members; (kj, qj) <- members if ki < kj
+      cos = dot(qi, qj) / (math.sqrt(dot(qi, qi).toDouble) * math.sqrt(dot(qj, qj).toDouble))
+      if cos >= 0.45
+    } yield (cid, ki, kj)).toSet
+    assert(want.nonEmpty, "fixture should contain within-cluster near-dups")
+    assert(got == want)
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("kmeans fails loudly when the iteration cap is hit") {
     import spark.implicits._
     // two far-apart points, one seed is irrelevant: with maxIters = 0 the

@@ -122,6 +122,12 @@ class PlansSpec extends SparkSpec {
       "fuzzy candidates must be an equi-join on the variant hash")
   }
 
+  test("q80 semantic dedup pairs vectors only through the (cluster, tile) equi-join") {
+    val p80 = planString(graft.operators.SimilarityQueries.q80SemanticDedup(spark, sfDir))
+    assert(!p80.contains("CartesianProduct"),
+      "within-cluster all-pairs must materialize via the tile equi-join")
+  }
+
   test("AQE skew-join split actually engages on a skewed join (and results match)") {
     // the reference's partition-range reader API exists to serve AQE skew
     // splits (RemoteShuffleManager.scala:91-110); config alone proves
