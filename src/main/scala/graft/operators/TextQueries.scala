@@ -139,12 +139,7 @@ object TextQueries extends QueryModule {
     * 8-token width keeps the gram space specific (coincidental matches die
     * out exponentially in width) — widen per eval-set policy. */
   val q70Decontaminate: Q = (s, dir) => {
-    val grams = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 8)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(t)-8), i -> concat_ws(' ', slice(t, i+1, 8)))")))
-        .as("g"))
+    val grams = grams8(Tables.load(s, dir, "documents"))
     val bench = grams.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id").as("bench_id"), col("g"))
     val corpus = grams.filter(col("doc_id") % 20 =!= 0)
@@ -155,13 +150,69 @@ object TextQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Distinct 8-token grams per doc — q70's gram shape, shared with the
+    * persisted-index path. */
+  private[graft] def grams8(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("t"))
+    .filter(size(col("t")) >= 8)
+    .select(col("doc_id"), explode(array_distinct(expr(
+      "transform(sequence(0, size(t)-8), i -> concat_ws(' ', slice(t, i+1, 8)))")))
+      .as("g"))
+
+  /** Persist the eval set's (bench_id, gram) index — the WRITE-ONCE half of
+    * incremental decontamination. Eval sets change rarely and are small by
+    * construction (thousands of docs), so their gram index is parquet'd
+    * once and broadcast into every later corpus check; the eval payloads
+    * are never re-tokenized per batch. */
+  def writeEvalGramIndex(evalDocs: org.apache.spark.sql.DataFrame,
+      path: String): Unit =
+    grams8(evalDocs).select(col("doc_id").as("bench_id"), col("g"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Check one corpus batch against a persisted eval-gram index — the
+    * per-ingest half. Decontamination is per-doc (no cross-batch pair
+    * state, unlike near-dup dedup), so batch-incremental results union to
+    * exactly the full-corpus q70: the production shape where corpora
+    * stream but eval sets change rarely. The index is broadcast; the
+    * batch streams map-side through the hash join, and the only exchange
+    * is the near-empty per-doc aggregate of matches. */
+  def decontaminateAgainstIndex(batch: org.apache.spark.sql.DataFrame,
+      indexPath: String): org.apache.spark.sql.DataFrame = {
+    val idx = batch.sparkSession.read.parquet(indexPath)
+    grams8(batch).join(broadcast(idx), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_refs"),
+        countDistinct(col("g")).as("n_shared_grams"))
+  }
+
+  /** q81 — INCREMENTAL decontamination, oracle-checked with the parquet
+    * round-trip inside the checked path (q74's trick: an index that loses
+    * or mangles a gram hash-mismatches here). The eval slice's gram index
+    * is written once and read back; the corpus arrives as two disjoint
+    * deterministic ingest batches, each checked independently against the
+    * stored index; the union must equal the full-corpus q70 — which is
+    * exactly this query's oracle. */
+  val q81IncrementalDecontaminate: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val idxPath = graft.engine.Scratch.dir(s, "q81_eval_gram_index")
+    writeEvalGramIndex(docs.filter(col("doc_id") % 20 === 0), idxPath)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    Seq(0, 1)
+      .map(b => decontaminateAgainstIndex(
+        corpus.filter(pmod(col("doc_id"), lit(2)) === b), idxPath))
+      .reduce(_ unionByName _)
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q64_tfidf"       -> q64TfIdf,
     "q60_lang_id"     -> q60LangId,
     "q61_quality"     -> q61Quality,
     "q62_token_count" -> q62TokenCount,
     "q63_fingerprint" -> q63Fingerprint,
-    "q70_decontaminate" -> q70Decontaminate)
+    "q70_decontaminate" -> q70Decontaminate,
+    "q81_decontaminate_incremental" -> q81IncrementalDecontaminate)
 
   private val duckStop = "['the','a','an','and','of','is','to','in']"
 
@@ -224,6 +275,22 @@ object TextQueries extends QueryModule {
         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
         CAST(length(text) AS BIGINT) AS n_chars
       FROM documents ORDER BY doc_id""",
+    // the incremental run over the stored index must equal the full-corpus
+    // q70 exactly — decontamination has no cross-batch state
+    "q81_decontaminate_incremental" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      g AS (
+        SELECT doc_id,
+          unnest(list_distinct([array_to_string(t[i:i+7], ' ')
+                                for i in range(1, len(t)-6)])) AS g
+        FROM tok WHERE len(t) >= 8),
+      bench AS (SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 20 = 0),
+      corpus AS (SELECT doc_id, g FROM g WHERE doc_id % 20 <> 0)
+      SELECT c.doc_id,
+        count(DISTINCT b.bench_id) AS n_bench_refs,
+        count(DISTINCT c.g) AS n_shared_grams
+      FROM corpus c JOIN bench b USING (g)
+      GROUP BY c.doc_id ORDER BY c.doc_id""",
     "q70_decontaminate" -> """
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       g AS (

@@ -35,6 +35,35 @@ class TextSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain contaminated docs")
   }
 
+  test("batch-incremental decontamination over a stored gram index equals full-corpus q70") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gramidx").toString
+    graft.operators.TextQueries.writeEvalGramIndex(
+      docs.filter(col("doc_id") % 20 === 0), dir)
+    // the index must round-trip parquet losslessly: same (bench_id, gram)
+    // set as a fresh in-memory derivation
+    val stored = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val fresh = graft.operators.TextQueries.grams8(
+        docs.filter(col("doc_id") % 20 === 0))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(stored == fresh && stored.nonEmpty)
+    // THREE ingest batches (a different split than q81's oracle-checked
+    // two): per-doc results are batch-independent, so the union must equal
+    // the full-corpus q70 exactly
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val got = (0 until 3)
+      .map(b => graft.operators.TextQueries.decontaminateAgainstIndex(
+        corpus.filter(pmod(col("doc_id"), lit(3)) === b), dir))
+      .reduce(_ unionByName _)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val want = graft.operators.TextQueries.q70Decontaminate(spark, sfDir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("q70 plans the bench gram set as the broadcast side") {
     val p = graft.operators.TextQueries.q70Decontaminate(spark, sfDir)
       .queryExecution.executedPlan.toString
