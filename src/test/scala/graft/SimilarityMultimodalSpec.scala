@@ -47,6 +47,48 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(multi > 0, "fixture must produce some true neighbours")
   }
 
+  test("stored-index IVF probe equals the in-query-built probe") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    // index once (centroids + cell-partitioned corpus), query many: the
+    // stored probe must match q57/q75 row for row at both probe widths
+    val e = graft.engine.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
+      .withColumn("n2", expr("dot_long(q, q)"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    graft.operators.SimilarityQueries.writeIvfIndex(e, dir)
+    val inQuery = Seq(
+      1 -> graft.operators.SimilarityQueries.q57KnnIvf(spark, sfDir),
+      2 -> graft.operators.SimilarityQueries.q75KnnIvfMultiprobe(spark, sfDir))
+    for ((np, want) <- inQuery) {
+      val w = want.collect().map(_.toSeq).toSeq
+      val g = graft.operators.SimilarityQueries
+        .knnIvfStored(spark, sfDir, dir, np).collect().map(_.toSeq).toSeq
+      assert(g == w, s"nprobe=$np stored probe diverged from in-query probe")
+      assert(g.nonEmpty)
+    }
+  }
+
+  test("stored IVF probe prunes corpus partitions to the probed cells") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.engine.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
+      .withColumn("n2", expr("dot_long(q, q)"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_dpp").toString
+    graft.operators.SimilarityQueries.writeIvfIndex(e, dir)
+    val probe = graft.operators.SimilarityQueries.knnIvfStored(spark, sfDir, dir, 1)
+    probe.collect()
+    // the probed-cell set is data-dependent, so only DYNAMIC partition
+    // pruning can restrict the cell-partitioned scan — the executed plan
+    // must carry a dynamic pruning filter on the partition column
+    val plan = probe.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      "cell-partitioned corpus scan must be dynamically pruned")
+  }
+
   test("PNG round-trip: decode recovers dimensions from real header bytes") {
     import graft.operators.MediaCodec
     val body = "some payload".getBytes("UTF-8")
