@@ -169,6 +169,80 @@ object PgmCodec {
   }
 }
 
+/** PCM/WAV (RIFF) codec — the audio analogue of [[PgmCodec]]: uncompressed,
+  * so header metadata AND sample addressing are implementable without codec
+  * libraries. A RIFF file is "RIFF" + u32le size + "WAVE" followed by
+  * chunks (4-byte id, u32le size, payload, ODD SIZES PADDED to even — the
+  * RIFF rule real-world parsers forget); PCM needs the "fmt " chunk
+  * (audio format 1, channels, sample rate, byte rate, block align, bits
+  * per sample, all little-endian) and the "data" chunk. The encoder
+  * synthesizes format-true fixtures (optionally with a junk LIST chunk of
+  * odd size, so only a spec-conformant walker reaches the data); the
+  * parser walks the real chunk grammar and degrades on malformed bytes —
+  * never throws. */
+object WavCodec {
+  private def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte,
+    (v >>> 16).toByte, (v >>> 24).toByte)
+  private def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+  private def readLe32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+  private def readLe16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** Spec-conformant PCM/WAV bytes. `junkChunk` inserts an odd-sized LIST
+    * chunk (with its pad byte) between fmt and data. */
+  def encode(sampleRate: Int, channels: Int, bits: Int, data: Array[Byte],
+      junkChunk: Boolean = false): Array[Byte] = {
+    val byteRate = sampleRate * channels * bits / 8
+    val block = channels * bits / 8
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+      le16(channels) ++ le32(sampleRate) ++ le32(byteRate) ++
+      le16(block) ++ le16(bits)
+    val junk =
+      if (junkChunk)
+        "LIST".getBytes("US-ASCII") ++ le32(5) ++
+          "INFOx".getBytes("US-ASCII") ++ Array[Byte](0) // odd size → pad
+      else Array.empty[Byte]
+    val dataCh = "data".getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+      (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ junk ++ dataCh
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  /** Parse (sampleRate, channels, bits, nSamples, durationUs) from bytes
+    * alone: verify RIFF/WAVE magics, walk chunks by declared length (even
+    * padding applied), read fmt's little-endian fields, size the data
+    * chunk. Truncated data degrades to the bytes present; structural
+    * failures return None. */
+  def decode(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var o = 12
+    var rate = -1L; var channels = -1L; var bits = -1L; var byteRate = -1L
+    var block = -1L; var dataLen = -1L
+    while (o + 8 <= b.length) {
+      val id = tag(b, o)
+      val size = readLe32(b, o + 4)
+      if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length) {
+        channels = readLe16(b, o + 10).toLong
+        rate = readLe32(b, o + 12)
+        byteRate = readLe32(b, o + 16)
+        block = readLe16(b, o + 20).toLong
+        bits = readLe16(b, o + 22).toLong
+      } else if (id == "data") {
+        dataLen = math.min(size, (b.length - o - 8).toLong)
+      }
+      o += 8 + size.toInt + (size.toInt & 1) // RIFF pads odd chunks to even
+    }
+    if (rate <= 0 || channels <= 0 || block <= 0 || byteRate <= 0 || dataLen < 0)
+      None
+    else Some((rate, channels, bits, dataLen / block,
+      dataLen * 1000000L / byteRate))
+  }
+}
+
 /** Multimodal-column operators: binary payloads + typed metadata, batch
   * feature extraction via `mapPartitions`.
   *
@@ -283,10 +357,62 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Build the audio payload for one doc: text bytes (truncated to a whole
+    * number of sample frames) wrapped in a PCM/WAV container whose
+    * parameters derive from doc_id — channels 1-2, 8/16-bit, 8-16 kHz —
+    * with a junk LIST chunk inserted for one slice (only a conformant
+    * chunk walker reaches the data) and one slice left as bare text (the
+    * decoder must classify it raw, not throw). */
+  private[graft] def synthesizeWav(docId: Long, text: String): Array[Byte] = {
+    val raw = text.getBytes("UTF-8")
+    if (docId % 6 == 5) raw
+    else {
+      val channels = (docId % 2 + 1).toInt
+      val bits = if (docId % 3 == 0) 16 else 8
+      val rate = (8000 + (docId % 5) * 2000).toInt
+      val block = channels * bits / 8
+      WavCodec.encode(rate, channels, bits,
+        java.util.Arrays.copyOf(raw, raw.length / block * block),
+        junkChunk = docId % 4 == 0)
+    }
+  }
+
+  /** q82 — AUDIO metadata extraction: synthesize format-true PCM/WAV
+    * payloads from the text corpus, then recover sample rate / channels /
+    * bit depth / sample count / duration by walking the real RIFF chunk
+    * grammar ([[WavCodec.decode]]) inside one mapPartitions batch —
+    * extending the multimodal family to audio with the same
+    * synthesis-arithmetic oracle trick as q65/q77 (a parser that misreads
+    * endianness, skips the pad rule, or trusts a fixed offset
+    * hash-mismatches). Aggregated per (format, channels, bits) so output
+    * stays bounded at any corpus size. */
+  val q82AudioMeta: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val payload = synthesizeWav(id, text)
+        WavCodec.decode(payload) match {
+          case Some((rate, ch, bits, nSamples, durUs)) =>
+            (id, "wav", ch, bits, rate, nSamples, durUs)
+          case None => (id, "raw", -1L, -1L, -1L, -1L, -1L)
+        }
+      })
+      .toDF("doc_id", "format", "channels", "bits", "rate", "n_samples", "dur_us")
+      .groupBy(col("format"), col("channels"), col("bits"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("rate")).as("rate_sum"),
+        sum(col("n_samples")).as("samples_sum"),
+        sum(col("dur_us")).as("dur_us_sum"))
+      .orderBy(col("format"), col("channels"), col("bits"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q65_multimodal" -> q65Multimodal,
     "q67_frame_sample" -> q67FrameSample,
-    "q77_resize" -> q77Resize)
+    "q77_resize" -> q77Resize,
+    "q82_audio_meta" -> q82AudioMeta)
 
   /** The oracle derives expectations from the synthesis arithmetic: header
     * prefix sizes are format constants (PNG 8+25 = 33 bytes before the body,
@@ -294,6 +420,37 @@ object MultimodalQueries extends QueryModule {
     * bytes are the magic values (PNG 0x89 = 137, JPEG 0xFF = 255; raw = the
     * text's first UTF-8 byte — the fixture is ASCII so unicode() matches). */
   def oracles: Map[String, String] = Map(
+    // WAV synthesis arithmetic recomputed symbolically: block align =
+    // channels·bits/8, samples = byte length // block (the encoder
+    // truncates to whole frames), duration_us = samples·1e6 // rate —
+    // all integer, so any endianness/offset/pad-rule misread mismatches
+    "q82_audio_meta" -> """
+      WITH f AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 6 = 5 THEN 'raw' ELSE 'wav' END AS format,
+          CASE WHEN doc_id % 6 = 5 THEN -1 ELSE doc_id % 2 + 1 END AS channels,
+          CASE WHEN doc_id % 6 = 5 THEN -1
+               WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS bits,
+          CASE WHEN doc_id % 6 = 5 THEN -1
+               ELSE 8000 + (doc_id % 5) * 2000 END AS rate,
+          length(text) AS len
+        FROM documents),
+      g AS (
+        SELECT *, CASE WHEN format = 'raw' THEN -1
+             ELSE len // ((channels * bits) // 8) END AS n_samples
+        FROM f),
+      h AS (
+        SELECT *, CASE WHEN format = 'raw' THEN -1
+             ELSE n_samples * 1000000 // rate END AS dur_us
+        FROM g)
+      SELECT format,
+        CAST(channels AS BIGINT) AS channels,
+        CAST(bits AS BIGINT) AS bits,
+        count(*) AS n_blobs,
+        CAST(sum(rate) AS BIGINT) AS rate_sum,
+        CAST(sum(n_samples) AS BIGINT) AS samples_sum,
+        CAST(sum(dur_us) AS BIGINT) AS dur_us_sum
+      FROM h GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     // thumbnail arithmetic recomputed symbolically: source pixel of out
     // cell (i, j) is (i·w//4, j·h//4), its value (sx·31 + sy·17 + doc_id)
     // mod 256 — DuckDB's // is integer division like the Scala resampler

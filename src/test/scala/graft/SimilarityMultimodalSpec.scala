@@ -139,6 +139,29 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(thumb.map(_ & 0xFF).toSeq == Seq(0, 30, 2, 32))
   }
 
+  test("WAV codec: round-trip, junk-chunk walking, odd-size pad rule, degradation") {
+    import graft.operators.WavCodec
+    // plain round-trip: all fmt fields and the sample count survive
+    val data44 = Array.tabulate(44)(_.toByte) // 11 frames of 2ch 16-bit
+    assert(WavCodec.decode(WavCodec.encode(44100, 2, 16, data44))
+      .contains((44100L, 2L, 16L, 11L, 11L * 1000000 / 44100)))
+    // an odd-sized junk LIST chunk sits between fmt and data: only a
+    // walker that applies RIFF's even-padding rule reaches the data chunk
+    assert(WavCodec.decode(WavCodec.encode(8000, 1, 8, Array[Byte](1, 2, 3),
+      junkChunk = true)).contains((8000L, 1L, 8L, 3L, 375L)))
+    // odd data size forces the data chunk's own pad byte; declared size wins
+    assert(WavCodec.decode(WavCodec.encode(16000, 1, 8, Array[Byte](9)))
+      .contains((16000L, 1L, 8L, 1L, 62L)))
+    // truncated data degrades to the bytes present instead of throwing
+    val full = WavCodec.encode(8000, 1, 8, Array.tabulate(100)(_.toByte))
+    val cut = java.util.Arrays.copyOf(full, full.length - 40)
+    assert(WavCodec.decode(cut).contains((8000L, 1L, 8L, 60L, 7500L)))
+    // structural garbage → None, never an exception
+    assert(WavCodec.decode("not audio at all".getBytes).isEmpty)
+    assert(WavCodec.decode(Array.empty[Byte]).isEmpty)
+    assert(WavCodec.decode("RIFF    JUNK".getBytes).isEmpty)
+  }
+
   test("non-image bytes classify as raw with no dimensions") {
     import graft.operators.MediaCodec
     assert(MediaCodec.decode("just some text".getBytes) == (("raw", -1L, -1L)))
