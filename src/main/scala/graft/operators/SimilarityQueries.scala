@@ -327,27 +327,51 @@ object SimilarityQueries extends QueryModule {
     * and k scales with corpus size, which is what makes embedding dedup
     * affordable at 100 TB where global all-pairs (q54) is not. */
   def withinClusterNearDup(e: DataFrame, cents: DataFrame,
-      b: Int, minCos: Double): DataFrame = {
-    import e.sparkSession.implicits._
+      b: Int, minCos: Double): DataFrame =
+    withinCellNearDup(
+      assignToCells(e, cents).withColumn("is_new", lit(false)),
+      b, minCos, newGate = false)
+
+  /** Broadcast-assign every (vec_id, q, n2) vector to its nearest centroid
+    * (exact integer squared-Euclidean via `min_by`, ties by cid) —
+    * (vec_id, cid, q, n2). Shared by the one-shot semantic dedup, the
+    * incremental variant (which persists this frame as its cell store),
+    * and anything else that needs a cell id per vector. */
+  private[graft] def assignToCells(e: DataFrame, cents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(e.sparkSession)
     val withN2 = broadcast(cents.withColumn("cn2", expr("dot_long(cq, cq)")))
-    val assigned = e.join(withN2)
+    e.join(withN2)
       .select(col("vec_id"), col("q"), col("n2"), col("cid"),
         (col("n2") - lit(2L) * expr("dot_long(q, cq)") + col("cn2")).as("d2"))
       .groupBy(col("vec_id"))
       .agg(min_by(struct(col("cid"), col("q"), col("n2")),
         struct(col("d2"), col("cid"))).as("bst"))
       .select(col("vec_id"), col("bst.cid").as("cid"), col("bst.q").as("q"),
-        col("bst.n2").as("n2"), pmod(col("vec_id"), lit(b)).as("g"))
+        col("bst.n2").as("n2"))
+  }
+
+  /** The tiled within-cell exact-cosine pair pass over an assigned
+    * (vec_id, cid, q, n2, is_new) frame. With `newGate` the candidate join
+    * keeps only pairs with at least one new side INSIDE the join — q74's
+    * incremental gate transplanted to the embedding family: old×old
+    * pairs, the bulk of the pair space, are never materialized. */
+  private def withinCellNearDup(assigned: DataFrame, b: Int, minCos: Double,
+      newGate: Boolean): DataFrame = {
+    import assigned.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(assigned.sparkSession)
+    val keyed = assigned.withColumn("g", pmod(col("vec_id"), lit(b)))
     val tiles = (for { p <- 0 until b; q <- p until b } yield (p * b + q, p, q))
       .toDF("tid", "tp", "tq")
-    val rows = assigned.join(broadcast(tiles), col("g") === col("tp"))
+    val rows = keyed.join(broadcast(tiles), col("g") === col("tp"))
       .select(col("cid"), col("tid"), col("tp"), col("tq"),
-        col("vec_id").as("ri"), col("q").as("qi"), col("n2").as("n2i"))
-    val cols = assigned.join(broadcast(tiles), col("g") === col("tq"))
+        col("vec_id").as("ri"), col("q").as("qi"), col("n2").as("n2i"),
+        col("is_new").as("ni"))
+    val cols = keyed.join(broadcast(tiles), col("g") === col("tq"))
       .select(col("cid").as("ccid"), col("tid").as("ctid"),
-        col("vec_id").as("rj"), col("q").as("qj"), col("n2").as("n2j"))
-    rows.join(cols, col("cid") === col("ccid") && col("tid") === col("ctid"))
+        col("vec_id").as("rj"), col("q").as("qj"), col("n2").as("n2j"),
+        col("is_new").as("nj"))
+    val base = col("cid") === col("ccid") && col("tid") === col("ctid")
+    rows.join(cols, if (newGate) base && (col("ni") || col("nj")) else base)
       .filter(col("tp") =!= col("tq") || col("ri") < col("rj"))
       .select(col("cid").as("cluster"),
         least(col("ri"), col("rj")).as("i"),
@@ -379,7 +403,46 @@ object SimilarityQueries extends QueryModule {
     withinClusterNearDup(e, c2, b = 8, minCos = 0.45)
   }
 
+  /** q83 — INCREMENTAL semantic dedup over a PERSISTED cell index: q74's
+    * ingest cost model transplanted to the embedding family. The centroid
+    * table and the old corpus's cell-assigned vectors are written to
+    * parquet (centroids small, cells partitioned by cluster id) and READ
+    * BACK inside the oracle-checked path; only the NEW batch (vec_id ≡ 1
+    * mod 3) computes assignments from payloads, against the STORED
+    * centroids. The within-cell pair join is gated at-least-one-side-new
+    * INSIDE the join, so old×old pairs — the bulk — never materialize.
+    * Centroids come from the OLD corpus only (2-step Lloyd from its 4
+    * lowest ids — the production truth that the index predates the batch),
+    * so per ingest batch the cost is one assignment pass over the batch,
+    * one parquet append, and a pair join whose output is
+    * |new|-proportional. Oracle: the full old-centroid within-cluster
+    * pair set restricted to new-involving pairs. */
+  val q83SemanticDedupIncremental: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    val e = quantized(s, dir).select(col("vec_id"), col("q"), col("n2"))
+    val isNew = col("vec_id") % 3 === 1
+    val old = e.filter(!isNew)
+    val seeds = old.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    val c2 = lloydStep(old, lloydStep(old, seeds).select(col("cid"), col("cq")))
+      .select(col("cid"), col("cq"))
+    val idxPath = graft.engine.Scratch.dir(s, "q83_cell_index")
+    c2.write.mode("overwrite").parquet(s"$idxPath/centroids")
+    assignToCells(old, c2)
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$idxPath/cells")
+    val storedCents = s.read.parquet(s"$idxPath/centroids")
+    val oldAssigned = s.read.parquet(s"$idxPath/cells")
+      .select(col("vec_id"), col("cid").cast("long").as("cid"),
+        col("q"), col("n2"))
+      .withColumn("is_new", lit(false))
+    val newAssigned = assignToCells(e.filter(isNew), storedCents)
+      .withColumn("is_new", lit(true))
+    withinCellNearDup(oldAssigned.unionByName(newAssigned),
+      b = 8, minCos = 0.45, newGate = true)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q83_semantic_dedup_incremental" -> q83SemanticDedupIncremental,
     "q55_knn_brute" -> q55KnnBrute,
     "q56_knn_lsh"   -> q56KnnLsh,
     "q57_knn_ivf"   -> q57KnnIvf,
@@ -426,6 +489,42 @@ object SimilarityQueries extends QueryModule {
         CAST(list_sum([x * x for x in qv]) AS BIGINT) AS n2 FROM q)"""
 
   def oracles: Map[String, String] = Map(
+    // centroids from the OLD corpus only (the index predates the batch);
+    // assignment of ALL vectors against them; pairs restricted to
+    // new-involving — exactly what the incremental gated join computes
+    "q83_semantic_dedup_incremental" -> s"""
+      WITH q0 AS (
+        SELECT vec_id,
+          [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS qv
+        FROM embeddings),
+      alln AS (SELECT vec_id, qv,
+              CAST(list_sum([x * x for x in qv]) AS BIGINT) AS n2 FROM q0),
+      n AS (SELECT * FROM alln WHERE vec_id % 3 <> 1),
+      seeds AS (SELECT vec_id AS cid, qv AS cq FROM n ORDER BY vec_id LIMIT 4),
+      ${duckLloyd(1, "seeds")},
+      ${duckLloyd(2, "c1")},
+      fcn AS (
+        SELECT cid, cq, CAST(list_sum([x * x for x in cq]) AS BIGINT) AS cn2
+        FROM c2),
+      fd AS (
+        SELECT a.vec_id, a.qv, a.n2, c.cid,
+          a.n2 - 2 * CAST(list_sum([a.qv[k] * c.cq[k]
+                                    for k in range(1, len(a.qv)+1)]) AS BIGINT)
+               + c.cn2 AS d2
+        FROM alln a, fcn c),
+      fasg AS (
+        SELECT vec_id, qv, n2, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r
+          FROM fd) WHERE r = 1)
+      SELECT a.cid AS cluster, a.vec_id AS i, b.vec_id AS j,
+        CAST(list_sum([a.qv[k] * b.qv[k] for k in range(1, len(a.qv)+1)]) AS BIGINT) AS dot,
+        CAST(list_sum([a.qv[k] * b.qv[k] for k in range(1, len(a.qv)+1)]) AS BIGINT)
+          / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+      FROM fasg a JOIN fasg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE (a.vec_id % 3 = 1 OR b.vec_id % 3 = 1)
+        AND CAST(list_sum([a.qv[k] * b.qv[k] for k in range(1, len(a.qv)+1)]) AS BIGINT)
+          / (sqrt(a.n2) * sqrt(b.n2)) >= 0.45
+      ORDER BY i, j""",
     "q80_semantic_dedup" -> s"""
       WITH q AS (
         SELECT vec_id,

@@ -186,6 +186,26 @@ object StreamOps {
       finally pairsPin.unpersist(blocking = false)
     }.start()
 
+  /** STREAMING decontamination over a persisted eval-gram index: each
+    * micro-batch of corpus docs checks against the stored index
+    * ([[graft.operators.TextQueries.writeEvalGramIndex]]) map-side and
+    * hands its contaminated-doc report to `onHits`. Decontamination is
+    * per-doc — NO cross-batch state, no doc store, nothing written per
+    * batch — so this is the lightest member of the incremental family:
+    * the eval index is the only durable state, batches are independent,
+    * and the union of per-batch reports equals the full-corpus q70
+    * (spec-asserted). Like foreachBatch itself, delivery to `onHits` is
+    * at-least-once on failure replay; the report is deterministic per
+    * batch, so an idempotent sink keyed by (batchId, doc_id) absorbs
+    * replays. */
+  def decontaminateStream(docs: DataFrame, indexPath: String)
+      (onHits: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onHits(graft.operators.TextQueries.decontaminateAgainstIndex(
+        batch, indexPath), batchId)
+    }.start()
+
   /** Gap between events that closes a session, and the session gap horizon
     * used for the event-time timeout (shared with the batch q24/q66). */
   private val GapS = 600L

@@ -281,6 +281,34 @@ class StatefulStreamingSpec extends SparkSpec {
     graft.engine.Sessions.releasePinned(spark)
   }
 
+  test("streaming decontamination over the stored gram index equals batch q70") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.engine.Tables.load(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam").toString
+    graft.operators.TextQueries.writeEvalGramIndex(
+      docs.filter(col("doc_id") % 20 === 0), dir)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    // two micro-batches split by parity; per-doc reports are
+    // batch-independent, so the union must equal the batch q70 exactly
+    val (b1, b2) = corpus.partition(_._1 % 2 == 0)
+    val stream = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.Buffer[(Long, Long, Long)]()
+    val q = StreamOps.decontaminateStream(
+        stream.toDF().toDF("doc_id", "text"), dir) { (hits, _) =>
+      seen ++= hits.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    val want = graft.operators.TextQueries.q70Decontaminate(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(seen.toSet == want)
+    assert(seen.size == seen.toSet.size, "a doc reports exactly once across batches")
+    assert(seen.nonEmpty)
+  }
+
   test("native session_window streaming equals the batch stateful fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
