@@ -335,7 +335,30 @@ object JoinQueries extends QueryModule {
     * are unaffected (the blocking-equivalence spec pins this). */
   private[graft] def fuzzyPairsDeletion(names: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val v = spreadForFanout(names.filter(length(col("nm")) >= 1))
+    val v = deletionVariants(names)
+    v.as("x").join(v.as("y"),
+        col("x.wh") === col("y.wh") && col("x.k") < col("y.k"))
+      .select(col("x.k").as("i"), col("y.k").as("j")).distinct()
+  }
+
+  /** TWO-TABLE fuzzy join candidates (record linkage: match a dirty feed
+    * against a master entity table): deletion-variant blocking across
+    * distinct key spaces, candidate (i from `a`, j from `b`) pairs for
+    * edit distance ≤ 2. Same completeness argument as the self-join; the
+    * sides block independently, so either may be the smaller feed and
+    * Catalyst/AQE pick the join strategy from runtime sizes. */
+  def fuzzyJoinTables(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    deletionVariants(a).as("x")
+      .join(deletionVariants(b).as("y"), col("x.wh") === col("y.wh"))
+      .select(col("x.k").as("i"), col("y.k").as("j")).distinct()
+
+  /** (k, xxhash64(variant)) rows: every string obtainable from `nm` by
+    * deleting ≤ 2 characters, hashed (see [[fuzzyPairsDeletion]] doc for
+    * why hashing the key is sound). */
+  private def deletionVariants(names: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    spreadForFanout(names.filter(length(col("nm")) >= 1))
       .select(col("k"), explode(expr(
         """transform(array_distinct(concat(
              array(nm),
@@ -348,10 +371,6 @@ object JoinQueries extends QueryModule {
                           substring(nm, a + 1, b - a - 1),
                           substring(nm, b + 1, length(nm)))))),
                array()))), w -> xxhash64(w))""")).as("wh"))
-    v.as("x").join(v.as("y"),
-        col("x.wh") === col("y.wh") && col("x.k") < col("y.k"))
-      .select(col("x.k").as("i"), col("y.k").as("j")).distinct()
-  }
 
   /** The candidate work of every fuzzy blocking lives in join/explode
     * OUTPUT, which AQE coalescing cannot anticipate (it sees a few

@@ -411,8 +411,9 @@ object SimilarityQueries extends QueryModule {
     * mod 3) computes assignments from payloads, against the STORED
     * centroids. The within-cell pair join is gated at-least-one-side-new
     * INSIDE the join, so old×old pairs — the bulk — never materialize.
-    * Centroids come from the OLD corpus only (2-step Lloyd from its 4
-    * lowest ids — the production truth that the index predates the batch),
+    * Centroids come from the OLD corpus only (one Lloyd step from its 4
+    * lowest ids — the production truth that the index predates the batch;
+    * the iteration CHAIN is q76/q80's subject, the INDEX is this one's),
     * so per ingest batch the cost is one assignment pass over the batch,
     * one parquet append, and a pair join whose output is
     * |new|-proportional. Oracle: the full old-centroid within-cluster
@@ -424,11 +425,13 @@ object SimilarityQueries extends QueryModule {
     val old = e.filter(!isNew)
     val seeds = old.orderBy(col("vec_id")).limit(4)
       .select(col("vec_id").as("cid"), col("q").as("cq"))
-    val c2 = lloydStep(old, lloydStep(old, seeds).select(col("cid"), col("cq")))
-      .select(col("cid"), col("cq"))
+    val c1 = lloydStep(old, seeds).select(col("cid"), col("cq"))
     val idxPath = graft.engine.Scratch.dir(s, "q83_cell_index")
-    c2.write.mode("overwrite").parquet(s"$idxPath/centroids")
-    assignToCells(old, c2)
+    // coalesce(1) sizes the write to THIS corpus (one file per cell dir
+    // instead of one per shuffle partition per cell); at 100 TB the
+    // parallel write is the point and the coalesce goes away
+    c1.coalesce(1).write.mode("overwrite").parquet(s"$idxPath/centroids")
+    assignToCells(old, c1).coalesce(1)
       .write.partitionBy("cid").mode("overwrite").parquet(s"$idxPath/cells")
     val storedCents = s.read.parquet(s"$idxPath/centroids")
     val oldAssigned = s.read.parquet(s"$idxPath/cells")
@@ -502,10 +505,9 @@ object SimilarityQueries extends QueryModule {
       n AS (SELECT * FROM alln WHERE vec_id % 3 <> 1),
       seeds AS (SELECT vec_id AS cid, qv AS cq FROM n ORDER BY vec_id LIMIT 4),
       ${duckLloyd(1, "seeds")},
-      ${duckLloyd(2, "c1")},
       fcn AS (
         SELECT cid, cq, CAST(list_sum([x * x for x in cq]) AS BIGINT) AS cn2
-        FROM c2),
+        FROM c1),
       fd AS (
         SELECT a.vec_id, a.qv, a.n2, c.cid,
           a.n2 - 2 * CAST(list_sum([a.qv[k] * c.cq[k]

@@ -22,25 +22,26 @@ class FuzzyJoinSpec extends SparkSpec {
       .select(col("i"), col("j"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  /** Driver-side ground truth on a test-sized fixture. */
-  private def brute(rows: Seq[(Long, String)]): Set[(Long, Long)] = {
-    def ed(a: String, b: String): Int = {
-      val prev = Array.tabulate(b.length + 1)(identity)
-      for (i <- 1 to a.length) {
-        var diag = prev(0); prev(0) = i
-        for (j <- 1 to b.length) {
-          val cur = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
-            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
-          diag = prev(j); prev(j) = cur
-        }
+  /** Reference edit distance (full DP). */
+  private def bruteEd(a: String, b: String): Int = {
+    val prev = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var diag = prev(0); prev(0) = i
+      for (j <- 1 to b.length) {
+        val cur = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+          diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        diag = prev(j); prev(j) = cur
       }
-      prev(b.length)
     }
+    prev(b.length)
+  }
+
+  /** Driver-side ground truth on a test-sized fixture. */
+  private def brute(rows: Seq[(Long, String)]): Set[(Long, Long)] =
     (for {
       (ki, ni) <- rows; (kj, nj) <- rows if ki < kj
-      d = ed(ni, nj) if d >= 1 && d <= 2
+      d = bruteEd(ni, nj) if d >= 1 && d <= 2
     } yield (ki, kj)).toSet
-  }
 
   /** Varied lengths (1..21 chars, including the < 3 fallback range),
     * planted near-duplicates (1 substitution / 1 deletion / 1 insertion /
@@ -85,6 +86,32 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(lw.nonEmpty)
     assert(sg == lw)
     assert(dl == lw)
+  }
+
+  test("two-table fuzzy join finds exactly the cross-table brute-force pairs") {
+    // record linkage: a dirty feed (typo'd copies + unrelated rows, its own
+    // key space) against the master list — candidates must cover exactly
+    // the cross-table pairs at ed <= 2, verified like the self-join
+    val master = varied
+    val feed = varied.collect {
+      case (k, s) if k % 2 == 0 && s.length >= 2 =>
+        (1000L + k, s.updated(s.length - 1, '@')) // 1 substitution
+    } ++ Seq((2000L, "feed only noise"), (2001L, "zzzz"))
+    val mdf = toNames(master)
+    val fdf = toNames(feed)
+    val cand = JoinQueries.fuzzyJoinTables(mdf, fdf)
+    val got = cand
+      .join(mdf.select(col("k").as("i"), col("nm").as("nm_i")), "i")
+      .join(fdf.select(col("k").as("j"), col("nm").as("nm_j")), "j")
+      .filter(levenshtein(col("nm_i"), col("nm_j")).between(1, 2))
+      .select(col("i"), col("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (ki, ni) <- master; (kj, nj) <- feed
+      d = bruteEd(ni, nj) if d >= 1 && d <= 2
+    } yield (ki, kj)).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
   }
 
   test("deletion blocking prunes where length/segment blocking cannot") {
