@@ -60,6 +60,28 @@ object WindowQueries extends QueryModule {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q84 — time-RANGE frame: trailing one-hour event count and value per
+    * user (`RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW` over epoch
+    * seconds) — the frame kind q22's ROWS cannot express: the window spans
+    * whatever number of events the last hour holds, including ALL ties on
+    * the boundary second (peer semantics, identical in any SQL engine,
+    * which is what keeps a tie-heavy event stream deterministic without a
+    * unique-key order column). Same single hash exchange + one
+    * partition-local sort as every other window here; Spark evaluates the
+    * variable-width frame with two moving pointers, so cost stays linear
+    * per partition regardless of how dense the hour is. */
+  val q84RangeWindow: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(-3600, Window.currentRow)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("ts_s"),
+        Num.cents(col("value")).as("cents"))
+      .select(col("user_id"), col("event_id"), col("ts_s"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("cents")).over(w).as("cents_1h"))
+      .orderBy(col("user_id"), col("ts_s"), col("event_id"))
+  }
+
   /** q23 — cumulative frame: running order count + revenue per customer
     * (UNBOUNDED PRECEDING), over orders. */
   val q23CumSum: Q = (s, dir) => {
@@ -158,6 +180,7 @@ object WindowQueries extends QueryModule {
     "q20_window_rank"   -> q20Rank,
     "q21_window_laglead" -> q21LagLead,
     "q22_window_moving" -> q22Moving,
+    "q84_window_range"  -> q84RangeWindow,
     "q23_window_cumsum" -> q23CumSum,
     "q24_sessionize"    -> q24Sessionize,
     "q25_window_ntile"  -> q25Ntile)
@@ -212,6 +235,19 @@ object WindowQueries extends QueryModule {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id""",
+    "q84_window_range" -> """
+      WITH e AS (
+        SELECT user_id, event_id,
+          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+          CAST(round(value*100,0) AS BIGINT) AS cents
+        FROM events)
+      SELECT user_id, event_id, ts_s,
+        count(*) OVER w AS n_1h,
+        CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts_s, event_id""",
     "q23_window_cumsum" -> """
       SELECT o_custkey, o_orderkey,
         count(*) OVER w AS n_so_far,
