@@ -186,7 +186,55 @@ object AnalyticQueries extends QueryModule {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q85 — CONSTRAINT AUDIT (the Deequ/dbt-test shape): one query emits
+    * the whole data-quality ledger — referential integrity (anti-join
+    * orphan counts), primary-key uniqueness, null checks, domain ranges,
+    * and distribution flags — each as (constraint, n_violations,
+    * viol_checksum), with the checksum pinning WHICH rows violate, not
+    * just how many. Every check is one small aggregate over one scan
+    * (FK checks anti-join on the key and aggregate the orphans); the
+    * union is a handful of single-row frames, so at 100 TB the cost is
+    * the table scans — which a real audit amortizes into the ingest pass.
+    * Clean-by-construction constraints asserting ZERO are the point of an
+    * audit (a regression flips them loudly); the distribution flags carry
+    * non-trivial counts so the oracle also pins real aggregation. */
+  val q85ConstraintAudit: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val d = Tables.load(s, dir, "documents")
+    def ledger(name: String, df: org.apache.spark.sql.DataFrame,
+        keyCol: String): org.apache.spark.sql.DataFrame =
+      df.agg(count(lit(1)).as("n_violations"),
+          sum(col(keyCol)).as("viol_checksum"))
+        .select(lit(name).as("constraint"), col("n_violations"),
+          col("viol_checksum"))
+    Seq(
+      ledger("fk_lineitem_orderkey",
+        li.join(o.select(col("o_orderkey")),
+          li("l_orderkey") === o("o_orderkey"), "left_anti"), "l_orderkey"),
+      ledger("fk_orders_custkey",
+        o.join(c.select(col("c_custkey")),
+          o("o_custkey") === c("c_custkey"), "left_anti"), "o_custkey"),
+      ledger("pk_orders_unique",
+        o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1), "o_orderkey"),
+      ledger("nn_customer_name",
+        c.filter(col("c_name").isNull), "c_custkey"),
+      ledger("dom_quantity_1_50",
+        li.filter(col("l_quantity") < 1 || col("l_quantity") > 50), "l_orderkey"),
+      ledger("dom_discount_0_10pct",
+        li.filter(col("l_discount") < 0 || col("l_discount") > 0.10), "l_orderkey"),
+      ledger("flag_high_value_orders",
+        o.filter(col("o_totalprice") > 400000), "o_orderkey"),
+      ledger("flag_short_documents",
+        d.filter(col("n_chars") < 200), "doc_id"))
+      .reduce(_ unionByName _)
+      .orderBy(col("constraint"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q85_constraint_audit" -> q85ConstraintAudit,
     "q38_subqueries"    -> q38Subqueries,
     "q39_stats"         -> q39Stats,
     "q37_sketches"      -> q37Sketches,
@@ -199,6 +247,33 @@ object AnalyticQueries extends QueryModule {
     "q36_case_agg"      -> q36CaseAgg)
 
   def oracles: Map[String, String] = Map(
+    "q85_constraint_audit" -> """
+      SELECT * FROM (
+        SELECT 'fk_lineitem_orderkey' AS "constraint", count(*) AS n_violations,
+          CAST(sum(l_orderkey) AS BIGINT) AS viol_checksum
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'fk_orders_custkey', count(*), CAST(sum(o_custkey) AS BIGINT)
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'pk_orders_unique', count(*), CAST(sum(o_orderkey) AS BIGINT)
+        FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'nn_customer_name', count(*), CAST(sum(c_custkey) AS BIGINT)
+        FROM customer WHERE c_name IS NULL
+        UNION ALL
+        SELECT 'dom_quantity_1_50', count(*), CAST(sum(l_orderkey) AS BIGINT)
+        FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+        UNION ALL
+        SELECT 'dom_discount_0_10pct', count(*), CAST(sum(l_orderkey) AS BIGINT)
+        FROM lineitem WHERE l_discount < 0 OR l_discount > 0.10
+        UNION ALL
+        SELECT 'flag_high_value_orders', count(*), CAST(sum(o_orderkey) AS BIGINT)
+        FROM orders WHERE o_totalprice > 400000
+        UNION ALL
+        SELECT 'flag_short_documents', count(*), CAST(sum(doc_id) AS BIGINT)
+        FROM documents WHERE n_chars < 200)
+      ORDER BY "constraint"""",
     "q37_sketches" -> """
       SELECT l_returnflag,
         count(DISTINCT l_orderkey) AS exact_orders,
