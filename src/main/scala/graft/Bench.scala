@@ -38,8 +38,12 @@ object Bench {
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
         }
         // between-queries, outside the timer: per-query caches/pins are
-        // dead weight for every query after this one — see releasePinned
+        // dead weight for every query after this one — see releasePinned;
+        // the explicit GC keeps one query's garbage from billing the next
+        // query's timing (heavy neighbors otherwise inflate the suite ~20%
+        // vs isolated runs)
         graft.engine.Sessions.releasePinned(spark)
+        System.gc()
         name -> r
       }.toMap
     val passes = Seq(timedPass(), timedPass(), timedPass())

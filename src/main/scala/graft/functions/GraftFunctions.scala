@@ -10,7 +10,8 @@ object GraftFunctions {
     "dot_long" -> (es => LongArrayDot(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
     "minhash_sig" -> (es => MinHashSig(es(0), es(1))),
-    "chargram_minhash" -> (es => ChargramMinHash(es(0), es(1), es(2))))
+    "chargram_minhash" -> (es => ChargramMinHash(es(0), es(1), es(2))),
+    "hamming_str" -> (es => HammingStr(es(0), es(1))))
 
   /** Idempotent per-session registration; queries call this so they work on
     * any SparkSession, extension-injected or not. */
@@ -41,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("chargram_minhash"),
       new ExpressionInfo(classOf[ChargramMinHash].getName, "chargram_minhash"),
       (es: Seq[Expression]) => ChargramMinHash(es(0), es(1), es(2))))
+    ext.injectFunction((
+      FunctionIdentifier("hamming_str"),
+      new ExpressionInfo(classOf[HammingStr].getName, "hamming_str"),
+      (es: Seq[Expression]) => HammingStr(es(0), es(1))))
   }
 }

@@ -335,8 +335,21 @@ object JoinQueries extends QueryModule {
     * are unaffected (the blocking-equivalence spec pins this). */
   private[graft] def fuzzyPairsDeletion(names: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val v = deletionVariants(names)
-    v.as("x").join(v.as("y"),
+    // query-scoped cache (the harness frees it): the self-join's two sides
+    // do NOT canonicalize to one exchange (the HOF lambda's variable ids
+    // differ per instantiation), so without the cache the explode+hash
+    // pipeline and its repartition run twice
+    val v = deletionVariants(names).cache()
+    // the shuffle_hash hint is LOAD-BEARING: Catalyst sizes the exploded
+    // variant frame by its parquet parent (a few hundred KB) and would
+    // BROADCAST the ~170×-exploded side — a multi-million-row hashed
+    // relation built and GC-churned per execution (observed 5.6→10.6 s
+    // swings at sf0.1). Hash-partitioning both sides on the variant hash
+    // keeps the per-task build at rows/partitions and restores stable
+    // scan-speed behavior — the same explode-breaks-size-estimation trap
+    // as AQE's coalescing, handled the same way: tell the planner what
+    // the fan-out makes unknowable.
+    v.as("x").join(v.as("y").hint("shuffle_hash"),
         col("x.wh") === col("y.wh") && col("x.k") < col("y.k"))
       .select(col("x.k").as("i"), col("y.k").as("j")).distinct()
   }
@@ -350,7 +363,8 @@ object JoinQueries extends QueryModule {
   def fuzzyJoinTables(a: org.apache.spark.sql.DataFrame,
       b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     deletionVariants(a).as("x")
-      .join(deletionVariants(b).as("y"), col("x.wh") === col("y.wh"))
+      .join(deletionVariants(b).as("y").hint("shuffle_hash"),
+        col("x.wh") === col("y.wh"))
       .select(col("x.k").as("i"), col("y.k").as("j")).distinct()
 
   /** (k, xxhash64(variant)) rows: every string obtainable from `nm` by
@@ -419,7 +433,29 @@ object JoinQueries extends QueryModule {
       .orderBy(col("dist"))
   }
 
+  /** q86 — Hamming-distance profile over fixed-format keys: the
+    * substitution-only companion to q79's levenshtein (exact and O(n) on
+    * equal-length strings — zero-padded ids, hashes, SKUs — where edit
+    * distance degenerates to position-wise difference). Uses the native
+    * codegen'd [[graft.functions.HammingStr]]; DuckDB's builtin `hamming`
+    * is the oracle. Each name is compared against a deterministic
+    * transposition-image of itself (8↔9 swapped), and the distance
+    * DISTRIBUTION with per-bucket key checksums pins every row's exact
+    * distance. Map-side compute, one tiny aggregate — scan-speed at any
+    * corpus size. */
+  val q86HammingProfile: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        expr("hamming_str(c_name, translate(c_name, '89', '98'))")
+          .cast("long").as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_checksum"))
+      .orderBy(col("h"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q86_hamming_profile" -> q86HammingProfile,
     "q79_fuzzy_join"     -> q79FuzzyJoin,
     "q69_merge_upsert"   -> q69MergeUpsert,
     "q19_join_full"      -> q19JoinFull,
@@ -435,6 +471,13 @@ object JoinQueries extends QueryModule {
     "q18_range_join"     -> q18RangeJoin)
 
   def oracles: Map[String, String] = Map(
+    "q86_hamming_profile" -> """
+      SELECT CAST(h AS BIGINT) AS h, count(*) AS n,
+        CAST(sum(c_custkey) AS BIGINT) AS key_checksum
+      FROM (SELECT c_custkey,
+              hamming(c_name, translate(c_name, '89', '98')) AS h
+            FROM customer)
+      GROUP BY 1 ORDER BY 1""",
     "q79_fuzzy_join" -> """
       SELECT CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
         count(*) AS n_pairs,

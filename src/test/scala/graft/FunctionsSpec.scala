@@ -151,6 +151,39 @@ class FunctionsSpec extends SparkSpec {
       .collect().head.isNullAt(0))
   }
 
+  test("hamming_str matches reference codepoint comparison; null on length mismatch") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    def ref(a: String, b: String): Option[Int] = {
+      val ca = a.codePoints().toArray; val cb = b.codePoints().toArray
+      if (ca.length != cb.length) None
+      else Some(ca.zip(cb).count { case (x, y) => x != y })
+    }
+    val gen = for {
+      n <- Gen.choose(0, 12)
+      m <- Gen.oneOf(Gen.const(n), Gen.choose(0, 12)) // half equal-length
+      // BMP chars only: picking Chars from a string would split a
+      // supplementary codepoint into lone surrogates (covered by a fixed
+      // anchor below instead)
+      a <- Gen.listOfN(n, Gen.oneOf("abéλxy ".toList)).map(_.mkString)
+      b <- Gen.listOfN(m, Gen.oneOf("abéλxy ".toList)).map(_.mkString)
+    } yield (a, b)
+    val cases = (1 to 60).flatMap(_ => gen.sample).toList
+    val got = cases.toDF("a", "b")
+      .selectExpr("hamming_str(a, b) AS h")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    val want = cases.map { case (a, b) => ref(a, b) }
+    assert(got.toSeq == want)
+    // fixed anchors incl. the multibyte mixed-width case
+    assert(spark.sql("SELECT hamming_str('abc', 'abd')").collect().head.getInt(0) == 1)
+    assert(spark.sql("SELECT hamming_str('aé', 'aa')").collect().head.getInt(0) == 1)
+    // supplementary-plane codepoint (4-byte UTF-8) aligns as ONE position
+    assert(spark.sql("SELECT hamming_str('a🎉', 'ab')").collect().head.getInt(0) == 1)
+    assert(spark.sql("SELECT hamming_str('ab', 'abc')").collect().head.isNullAt(0))
+    val e = intercept[Exception](spark.sql("SELECT hamming_str(1, 'a')").collect())
+    assert(e.getMessage.toLowerCase.contains("hamming_str"))
+  }
+
   test("dot_long propagates null arrays") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
