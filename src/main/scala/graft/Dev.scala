@@ -86,6 +86,24 @@ object Dev {
       val t2 = System.nanoTime()
       println(f"[dev] candidates=$nc in ${(t1 - t0) / 1e9}%.2fs; +levenshtein n=$nl in ${(t2 - t1) / 1e9}%.2fs")
       spark.stop()
+    } else if (name == "fuzzyprofile") {
+      // stage decomposition of the deletion-blocked fuzzy join at full table
+      import org.apache.spark.sql.functions._
+      val c = graft.engine.Tables.load(spark, sfDir, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("nm"))
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.JoinQueries.fuzzyPairsDeletion(c).cache()
+      val nPairs = pairs.count()
+      val t1 = System.nanoTime()
+      val verified = pairs
+        .join(c.select(col("k").as("i"), col("nm").as("nm_i")), "i")
+        .join(c.select(col("k").as("j"), col("nm").as("nm_j")), "j")
+        .select(levenshtein(col("nm_i"), col("nm_j"), 2).as("d"))
+        .filter(col("d") >= 1 && col("d") <= 2).count()
+      val t2 = System.nanoTime()
+      println(f"[dev] candidates=$nPairs in ${(t1 - t0) / 1e9}%.2fs; " +
+        f"verify=$verified in ${(t2 - t1) / 1e9}%.2fs")
+      spark.stop()
     } else if (name == "levprobe") {
       // raw levenshtein throughput: 2M pairs of 18-char strings
       import org.apache.spark.sql.functions._

@@ -413,14 +413,17 @@ object JoinQueries extends QueryModule {
   val q79FuzzyJoin: Q = (s, dir) => {
     val c = Tables.load(s, dir, "customer")
       .select(col("c_custkey").as("k"), col("c_name").as("nm"))
-    // dedup candidates FIRST (compact 16-byte rows through the only real
-    // shuffle), then verify: both name lookups are broadcast map-side
-    // joins and the threshold-banded levenshtein (O(L·d) band, '-1' =
-    // over threshold) runs once per distinct pair. The reverse order —
-    // verify on the multiset, distinct after — was measured SLOWER here
-    // (8.1 s vs 5.1 s at sf0.1): dragging two 18-char name columns
-    // through every duplicate candidate costs more than the duplicate
-    // rows save in the distinct exchange.
+    // dedup candidates FIRST (compact 16-byte rows through the join output
+    // and the distinct exchange), then verify once per distinct pair with
+    // broadcast name lookups and threshold-banded levenshtein (O(L·d)
+    // band, '-1' = over threshold). Both alternative orders were measured
+    // SLOWER at sf0.1: verifying inside the join (names carried on the
+    // variant rows) hit 13.3 s vs 6.1 s — 31.7M candidate rows ×2 string
+    // materializations in the join loop out-cost the 14M extra compact
+    // rows the early filter would have saved; verifying after a name join
+    // on the multiset landed between (8.1 s). Keep strings OUT of the
+    // fan-out path: big joins move fixed-width keys, wide payloads attach
+    // to the (much smaller) deduped output.
     fuzzyPairsDeletion(c)
       .join(c.select(col("k").as("i"), col("nm").as("nm_i")), "i")
       .join(c.select(col("k").as("j"), col("nm").as("nm_j")), "j")
