@@ -88,6 +88,28 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(dl == lw)
   }
 
+  test("deletion blocking is complete on random strings (property)") {
+    import org.scalacheck.Gen
+    // random corpora over a small alphabet (collisions likely) including a
+    // multibyte char — the completeness argument is alignment-based, so it
+    // must survive arbitrary shapes, not just the curated fixtures. Three
+    // deterministic seeds' worth of corpora, each checked exactly.
+    val gen = for {
+      n <- Gen.choose(1, 10)
+      s <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'é')).map(_.mkString)
+    } yield s
+    val corpora = (1 to 3).map { _ =>
+      Gen.listOfN(40, gen).sample.getOrElse(Nil)
+        .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    }
+    for (corpus <- corpora if corpus.nonEmpty) {
+      val names = toNames(corpus)
+      val got = verified(names, JoinQueries.fuzzyPairsDeletion(names))
+      val want = brute(corpus)
+      assert(got == want, s"corpus=${corpus.take(5)}...")
+    }
+  }
+
   test("two-table fuzzy join finds exactly the cross-table brute-force pairs") {
     // record linkage: a dirty feed (typo'd copies + unrelated rows, its own
     // key space) against the master list — candidates must cover exactly
