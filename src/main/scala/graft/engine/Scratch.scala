@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * whole per-app root is deleted by a JVM shutdown hook, so nothing
   * outlives the run. */
 object Scratch {
-  @volatile private var hooked: Option[Path] = None
+  private val hooked = scala.collection.mutable.Set.empty[Path]
 
   /** `<java.io.tmpdir>/graft-scratch-<appId>/<purpose>` — created, stable
     * within the app, deleted (whole root, recursively) at JVM exit. */
@@ -21,10 +21,8 @@ object Scratch {
     val root = Paths.get(sys.props("java.io.tmpdir"),
       s"graft-scratch-${s.sparkContext.applicationId}")
     synchronized {
-      if (!hooked.contains(root)) {
+      if (hooked.add(root))
         Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
-        hooked = Some(root)
-      }
     }
     val d = root.resolve(purpose)
     Files.createDirectories(d)
@@ -32,8 +30,16 @@ object Scratch {
   }
 
   private def deleteRec(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(deleteRec _)
+    if (Files.isDirectory(p)) {
+      // close the listing stream BEFORE deleting the directory: an open
+      // handle leaks an fd per level and can fail the parent delete on
+      // non-POSIX filesystems
+      val children = {
+        val st = Files.list(p)
+        try st.toArray(new Array[Path](_)) finally st.close()
+      }
+      children.foreach(deleteRec)
+    }
     Files.deleteIfExists(p)
   }
 }

@@ -65,8 +65,13 @@ object HammingStr {
     val bb = b.getBaseObject; val ob = b.getBaseOffset
     var i = 0; var j = 0; var diff = 0
     while (i < na && j < nb) {
-      val la = UTF8String.numBytesForFirstByte(Platform.getByte(ba, oa + i))
-      val lb = UTF8String.numBytesForFirstByte(Platform.getByte(bb, ob + j))
+      // clamp declared widths to the bytes actually present: truncated /
+      // invalid UTF-8 must degrade to a counted difference, never read
+      // past the buffer through Platform (same guard as ChargramMinHash)
+      val la = math.min(
+        UTF8String.numBytesForFirstByte(Platform.getByte(ba, oa + i)), na - i)
+      val lb = math.min(
+        UTF8String.numBytesForFirstByte(Platform.getByte(bb, ob + j)), nb - j)
       if (la != lb) diff += 1
       else {
         var k = 0

@@ -372,12 +372,14 @@ object JoinQueries extends QueryModule {
     * why hashing the key is sound). */
   private def deletionVariants(names: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    spreadForFanout(names.filter(length(col("nm")) >= 1))
+    spreadForFanout(names.filter(col("nm").isNotNull))
       .select(col("k"), explode(expr(
         """transform(array_distinct(concat(
              array(nm),
-             transform(sequence(1, length(nm)), a ->
-               concat(substring(nm, 1, a - 1), substring(nm, a + 1, length(nm)))),
+             IF(length(nm) >= 1,
+               transform(sequence(1, length(nm)), a ->
+                 concat(substring(nm, 1, a - 1), substring(nm, a + 1, length(nm)))),
+               array()),
              IF(length(nm) >= 2,
                flatten(transform(sequence(1, length(nm) - 1), a ->
                  transform(sequence(a + 1, length(nm)), b ->

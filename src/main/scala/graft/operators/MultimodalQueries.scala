@@ -219,22 +219,26 @@ object WavCodec {
     * failures return None. */
   def decode(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
     if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
-    var o = 12
+    var o = 12L
     var rate = -1L; var channels = -1L; var bits = -1L; var byteRate = -1L
     var block = -1L; var dataLen = -1L
     while (o + 8 <= b.length) {
-      val id = tag(b, o)
-      val size = readLe32(b, o + 4)
+      val oi = o.toInt
+      val id = tag(b, oi)
+      val size = readLe32(b, oi + 4) // unsigned 32-bit — NEVER narrow to Int
       if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length) {
-        channels = readLe16(b, o + 10).toLong
-        rate = readLe32(b, o + 12)
-        byteRate = readLe32(b, o + 16)
-        block = readLe16(b, o + 20).toLong
-        bits = readLe16(b, o + 22).toLong
+        channels = readLe16(b, oi + 10).toLong
+        rate = readLe32(b, oi + 12)
+        byteRate = readLe32(b, oi + 16)
+        block = readLe16(b, oi + 20).toLong
+        bits = readLe16(b, oi + 22).toLong
       } else if (id == "data") {
-        dataLen = math.min(size, (b.length - o - 8).toLong)
+        dataLen = math.min(size, b.length - o - 8)
       }
-      o += 8 + size.toInt + (size.toInt & 1) // RIFF pads odd chunks to even
+      // advance in LONG arithmetic: a garbage size near 2^32 must walk off
+      // the end (degrade), not truncate negative and spin or overflow —
+      // the cursor is strictly increasing, so the loop always terminates
+      o += 8 + size + (size & 1) // RIFF pads odd chunks to even
     }
     if (rate <= 0 || channels <= 0 || block <= 0 || byteRate <= 0 || dataLen < 0)
       None

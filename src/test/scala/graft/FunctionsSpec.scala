@@ -180,6 +180,12 @@ class FunctionsSpec extends SparkSpec {
     // supplementary-plane codepoint (4-byte UTF-8) aligns as ONE position
     assert(spark.sql("SELECT hamming_str('a🎉', 'ab')").collect().head.getInt(0) == 1)
     assert(spark.sql("SELECT hamming_str('ab', 'abc')").collect().head.isNullAt(0))
+    // truncated UTF-8 (lead byte declaring more bytes than remain) must
+    // degrade deterministically, not read past the buffer
+    val trunc = spark.sql(
+      """SELECT hamming_str(CAST(unhex('41C3') AS STRING),
+                            CAST(unhex('41C2') AS STRING)) AS h""").collect()
+    assert(trunc.head.getInt(0) == 1)
     val e = intercept[Exception](spark.sql("SELECT hamming_str(1, 'a')").collect())
     assert(e.getMessage.toLowerCase.contains("hamming_str"))
   }

@@ -56,13 +56,24 @@ class FuzzyJoinSpec extends SparkSpec {
       (sub ++ del ++ ins).map { case (tag, s) => s"$tag$i" -> s }
     }
     val all = bases.zipWithIndex.map { case (b, i) => s"b$i" -> b } ++ edits ++
-      Seq("u1" -> "completely different", "u2" -> "zzzzzzzzzzzzzzzzzzzzz")
+      Seq("u1" -> "completely different", "u2" -> "zzzzzzzzzzzzzzzzzzzzz",
+        // the empty string pairs with every string of length <= 2 — a
+        // degenerate every blocking scheme must cover
+        "e0" -> "")
     all.zipWithIndex.map { case ((_, s), idx) => (idx.toLong, s) }
   }
 
   private def toNames(rows: Seq[(Long, String)]): DataFrame = {
     import spark.implicits._
     rows.toDF("k", "nm")
+  }
+
+  // fuzzyPairsDeletion caches its variant frame query-scoped; the shared
+  // test session must not leak those blocks into later suites (PipelineSpec
+  // asserts absolute storage counts)
+  override def afterAll(): Unit = {
+    graft.engine.Sessions.releasePinned(spark)
+    super.afterAll()
   }
 
   test("all three blockings verify to the brute-force truth on varied lengths") {

@@ -159,7 +159,15 @@ class SimilarityMultimodalSpec extends SparkSpec {
     // structural garbage → None, never an exception
     assert(WavCodec.decode("not audio at all".getBytes).isEmpty)
     assert(WavCodec.decode(Array.empty[Byte]).isEmpty)
-    assert(WavCodec.decode("RIFF    JUNK".getBytes).isEmpty)
+    assert(WavCodec.decode(
+      "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "JUNK".getBytes).isEmpty)
+    // a chunk declaring a near-2^32 size must walk off the end and degrade
+    // - unsigned narrowing to Int would spin forever or index negatively
+    val huge = "RIFF".getBytes ++ Array[Byte](100, 0, 0, 0) ++
+      "WAVE".getBytes ++ "LIST".getBytes ++
+      Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++
+      Array.fill[Byte](64)(7)
+    assert(WavCodec.decode(huge).isEmpty)
   }
 
   test("non-image bytes classify as raw with no dimensions") {
