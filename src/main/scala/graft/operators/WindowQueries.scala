@@ -82,6 +82,32 @@ object WindowQueries extends QueryModule {
       .orderBy(col("user_id"), col("ts_s"), col("event_id"))
   }
 
+  /** q87 — SCD TYPE-2 HISTORY build: turn a change stream (each order =
+    * a new version of its customer's tracked value) into the
+    * slowly-changing-dimension shape a warehouse serves — one row per
+    * version carrying [valid_from, valid_to) and an is_current flag,
+    * derived with a single `lead` over (entity, version order). This is
+    * the temporal complement of q69's MERGE (which keeps only the latest
+    * state): same single hash exchange on the entity key, one
+    * partition-local sort, no self-join — the degenerate
+    * effective-dating pattern that survives any history depth because
+    * each row looks exactly one version ahead. Version order carries the
+    * unique key as tiebreaker so same-day versions chain
+    * deterministically. */
+  val q87Scd2History: Q = (s, dir) => {
+    val w = Window.partitionBy(col("custkey"))
+      .orderBy(col("valid_from"), col("version_key"))
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey").as("custkey"),
+        Num.cents(col("o_totalprice")).as("value_cents"),
+        col("o_orderdate").as("valid_from"),
+        col("o_orderkey").as("version_key"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1L).otherwise(0L))
+      .orderBy(col("custkey"), col("valid_from"), col("version_key"))
+  }
+
   /** q23 — cumulative frame: running order count + revenue per customer
     * (UNBOUNDED PRECEDING), over orders. */
   val q23CumSum: Q = (s, dir) => {
@@ -181,6 +207,7 @@ object WindowQueries extends QueryModule {
     "q21_window_laglead" -> q21LagLead,
     "q22_window_moving" -> q22Moving,
     "q84_window_range"  -> q84RangeWindow,
+    "q87_scd2_history"  -> q87Scd2History,
     "q23_window_cumsum" -> q23CumSum,
     "q24_sessionize"    -> q24Sessionize,
     "q25_window_ntile"  -> q25Ntile)
@@ -235,6 +262,18 @@ object WindowQueries extends QueryModule {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id""",
+    "q87_scd2_history" -> """
+      WITH v AS (
+        SELECT o_custkey AS custkey,
+          CAST(round(o_totalprice*100,0) AS BIGINT) AS value_cents,
+          o_orderdate AS valid_from, o_orderkey AS version_key
+        FROM orders)
+      SELECT custkey, value_cents, valid_from, version_key,
+        lead(valid_from) OVER w AS valid_to,
+        CAST(CASE WHEN lead(valid_from) OVER w IS NULL THEN 1 ELSE 0 END
+             AS BIGINT) AS is_current
+      FROM v WINDOW w AS (PARTITION BY custkey ORDER BY valid_from, version_key)
+      ORDER BY custkey, valid_from, version_key""",
     "q84_window_range" -> """
       WITH e AS (
         SELECT user_id, event_id,
