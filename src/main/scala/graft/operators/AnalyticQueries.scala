@@ -66,6 +66,30 @@ object AnalyticQueries extends QueryModule {
       .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
       .orderBy(col("o_orderpriority"))
 
+  /** q88 — UNPIVOT/melt, the inverse reshaping of q33's pivot: wide
+    * measure columns (size, retail price as exact cents) melt into long
+    * (key, metric, value) rows via the native `unpivot` operator — a
+    * Generate, not a union of scans, so the table is read ONCE however
+    * many measures melt (the q33 doc's dual concern: pivot wants static
+    * values, melt wants single-scan). Values are integer-ized per row
+    * BEFORE the re-aggregation so sums stay order-independent and exact.
+    * Output: per-metric count/sum/min/max — the long-form profile a
+    * feature store publishes. */
+  val q88Unpivot: Q = (s, dir) => {
+    Tables.load(s, dir, "part")
+      .select(col("p_partkey"),
+        (col("p_size") * 100).cast("long").as("p_size"),
+        Num.cents(col("p_retailprice")).as("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "metric", "v_cents")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v_cents")).as("sum_cents"),
+        min(col("v_cents")).as("min_cents"),
+        max(col("v_cents")).as("max_cents"))
+      .orderBy(col("metric"))
+  }
+
   /** q34 — exact percentiles (median/p90) of integer cents per segment.
     * Exact `percentile` needs the full value multiset per group — fine when
     * the group count is bounded (5 segments); for 100 TB ungrouped use
@@ -235,6 +259,7 @@ object AnalyticQueries extends QueryModule {
 
   def queries: Map[String, Q] = Map(
     "q85_constraint_audit" -> q85ConstraintAudit,
+    "q88_unpivot" -> q88Unpivot,
     "q38_subqueries"    -> q38Subqueries,
     "q39_stats"         -> q39Stats,
     "q37_sketches"      -> q37Sketches,
@@ -247,6 +272,17 @@ object AnalyticQueries extends QueryModule {
     "q36_case_agg"      -> q36CaseAgg)
 
   def oracles: Map[String, String] = Map(
+    "q88_unpivot" -> """
+      WITH long AS (
+        SELECT p_partkey, 'p_size' AS metric,
+          CAST(p_size * 100 AS BIGINT) AS v_cents FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice',
+          CAST(round(p_retailprice*100,0) AS BIGINT) FROM part)
+      SELECT metric, count(*) AS n,
+        CAST(sum(v_cents) AS BIGINT) AS sum_cents,
+        min(v_cents) AS min_cents, max(v_cents) AS max_cents
+      FROM long GROUP BY metric ORDER BY metric""",
     "q85_constraint_audit" -> """
       SELECT * FROM (
         SELECT 'fk_lineitem_orderkey' AS "constraint", count(*) AS n_violations,
