@@ -335,23 +335,38 @@ object JoinQueries extends QueryModule {
     * are unaffected (the blocking-equivalence spec pins this). */
   private[graft] def fuzzyPairsDeletion(names: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    // query-scoped cache (the harness frees it): the self-join's two sides
-    // do NOT canonicalize to one exchange (the HOF lambda's variable ids
-    // differ per instantiation), so without the cache the explode+hash
-    // pipeline and its repartition run twice
-    val v = deletionVariants(names).cache()
-    // the shuffle_hash hint is LOAD-BEARING: Catalyst sizes the exploded
-    // variant frame by its parquet parent (a few hundred KB) and would
-    // BROADCAST the ~170×-exploded side — a multi-million-row hashed
-    // relation built and GC-churned per execution (observed 5.6→10.6 s
-    // swings at sf0.1). Hash-partitioning both sides on the variant hash
-    // keeps the per-task build at rows/partitions and restores stable
-    // scan-speed behavior — the same explode-breaks-size-estimation trap
-    // as AQE's coalescing, handled the same way: tell the planner what
-    // the fan-out makes unknowable.
-    v.as("x").join(v.as("y").hint("shuffle_hash"),
-        col("x.wh") === col("y.wh") && col("x.k") < col("y.k"))
-      .select(col("x.k").as("i"), col("y.k").as("j")).distinct()
+    // ONE exchange, not a self-join: group the variant rows by bucket and
+    // enumerate each bucket's pairs with a HOF over the sorted member
+    // list. The earlier self-join formulation shuffled the 170×-exploded
+    // frame TWICE (its two sides don't canonicalize to one exchange — the
+    // HOF lambda ids differ per instantiation) and needed both a cache and
+    // a shuffle_hash hint to stop Catalyst broadcasting a multi-million-row
+    // "small" side (explode breaks size estimation); grouping shuffles the
+    // compact (k, wh) rows once, map-side-combines into per-bucket sets,
+    // and the quadratic pair fan-out happens AFTER the exchange, spread
+    // over the numbered partitions below (exempt from AQE coalescing —
+    // see [[spreadForFanout]]). Measured equal to the self-join form at
+    // sf0.1 (7.0 s vs 6.7 s, within ambient variance — stage profile:
+    // candidate generation ~13 s cold-cached vs verify ~2.5 s, the cost
+    // being the 17.4M candidates themselves, within 4.3× of the fixture's
+    // 4.08M TRUE pairs), kept for the structural wins: half the shuffled
+    // bytes, no cache, no hint. Bucket
+    // member lists are small by construction (a bucket collision forces
+    // the entire remaining string to match); a pathological hot bucket
+    // (mass-duplicated entity strings) would need the LSH-style cap —
+    // which costs recall, so q79 keeps completeness and documents the
+    // trade.
+    val v = deletionVariants(names)
+    v.repartition(
+        v.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("wh"))
+      .groupBy(col("wh")).agg(sort_array(collect_set(col("k"))).as("ks"))
+      .filter(size(col("ks")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ks, (xi, i) ->
+             transform(slice(ks, i + 2, size(ks)), xj ->
+               struct(xi AS i, xj AS j))))""")).as("p"))
+      .select(col("p.i"), col("p.j")).distinct()
   }
 
   /** TWO-TABLE fuzzy join candidates (record linkage: match a dirty feed
@@ -361,11 +376,25 @@ object JoinQueries extends QueryModule {
     * sides block independently, so either may be the smaller feed and
     * Catalyst/AQE pick the join strategy from runtime sizes. */
   def fuzzyJoinTables(a: org.apache.spark.sql.DataFrame,
-      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    deletionVariants(a).as("x")
-      .join(deletionVariants(b).as("y").hint("shuffle_hash"),
-        col("x.wh") === col("y.wh"))
-      .select(col("x.k").as("i"), col("y.k").as("j")).distinct()
+      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // same one-exchange shape as [[fuzzyPairsDeletion]]: both sides' variant
+    // rows union into one bucket grouping (side-tagged), pairs enumerate
+    // a-members × b-members per bucket — neither side is ever a join build
+    // side, so the explode-breaks-size-estimation trap can't bite
+    val v = deletionVariants(a).withColumn("side", lit(0))
+      .unionByName(deletionVariants(b).withColumn("side", lit(1)))
+    v.repartition(
+        v.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("wh"))
+      .groupBy(col("wh"))
+      .agg(collect_set(when(col("side") === 0, col("k"))).as("ka"),
+        collect_set(when(col("side") === 1, col("k"))).as("kb"))
+      .filter(size(col("ka")) >= 1 && size(col("kb")) >= 1)
+      .select(explode(expr(
+        """flatten(transform(ka, xi ->
+             transform(kb, xj -> struct(xi AS i, xj AS j))))""")).as("p"))
+      .select(col("p.i"), col("p.j")).distinct()
+  }
 
   /** (k, xxhash64(variant)) rows: every string obtainable from `nm` by
     * deleting ≤ 2 characters, hashed (see [[fuzzyPairsDeletion]] doc for
@@ -459,7 +488,87 @@ object JoinQueries extends QueryModule {
       .orderBy(col("h"))
   }
 
+  /** Deterministic "dirty feed" for record linkage: a perturbed image of
+    * the customer table, cycling through the canonical entity-resolution
+    * error modes by key — exact copy, last-char truncation (ED 1), one
+    * mid-string substitution (ED 1), a 2-char prefix insertion (ED 2),
+    * and a reversal (unlinkable). Nation / balance-bucket fields carry
+    * their own independent disagreement patterns so the score has
+    * multiple evidence dimensions, like a real Fellegi–Sunter setup. */
+  private[graft] def linkageFeed(c: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    c.select(col("c_custkey").as("f_id"),
+      expr("""CASE c_custkey % 5
+        WHEN 0 THEN c_name
+        WHEN 1 THEN substring(c_name, 1, length(c_name) - 1)
+        WHEN 2 THEN concat(substring(c_name, 1, 14), 'X', substring(c_name, 16))
+        WHEN 3 THEN concat('ZZ', c_name)
+        ELSE reverse(c_name) END""").as("nm_f"),
+      expr("CASE WHEN c_custkey % 3 = 0 THEN (c_nationkey + 1) % 25 " +
+        "ELSE c_nationkey END").cast("long").as("nation_f"),
+      // +1_000_000 offset keeps the dividend positive (acctbal may be
+      // negative; Spark `div` truncates toward zero, DuckDB `//` floors —
+      // they agree only on non-negative operands)
+      expr("(CASE WHEN c_custkey % 2 = 0 THEN " +
+        "CAST(round(c_acctbal*100,0) AS BIGINT) ELSE " +
+        "CAST(round(c_acctbal*100,0) AS BIGINT) + 150000 END + 1000000) " +
+        "div 100000").as("bucket_f"))
+
+  /** q92 — RECORD LINKAGE with Fellegi–Sunter-style evidence scoring: a
+    * dirty feed (see [[linkageFeed]]) matched against the master customer
+    * table. Candidates come from [[fuzzyJoinTables]] — two-table
+    * deletion-neighbourhood blocking, complete for edit distance ≤ 2, so
+    * the expensive quadratic space is never enumerated (the oracle, which
+    * CAN afford it at sf0.01, does the full cross join — that asymmetry is
+    * the point of blocking). Each surviving pair is scored on integer
+    * agreement weights: name edit distance (0/1/2 → 40/25/10), nation
+    * agreement (+20/−5), balance-bucket agreement (+10/−2); decisions
+    * threshold the score (≥60 match, ≥35 possible, else review). All
+    * arithmetic integer, all joins equi-joins; the feed side broadcasts
+    * its attributes back onto the deduped candidate pairs. At 100 TB both
+    * sides block independently and the candidate join stays keyed on the
+    * 8-byte variant hash — the same cost model as q79, linkage's
+    * production shape (Fellegi & Sunter 1969; Christen, "Data Matching",
+    * 2012). */
+  val q92RecordLinkage: Q = (s, dir) => {
+    val master = Tables.load(s, dir, "customer")
+    // a third of the entity space as the dirty feed — the production shape
+    // (an ingest batch against a master list). Selecting whole consecutive
+    // key TRIPLES (period-9 pattern) keeps every residue class of the
+    // %5/%3/%2 perturbation cycles represented — a plain %3 filter would
+    // alias the nation-perturbation cycle and erase one evidence dimension
+    val feed = linkageFeed(master.filter(expr("(c_custkey div 3) % 3 = 0")))
+    val cand = fuzzyJoinTables(
+      feed.select(col("f_id").as("k"), col("nm_f").as("nm")),
+      master.select(col("c_custkey").as("k"), col("c_name").as("nm")))
+    cand
+      .join(feed.select(col("f_id").as("i"), col("nm_f"), col("nation_f"),
+        col("bucket_f")), "i")
+      .join(master.select(col("c_custkey").as("j"), col("c_name"),
+        col("c_nationkey").cast("long").as("nation_m"),
+        expr("(CAST(round(c_acctbal*100,0) AS BIGINT) + 1000000) div 100000")
+          .as("bucket_m")), "j")
+      .select(col("i"), col("j"),
+        levenshtein(col("nm_f"), col("c_name"), 2).cast("long").as("dist"),
+        col("nation_f"), col("nation_m"), col("bucket_f"), col("bucket_m"))
+      .filter(col("dist") >= 0 && col("dist") <= 2)
+      .select(col("i"), col("j"),
+        (when(col("dist") === 0, 40L).when(col("dist") === 1, 25L).otherwise(10L)
+          + when(col("nation_f") === col("nation_m"), 20L).otherwise(-5L)
+          + when(col("bucket_f") === col("bucket_m"), 10L).otherwise(-2L))
+          .as("score"))
+      .select(col("i"), col("j"), col("score"),
+        when(col("score") >= 60, "match")
+          .when(col("score") >= 35, "possible")
+          .otherwise("review").as("decision"))
+      .groupBy(col("decision"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("i")).as("i_checksum"),
+        sum(col("j")).as("j_checksum"), sum(col("score")).as("score_sum"))
+      .orderBy(col("decision"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q92_record_linkage" -> q92RecordLinkage,
     "q86_hamming_profile" -> q86HammingProfile,
     "q79_fuzzy_join"     -> q79FuzzyJoin,
     "q69_merge_upsert"   -> q69MergeUpsert,
@@ -476,6 +585,43 @@ object JoinQueries extends QueryModule {
     "q18_range_join"     -> q18RangeJoin)
 
   def oracles: Map[String, String] = Map(
+    "q92_record_linkage" -> """
+      WITH feed AS (
+        SELECT c_custkey AS f_id,
+          CASE c_custkey % 5
+            WHEN 0 THEN c_name
+            WHEN 1 THEN substring(c_name, 1, length(c_name) - 1)
+            WHEN 2 THEN concat(substring(c_name, 1, 14), 'X', substring(c_name, 16))
+            WHEN 3 THEN concat('ZZ', c_name)
+            ELSE reverse(c_name) END AS nm_f,
+          CAST(CASE WHEN c_custkey % 3 = 0 THEN (c_nationkey + 1) % 25
+               ELSE c_nationkey END AS BIGINT) AS nation_f,
+          (CASE WHEN c_custkey % 2 = 0 THEN CAST(round(c_acctbal*100,0) AS BIGINT)
+                ELSE CAST(round(c_acctbal*100,0) AS BIGINT) + 150000 END
+           + 1000000) // 100000 AS bucket_f
+        FROM customer WHERE (c_custkey // 3) % 3 = 0),
+      m AS (SELECT c_custkey AS j, c_name,
+              CAST(c_nationkey AS BIGINT) AS nation_m,
+              (CAST(round(c_acctbal*100,0) AS BIGINT) + 1000000) // 100000 AS bucket_m
+            FROM customer),
+      pairs AS (
+        SELECT f_id AS i, j, levenshtein(nm_f, c_name) AS dist,
+          nation_f, nation_m, bucket_f, bucket_m
+        FROM feed CROSS JOIN m
+        WHERE levenshtein(nm_f, c_name) <= 2),
+      scored AS (
+        SELECT i, j,
+          (CASE WHEN dist = 0 THEN 40 WHEN dist = 1 THEN 25 ELSE 10 END
+           + CASE WHEN nation_f = nation_m THEN 20 ELSE -5 END
+           + CASE WHEN bucket_f = bucket_m THEN 10 ELSE -2 END) AS score
+        FROM pairs)
+      SELECT CASE WHEN score >= 60 THEN 'match'
+                  WHEN score >= 35 THEN 'possible'
+                  ELSE 'review' END AS decision,
+        count(*) AS n_pairs, CAST(sum(i) AS BIGINT) AS i_checksum,
+        CAST(sum(j) AS BIGINT) AS j_checksum,
+        CAST(sum(score) AS BIGINT) AS score_sum
+      FROM scored GROUP BY 1 ORDER BY 1""",
     "q86_hamming_profile" -> """
       SELECT CAST(h AS BIGINT) AS h, count(*) AS n,
         CAST(sum(c_custkey) AS BIGINT) AS key_checksum
