@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Num, QueryModule}
 import graft.engine.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional aggregation operators (SURVEY.md §2.2 breadth —
@@ -257,7 +258,178 @@ object AnalyticQueries extends QueryModule {
       .orderBy(col("constraint"))
   }
 
+  /** q89 — FUNNEL analysis (view → click → purchase within 7 days of the
+    * first view): the product-analytics sequential-conversion operator.
+    * Stage k's frame is "first qualifying event strictly after stage k-1,
+    * inside the window anchored at stage 1" — each stage is one filtered
+    * scan aggregated by user then equi-joined to the previous stage's
+    * (user, ts) frame, so the whole funnel is k filtered aggregates and
+    * k-1 user-keyed joins: every shuffle is on `user_id`, AQE reuses the
+    * partitioning, and no stage ever materializes more than one row per
+    * user. At 100 TB the event scans dominate (as they must); state per
+    * user is a single timestamp per stage, never an event array — the
+    * collect_list-per-user formulation common in ad-hoc SQL funnels OOMs
+    * on power users and is exactly what this shape avoids. Timestamps
+    * compare as exact epoch micros (integer) on both engines. */
+  val q89Funnel: Q = (s, dir) => {
+    val win = 7L * 86400L * 1000000L // 7 days in micros
+    val e = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("t") > col("t_view") && col("t") <= col("t_view") + win)
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").join(v, "user_id")
+      .filter(col("t") > col("t_click") && col("t") <= col("t_view") + win)
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_buy"))
+    def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("user_checksum"))
+        .select(lit(name).as("stage"), col("n_users"), col("user_checksum"))
+    stage("1_view", v).unionByName(stage("2_click", c))
+      .unionByName(stage("3_purchase", p))
+      .orderBy(col("stage"))
+  }
+
+  /** q90 — RETENTION COHORTS: users grouped by first-activity week, counted
+    * in each subsequent week they return — the (cohort, week-offset,
+    * n_active) triangle every growth dashboard is built on. Two aggregates
+    * and one join, ALL keyed on `user_id` (first-week frame and distinct
+    * (user, week) activity reuse one exchange), then a final small agg on
+    * (cohort, offset) — the output is weeks², independent of corpus size.
+    * Weeks are absolute integer epoch-weeks (floor of epoch-days/7) so the
+    * arithmetic is exact and engine-portable, no calendar semantics. */
+  val q90Retention: Q = (s, dir) => {
+    val wk = 7L * 86400L * 1000000L
+    val e = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr(s"unix_micros(ts) div ${wk}L").as("wk"))
+    val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val active = e.distinct()
+    active.join(first, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"), sum(col("user_id")).as("user_checksum"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
+  /** q91 — PAGERANK over the nation trade graph (customer-nation →
+    * supplier-nation edges weighted by lineitem count): the canonical
+    * iterative GRAPH-ANALYTIC aggregation, complementing the
+    * connected-components family (q59) with weighted importance
+    * propagation. Edge build is the expensive part and runs ONCE: the
+    * lineitem⋈orders fact join shuffles on the order key, both dimension
+    * maps broadcast, and the result collapses to a nation×nation weighted
+    * adjacency (≤ 625 rows) with out-weights attached by one window. Each
+    * of the 5 iterations is then edges⋈ranks + one aggregate over frames
+    * whose size is the NODE count, pinned per round and freed as the next
+    * materializes ([[graft.engine.Pin]]) — the same O(1)-storage driver
+    * discipline as the k-means/CC iterators; at 100 TB node-count frames
+    * (nations here, but users/documents in a big graph) shuffle on the
+    * node key and never touch the fact table again. All rank arithmetic
+    * is scaled integers (SCALE = 1e12; rank·w ≤ 9.2e18 for edge weights
+    * up to ~9M — renormalize weights first beyond that), damping 0.85 as
+    * the exact rational 85/100 with truncating division mirrored by the
+    * oracle's floor division on the same non-negative operands, so 5
+    * rounds of PageRank hash-match across engines (Page, Brin, Motwani,
+    * Winograd 1999). */
+  val q91PageRank: Q = (s, dir) => {
+    import graft.engine.Pin.pin
+    val SCALE = 1000000000000L
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = broadcast(Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey")))
+    val sup = broadcast(Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val adjacency = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    // nation-keyed frames are ≤ 625 rows: single-partition them so the 5
+    // iteration rounds schedule 1-task stages, not 32 empty ones (at a
+    // million graph nodes you would keep the default partitioning — the
+    // shapes below are all node-keyed joins/aggs that scale with it)
+    val (edges, edgesPin) = pin(adjacency.withColumn("out_w",
+      sum(col("w")).over(Window.partitionBy(col("src")))).coalesce(1))
+    val nodes = edges.select(col("src").as("nk"))
+      .union(edges.select(col("dst"))).distinct().coalesce(1)
+    val n = nodes.count() // node-count scalar, the CC/kmeans probe pattern
+    val base = (15L * (SCALE / n)) / 100L
+    def iterate(r: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val contribs = edges.join(r, edges("src") === r("nk"))
+        .select(col("dst"), expr("(rank_s * w) div out_w").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("cs"))
+      nodes.join(contribs, nodes("nk") === contribs("dst"), "left")
+        .select(col("nk"),
+          expr(s"${base}L + (85 * coalesce(cs, 0L)) div 100").as("rank_s"))
+    }
+    var ranks = nodes.select(col("nk"), lit(SCALE / n).as("rank_s"))
+    // round pinning auto-selects like the CC driver: a big node frame pins
+    // per round (O(1) storage, shallow plans); a dimension-sized one runs
+    // all rounds as one deferred plan — each pin is a scheduled job, and 5
+    // jobs dwarf the actual work when the frame is 25 rows
+    var ranksPin: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    for (_ <- 1 to 5) {
+      if (n > 100000) {
+        val (pinned, nextPin) = pin(iterate(ranks))
+        ranksPin.foreach(_.unpersist(blocking = false))
+        ranks = pinned
+        ranksPin = Some(nextPin)
+      } else ranks = iterate(ranks)
+    }
+    val out = ranks
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        col("nk") === col("n_nationkey"))
+      .select(col("nk"), col("n_name"), col("rank_s"))
+      .orderBy(col("nk"))
+    val materialized = out.cache() // harness releases; pins freed eagerly here
+    materialized.count()
+    ranksPin.foreach(_.unpersist(blocking = false))
+    edgesPin.unpersist(blocking = false)
+    materialized
+  }
+
+  private def pagerankOracle: String = {
+    def round(prev: String, cur: String): String = s"""
+      $cur AS (SELECT nodes.nk,
+          CAST((15 * (1000000000000 // (SELECT n FROM p))) // 100
+            + (85 * coalesce(cs, 0)) // 100 AS BIGINT) AS rank_s
+        FROM nodes LEFT JOIN (
+          SELECT dst, CAST(sum((rank_s * w) // out_w) AS BIGINT) AS cs
+          FROM edges JOIN $prev ON edges.src = $prev.nk GROUP BY dst) c
+        ON nodes.nk = c.dst)"""
+    val rounds = (1 to 5).map(i => round(s"r${i - 1}", s"r$i")).mkString(",")
+    s"""
+      WITH eraw AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+          CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+      edges AS (SELECT src, dst, w,
+          sum(w) OVER (PARTITION BY src) AS out_w FROM eraw),
+      nodes AS (SELECT DISTINCT nk FROM
+        (SELECT src AS nk FROM edges UNION ALL SELECT dst FROM edges)),
+      p AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (SELECT nk,
+               CAST(1000000000000 // (SELECT n FROM p) AS BIGINT) AS rank_s
+             FROM nodes),
+      $rounds
+      SELECT r5.nk, nt.n_name, r5.rank_s
+      FROM r5 JOIN nation nt ON r5.nk = nt.n_nationkey
+      ORDER BY r5.nk"""
+  }
+
   def queries: Map[String, Q] = Map(
+    "q91_pagerank" -> q91PageRank,
+    "q89_funnel" -> q89Funnel,
+    "q90_retention" -> q90Retention,
     "q85_constraint_audit" -> q85ConstraintAudit,
     "q88_unpivot" -> q88Unpivot,
     "q38_subqueries"    -> q38Subqueries,
@@ -272,6 +444,35 @@ object AnalyticQueries extends QueryModule {
     "q36_case_agg"      -> q36CaseAgg)
 
   def oracles: Map[String, String] = Map(
+    "q91_pagerank" -> pagerankOracle,
+    "q89_funnel" -> """
+      WITH e AS (SELECT user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+      v AS (SELECT user_id, min(t) AS t_view FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(t) AS t_click FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND t > t_view
+              AND t <= t_view + 604800000000 GROUP BY 1),
+      p AS (SELECT e.user_id, min(t) AS t_buy FROM e
+            JOIN c USING (user_id) JOIN v USING (user_id)
+            WHERE event_type = 'purchase' AND t > t_click
+              AND t <= t_view + 604800000000 GROUP BY 1)
+      SELECT * FROM (
+        SELECT '1_view' AS stage, count(*) AS n_users,
+          CAST(sum(user_id) AS BIGINT) AS user_checksum FROM v
+        UNION ALL SELECT '2_click', count(*), CAST(sum(user_id) AS BIGINT) FROM c
+        UNION ALL SELECT '3_purchase', count(*), CAST(sum(user_id) AS BIGINT) FROM p)
+      ORDER BY stage""",
+    "q90_retention" -> """
+      WITH e AS (SELECT user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+                 FROM events),
+      f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, wk FROM e)
+      SELECT cohort_wk, wk - cohort_wk AS week_offset, count(*) AS n_active,
+        CAST(sum(user_id) AS BIGINT) AS user_checksum
+      FROM a JOIN f USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""",
     "q88_unpivot" -> """
       WITH long AS (
         SELECT p_partkey, 'p_size' AS metric,

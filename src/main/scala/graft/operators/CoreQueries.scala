@@ -313,7 +313,44 @@ object CoreQueries extends QueryModule {
         sum(col("nkeys")).as("sum_part_keys"))
   }
 
+  /** q93 — Z-ORDER (Morton) clustering key: interleave the bits of two
+    * dimension columns so that sorting/range-partitioning on ONE key keeps
+    * BOTH dimensions clustered — the layout trick behind multi-dimensional
+    * data skipping (Delta/Iceberg `OPTIMIZE ZORDER BY`, Hudi clustering):
+    * min/max statistics on z-sorted files prune on either predicate
+    * dimension, where a plain sort prunes only its leading column. Here:
+    * p_size (6 bits used) × price offset in 40-cent steps (8 bits), 8 bits
+    * interleaved each; the query buckets the keyspace (z div 256 — the
+    * "file" granule) and emits each bucket's (x, y) bounding box + key
+    * checksum, which IS the data-skipping index a reader would consult;
+    * narrow boxes = working locality, and the oracle pins every box edge.
+    * The computation is pure per-row bit arithmetic (codegen'd shifts and
+    * masks, no shuffle before the bucket agg); the clustering-write spec
+    * (`CoreOpsSpec`) proves the scale claim: range-partitioning by z
+    * bounds BOTH dimension spans per partition, a plain x-sort leaves the
+    * y span at full width. */
+  val q93ZOrder: Q = (s, dir) => {
+    // z = Σ_b ((x>>b & 1) << 2b) | ((y>>b & 1) << 2b+1), b ∈ [0,8)
+    val z = (0 until 8).map(b =>
+        s"shiftleft(shiftright(x, $b) & 1, ${2 * b}) + " +
+        s"shiftleft(shiftright(y, $b) & 1, ${2 * b + 1})")
+      .mkString("(", " + ", ")")
+    Tables.load(s, dir, "part")
+      .select(col("p_partkey"),
+        col("p_size").cast("long").as("x"),
+        expr("(CAST(round(p_retailprice*100,0) AS BIGINT) - 90000) div 40")
+          .as("y"))
+      .withColumn("z", expr(z))
+      .groupBy(expr("z div 256").as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"),
+        sum(col("p_partkey")).as("key_checksum"))
+      .orderBy(col("z_bucket"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q93_zorder" -> q93ZOrder,
     "q58_partition_sort" -> q58PartitionSort,
     "q28_setops_all"     -> q28SetOpsAll,
     "q29_sample"         -> q29Sample,
@@ -331,6 +368,22 @@ object CoreQueries extends QueryModule {
     "q10_cogroup"        -> q10Cogroup)
 
   def oracles: Map[String, String] = Map(
+    "q93_zorder" -> {
+      val z = (0 until 8).map(b =>
+          s"((((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1}))")
+        .mkString("(", " + ", ")")
+      s"""
+      WITH d AS (
+        SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
+          (CAST(round(p_retailprice*100,0) AS BIGINT) - 90000) // 40 AS y
+        FROM part),
+      zd AS (SELECT p_partkey, x, y, $z AS z FROM d)
+      SELECT z // 256 AS z_bucket, count(*) AS n,
+        min(x) AS x_min, max(x) AS x_max,
+        min(y) AS y_min, max(y) AS y_max,
+        CAST(sum(p_partkey) AS BIGINT) AS key_checksum
+      FROM zd GROUP BY 1 ORDER BY z_bucket"""
+    },
     "q28_setops_all" -> """
       SELECT
         (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 200000

@@ -137,6 +137,35 @@ object WindowQueries extends QueryModule {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** q94 — EVENT PATH ANALYSIS: the top within-session event-type sequences
+    * ("view→click→purchase" and friends), the exploratory complement of the
+    * fixed-stage funnel (q89). Sessions are q24's (600 s gap, (ts,
+    * event_id) order); each session folds to ONE path string via
+    * sort_array over (ts, event_id, type) structs — deterministic however
+    * the rows arrive, and bounded by session length, never by user history
+    * (the per-user-array trap q89's doc warns about is bounded here by the
+    * session gap). Path frequencies are a count over the session frame
+    * (rows = sessions, not events), and the top-15 cut uses the total
+    * order (n DESC, path ASC) so the boundary is deterministic. At 100 TB:
+    * two user-keyed window passes + one path-keyed aggregate, all partial-
+    * aggregated; the path cardinality (≤ |type|^len) is the only growth
+    * axis and it caps the output, not the shuffle. */
+  val q94PathAnalysis: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("gap_s",
+        col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long"))
+      .withColumn("is_new", when(col("gap_s").isNull || col("gap_s") > 600, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(expr("array_join(transform(sort_array(collect_list(" +
+        "struct(ts, event_id, event_type))), x -> x.event_type), '->')").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("user_id")).as("user_checksum"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(15)
+  }
+
   /** q25 — ntile + percent_rank: account-balance quartiles per market segment. */
   val q25Ntile: Q = (s, dir) => {
     val w = Window.partitionBy(col("c_mktsegment"))
@@ -210,9 +239,32 @@ object WindowQueries extends QueryModule {
     "q87_scd2_history"  -> q87Scd2History,
     "q23_window_cumsum" -> q23CumSum,
     "q24_sessionize"    -> q24Sessionize,
+    "q94_path_analysis" -> q94PathAnalysis,
     "q25_window_ntile"  -> q25Ntile)
 
   def oracles: Map[String, String] = Map(
+    "q94_path_analysis" -> """
+      WITH gaps AS (
+        SELECT user_id, event_id, ts, event_type,
+          epoch(date_trunc('second', ts)) - epoch(date_trunc('second', lag(ts,1)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS gap_s
+        FROM events),
+      marked AS (
+        SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 600 THEN 1 ELSE 0 END AS is_new
+        FROM gaps),
+      sess AS (
+        SELECT user_id, event_id, ts, event_type,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked),
+      paths AS (
+        SELECT user_id, session_id,
+          string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+        FROM sess GROUP BY 1, 2)
+      SELECT path, count(*) AS n_sessions,
+        CAST(sum(user_id) AS BIGINT) AS user_checksum
+      FROM paths GROUP BY path
+      ORDER BY n_sessions DESC, path LIMIT 15""",
     "q26_asof_join" -> """
       WITH ev AS (
         SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),

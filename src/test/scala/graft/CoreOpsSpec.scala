@@ -51,6 +51,39 @@ class CoreOpsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("z-order range partitioning bounds BOTH dim spans; a plain sort only one (q93)") {
+    // the q93 scale claim made concrete: range-partition the z (Morton) key
+    // into 16 "files" and measure each file's per-dimension bounding box.
+    // Z-clustering must keep BOTH normalized spans well under full width
+    // (min/max stats can prune on either predicate dimension); the x-sorted
+    // baseline is perfect on x but leaves y at full width — the layout
+    // difference that makes multi-dim data skipping work. sf0.01 so every
+    // partition is populated densely enough for span stats to be stable.
+    val d = Tables.load(spark, sfDir01, "part")
+      .select(col("p_partkey"),
+        (col("p_size").cast("long") * 5).as("x"), // scale to 8 active bits
+        expr("(CAST(round(p_retailprice*100,0) AS BIGINT) - 90000) div 40").as("y"))
+    val z = (0 until 8).map(b =>
+        s"shiftleft(shiftright(x, $b) & 1, ${2 * b}) + " +
+        s"shiftleft(shiftright(y, $b) & 1, ${2 * b + 1})")
+      .mkString("(", " + ", ")")
+    val zd = d.withColumn("z", expr(z))
+    def spans(df: org.apache.spark.sql.DataFrame): Seq[(Double, Double)] =
+      df.select(spark_partition_id().as("p"), col("x"), col("y"))
+        .groupBy("p")
+        .agg((max(col("x")) - min(col("x"))).as("xs"),
+          (max(col("y")) - min(col("y"))).as("ys"))
+        .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble)).toSeq
+    val Seq((gx, gy)) = spans(zd.coalesce(1))
+    def avg(v: Seq[Double]) = v.sum / v.size
+    val zSpans = spans(zd.repartitionByRange(16, col("z")))
+    val xSpans = spans(zd.repartitionByRange(16, col("x"), col("p_partkey")))
+    assert(avg(zSpans.map(_._1)) / gx < 0.7, "z-clustering should bound x spans")
+    assert(avg(zSpans.map(_._2)) / gy < 0.7, "z-clustering should bound y spans")
+    assert(avg(xSpans.map(_._1)) / gx < 0.3, "x-sort is perfect on x")
+    assert(avg(xSpans.map(_._2)) / gy > 0.85, "x-sort leaves y at full width")
+  }
+
   test("every declared query runs at sf0.001 and matching oracle keys exist") {
     val qs = SparkEntry.queries
     val orc = SparkEntry.oracleSql

@@ -147,6 +147,31 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q92 linkage feed candidates cover every ED<=2 (feed, master) pair incl. identities") {
+    // the real q92 perturbation patterns (exact copy / truncation /
+    // substitution / 2-char prefix insertion / reversal) against the real
+    // master table — candidate generation must find every pair the oracle's
+    // full cross join scores, INCLUDING distance-0 identity matches (the
+    // between(1,2) self-join convention does not apply to linkage)
+    val master = graft.engine.Tables.load(spark, sfDir, "customer")
+    val feed = JoinQueries.linkageFeed(master)
+    val mdf = master.select(col("c_custkey").as("k"), col("c_name").as("nm"))
+    val fdf = feed.select(col("f_id").as("k"), col("nm_f").as("nm"))
+    val got = JoinQueries.fuzzyJoinTables(fdf, mdf)
+      .join(fdf.select(col("k").as("i"), col("nm").as("nm_i")), "i")
+      .join(mdf.select(col("k").as("j"), col("nm").as("nm_j")), "j")
+      .filter(levenshtein(col("nm_i"), col("nm_j")) <= 2)
+      .select(col("i"), col("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fRows = fdf.collect().map(r => (r.getLong(0), r.getString(1)))
+    val mRows = mdf.collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = (for {
+      (ki, ni) <- fRows; (kj, nj) <- mRows if bruteEd(ni, nj) <= 2
+    } yield (ki, kj)).toSet
+    assert(want.nonEmpty)
+    assert(got == want, "linkage blocking missed or invented pairs")
+  }
+
   test("deletion blocking prunes where length/segment blocking cannot") {
     // the scale claim behind q79's scheme choice: on length-uniform
     // constant-prefix names, length-window candidates are ALL pairs while

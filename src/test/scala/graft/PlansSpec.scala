@@ -179,6 +179,47 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join (and results match)") {
+    // row-level runtime filtering: when a shuffle join's build side is small
+    // and selective, Catalyst injects a bloom-filter aggregate on it and a
+    // might_contain probe on the FACT side's scan — at 100 TB this is what
+    // turns "join then discard 99% of rows" into "discard at the scan".
+    // The application-side threshold (10 GB default) exists so small scans
+    // skip the overhead; lower it to make the test-scale fact side
+    // eligible — cluster-scale facts qualify under the default. Results
+    // must be identical with the filter on and off.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> util.Try(spark.conf.get(k)).toOption)
+    def run(): (Array[org.apache.spark.sql.Row], String) = {
+      val li = Tables.load(spark, sfDir01, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = Tables.load(spark, sfDir01, "orders")
+        .filter(col("o_totalprice") > 350000).select(col("o_orderkey"))
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      (j.collect(), j.queryExecution.optimizedPlan.toString)
+    }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val (want, plainPlan) = run()
+      assert(!plainPlan.contains("might_contain"))
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      val (got, bloomPlan) = run()
+      assert(bloomPlan.contains("might_contain"),
+        s"runtime bloom filter was not injected:\n$bloomPlan")
+      assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq,
+        "bloom-filtered join must produce identical results")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation (skew pattern) equals plain aggregation") {
     // two-phase skew-safe aggregation: key+salt partial, then key final
     val li = Tables.load(spark, sfDir, "lineitem")
