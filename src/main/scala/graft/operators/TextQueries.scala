@@ -205,7 +205,65 @@ object TextQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  private val bm25Terms = Seq("join", "window", "merge")
+
+  /** Per-term BM25 contribution (k1 = 1.2, b = 0.75, Lucene-style
+    * idf = ln((N − df + 0.5)/(df + 0.5) + 1)). ONE SQL string evaluated
+    * verbatim by BOTH engines (the q39 discipline: doubles are only
+    * compared when produced by an identical closed-form expression over
+    * exact integer inputs — here tf/df/dl/N/Σdl). The only non-correctly-
+    * rounded operation is `ln`, whose last-ulp may differ between
+    * libm implementations, so the final score is fixed-order summed and
+    * rounded to integer micros before comparison. */
+  private def bm25ContribSql(t: String): String =
+    s"""CASE WHEN tf_$t IS NOT NULL THEN
+          ln((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5)
+             / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0)
+          * (CAST(tf_$t AS DOUBLE) * 2.2)
+          / (CAST(tf_$t AS DOUBLE)
+             + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        ELSE 0.0 END"""
+
+  private def bm25ScoreSql: String =
+    s"CAST(round((${bm25Terms.map(bm25ContribSql).mkString(" + ")}) * 1000000) AS BIGINT)"
+
+  /** q95 — BM25 RANKED RETRIEVAL: score every document against a fixed
+    * 3-term query and return the top 20 — the search-engine scoring
+    * operator (Robertson & Zaragoza 2009) that completes the text family
+    * beyond q64's TF-IDF weights. Shape at 100 TB: one corpus scan
+    * tokenizes and pivots the query terms' tf per doc (rows = matching
+    * docs only), the df/N/Σdl statistics are two tiny aggregates crossed
+    * on as 1-row broadcasts, scoring is map-side arithmetic, and the
+    * top-20 is a TakeOrdered — no shuffle carries more than one row per
+    * MATCHING document. Scores are deterministic across engines: shared
+    * expression text, fixed-order term sum, integer-micro rounding (see
+    * [[bm25ContribSql]]). */
+  val q95Bm25: Q = (s, dir) => {
+    val termsSql = bm25Terms.map(t => s"'$t'").mkString("array(", ", ", ")")
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tfp = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+      .filter(expr(s"array_contains($termsSql, t)"))
+      .groupBy(col("doc_id"), col("dl"))
+      .pivot("t", bm25Terms).count()
+      .withColumnsRenamed(bm25Terms.map(t => t -> s"tf_$t").toMap)
+    val dfs = tfp.agg(
+      bm25Terms.map(t => count(col(s"tf_$t")).as(s"df_$t")).head,
+      bm25Terms.map(t => count(col(s"tf_$t")).as(s"df_$t")).tail: _*)
+    tfp.crossJoin(broadcast(dfs)).crossJoin(broadcast(stats))
+      .select(col("doc_id") +: expr(bm25ScoreSql).as("score_micro") +:
+        bm25Terms.map(t => coalesce(col(s"tf_$t"), lit(0L)).as(s"tf_$t")): _*)
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q95_bm25"        -> q95Bm25,
     "q64_tfidf"       -> q64TfIdf,
     "q60_lang_id"     -> q60LangId,
     "q61_quality"     -> q61Quality,
@@ -217,6 +275,31 @@ object TextQueries extends QueryModule {
   private val duckStop = "['the','a','an','and','of','is','to','in']"
 
   def oracles: Map[String, String] = Map(
+    "q95_bm25" -> {
+      val inList = bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+      val tfCols = bm25Terms.map(t =>
+        s"NULLIF(count(*) FILTER (x.t = '$t'), 0) AS tf_$t").mkString(",\n          ")
+      val dfCols = bm25Terms.map(t => s"count(tf_$t) AS df_$t").mkString(", ")
+      val outTf = bm25Terms.map(t => s"coalesce(tf_$t, 0) AS tf_$t").mkString(", ")
+      s"""
+      WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        FROM documents),
+      docs AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+      toksx AS (SELECT doc_id, unnest(toks) AS t FROM d),
+      tfp AS (
+        SELECT x.doc_id, any_value(dl) AS dl,
+          $tfCols
+        FROM toksx x JOIN docs USING (doc_id)
+        WHERE x.t IN $inList
+        GROUP BY x.doc_id),
+      dfs AS (SELECT $dfCols FROM tfp),
+      stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+                FROM docs)
+      SELECT doc_id, $bm25ScoreSql AS score_micro, $outTf
+      FROM tfp CROSS JOIN dfs CROSS JOIN stats
+      ORDER BY score_micro DESC, doc_id LIMIT 20"""
+    },
     "q64_tfidf" -> """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

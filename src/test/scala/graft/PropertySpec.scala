@@ -129,4 +129,47 @@ class PropertySpec extends SparkSpec {
       got == rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     })
   }
+
+  test("funnel stages are monotone non-increasing (q89 law)") {
+    // every stage is a strict refinement of the previous one's user set,
+    // so the counts must fall (or hold) down the funnel at any SF
+    val rows = graft.operators.AnalyticQueries.q89Funnel(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("1_view") >= rows("2_click"))
+    assert(rows("2_click") >= rows("3_purchase"))
+  }
+
+  test("retention offset-0 equals cohort size (q90 law)") {
+    // a user is by definition active in their own first week, so the
+    // week_offset = 0 row must count the whole cohort
+    val ret = graft.operators.AnalyticQueries.q90Retention(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val wk = 7L * 86400L * 1000000L
+    val cohorts = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), expr(s"unix_micros(ts) div ${wk}L").as("wk"))
+      .groupBy(col("user_id")).agg(min(col("wk")).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cohorts.nonEmpty)
+    cohorts.foreach { case (c, n) =>
+      assert(ret((c, 0L)) == n, s"cohort $c offset-0")
+    }
+  }
+
+  test("PageRank mass is conserved up to truncation loss (q91 law)") {
+    // scaled-integer PageRank: Σranks = SCALE exactly under real
+    // arithmetic; each truncating division loses < 1 unit per edge/node
+    // per round, so the total must sit just under SCALE and every node
+    // must hold at least the damping floor
+    val scale = 1000000000000L
+    val ranks = graft.operators.AnalyticQueries.q91PageRank(spark, sfDir)
+      .collect().map(_.getLong(2))
+    val n = ranks.length
+    assert(n > 0)
+    val floor = (15L * (scale / n)) / 100L
+    assert(ranks.forall(_ >= floor), "every node keeps the damping floor")
+    val total = ranks.sum
+    assert(total <= scale, s"mass must not be created (got $total)")
+    assert(total >= scale - scale / 1000, s"truncation loss should be tiny (got $total)")
+  }
 }
