@@ -426,7 +426,65 @@ object AnalyticQueries extends QueryModule {
       ORDER BY r5.nk"""
   }
 
+  /** q96 — ROLLING 7-DAY DISTINCT ACTIVE USERS (trailing-window DAU/WAU):
+    * the engagement metric that needs a DISTINCT inside a sliding window,
+    * which plain window frames cannot express (COUNT(DISTINCT) OVER RANGE
+    * is unsupported in both engines — the state is a set, not a scalar).
+    * Scale shape: distinct (user, day) first (one shuffle, the only one
+    * that sees event volume), then each active day fans out map-side to
+    * the ≤ 7 report days it serves via sequence+explode — an EQUI-join
+    * world; the BETWEEN-range-join formulation would plan a broadcast
+    * nested loop and at 100 TB the day dimension stays tiny but the probe
+    * side does not. Phantom tail days (beyond the last event) drop via a
+    * semi join against the observed-day set. Exact integer epoch-days on
+    * both engines. */
+  val q96RollingDau: Q = (s, dir) => {
+    val day = "unix_micros(ts) div 86400000000"
+    val du = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr(day).as("day")).distinct()
+    val days = du.select(col("day")).distinct()
+    du.select(col("user_id"),
+        explode(expr("sequence(day, day + 6)")).as("report_day"))
+      .distinct()
+      .join(broadcast(days), col("report_day") === days("day"), "left_semi")
+      .groupBy(col("report_day"))
+      .agg(count(lit(1)).as("dau7"), sum(col("user_id")).as("user_checksum"))
+      .orderBy(col("report_day"))
+  }
+
+  /** q98 — MERGEABLE SKETCH ROLLUP: per-nation HLL (Apache DataSketches)
+    * distinct-customer sketches UNION-MERGED up to regions — the
+    * sketch-once-merge-anywhere pattern that makes distinct counting
+    * viable at 100 TB (per-partition/per-day sketches persist small and
+    * re-aggregate along any dimension without touching raw data again;
+    * re-running countDistinct per rollup level would rescan the corpus
+    * per level). q37 showed the sketch ESTIMATE contract; this shows the
+    * MERGE is lossless with respect to that contract: the region estimate
+    * comes only from unioned nation sketches, never from region-level raw
+    * data. Exact counts ride along (customers are unique per nation, so
+    * the per-nation exacts SUM to the region exact — no second distinct),
+    * and the estimate reduces to an in-bound flag the oracle pins to 1
+    * (lgK=12 → rsd ≈ 1.6%, 3σ ≈ 5%). */
+  val q98SketchRollup: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+    val n = broadcast(Tables.load(s, dir, "nation"))
+    val perNation = c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_regionkey"), col("n_nationkey"))
+      .agg(expr("hll_sketch_agg(c_custkey)").as("sk"),
+        countDistinct(col("c_custkey")).as("exact_n"))
+    perNation
+      .groupBy(col("n_regionkey").cast("long").as("region"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        sum(col("exact_n")).as("exact_customers"))
+      .select(col("region"), col("exact_customers"),
+        (abs(col("est") - col("exact_customers"))
+          <= col("exact_customers") * 0.05).cast("long").as("est_within_3sd"))
+      .orderBy(col("region"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q98_sketch_rollup" -> q98SketchRollup,
+    "q96_rolling_dau" -> q96RollingDau,
     "q91_pagerank" -> q91PageRank,
     "q89_funnel" -> q89Funnel,
     "q90_retention" -> q90Retention,
@@ -444,6 +502,25 @@ object AnalyticQueries extends QueryModule {
     "q36_case_agg"      -> q36CaseAgg)
 
   def oracles: Map[String, String] = Map(
+    "q98_sketch_rollup" -> """
+      SELECT CAST(n_regionkey AS BIGINT) AS region,
+        count(DISTINCT c_custkey) AS exact_customers,
+        CAST(1 AS BIGINT) AS est_within_3sd
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY 1""",
+    "q96_rolling_dau" -> """
+      WITH du AS (
+        SELECT DISTINCT user_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        FROM events),
+      days AS (SELECT DISTINCT day FROM du),
+      contrib AS (
+        SELECT DISTINCT user_id, u.day + o AS report_day
+        FROM du u CROSS JOIN (SELECT unnest(range(0, 7)) AS o)
+        WHERE u.day + o IN (SELECT day FROM days))
+      SELECT report_day, count(*) AS dau7,
+        CAST(sum(user_id) AS BIGINT) AS user_checksum
+      FROM contrib GROUP BY 1 ORDER BY 1""",
     "q91_pagerank" -> pagerankOracle,
     "q89_funnel" -> """
       WITH e AS (SELECT user_id, event_type,

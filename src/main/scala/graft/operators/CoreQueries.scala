@@ -349,7 +349,34 @@ object CoreQueries extends QueryModule {
       .orderBy(col("z_bucket"))
   }
 
+  /** q97 — WEIGHTED PRIORITY SAMPLING (Duffield, Lund, Thorup, JACM 2007):
+    * per-source top-10 documents by priority q = w / u, with w = n_chars
+    * (longer docs proportionally likelier) and u the same portable
+    * multiplicative hash the q29/q71/q78 sampling family uses — so the
+    * sample is deterministic, engine-portable, and weight-sensitive,
+    * the scheme production samplers use when "uniform over documents"
+    * would under-represent long documents. Integer arithmetic only:
+    * q = w·10⁹ div (u+1) (max ~2·10¹³, no overflow), ties broken by
+    * doc_id. Same scale path as q78: the window form here; the bounded
+    * per-partition-heap `quotaSampleTopK` applies verbatim when sources
+    * explode (survivors ≤ partitions·strata·quota). */
+  val q97PrioritySample: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val u = "((doc_id % 999983) * 2654435761) % 1000000"
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr(s"(n_chars * 1000000000L) div (($u) + 1)").as("priority"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    d.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"),
+        col("priority"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q97_priority_sample" -> q97PrioritySample,
     "q93_zorder" -> q93ZOrder,
     "q58_partition_sort" -> q58PartitionSort,
     "q28_setops_all"     -> q28SetOpsAll,
@@ -368,6 +395,20 @@ object CoreQueries extends QueryModule {
     "q10_cogroup"        -> q10Cogroup)
 
   def oracles: Map[String, String] = Map(
+    "q97_priority_sample" -> """
+      WITH p AS (
+        SELECT doc_id, source, n_chars,
+          (n_chars * 1000000000) // ((((doc_id % 999983) * 2654435761) % 1000000) + 1)
+            AS priority
+        FROM documents),
+      r AS (
+        SELECT source, doc_id, n_chars, priority,
+          row_number() OVER (PARTITION BY source
+            ORDER BY priority DESC, doc_id) AS rnk
+        FROM p)
+      SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars,
+        CAST(priority AS BIGINT) AS priority
+      FROM r WHERE rnk <= 10 ORDER BY source, rnk""",
     "q93_zorder" -> {
       val z = (0 until 8).map(b =>
           s"((((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1}))")
