@@ -14,6 +14,43 @@ import org.apache.spark.sql.functions._
   * regardless of the number of grouping sets, which is exactly how these stay
   * viable at 100 TB (partial agg runs map-side on the expanded rows).
   */
+/** Misra–Gries heavy-hitter summary as a typed Aggregator: ≤ k counters per
+  * partial state, merge = counter sum then batch-decrement by the (k+1)-th
+  * largest count (Agarwal et al., "Mergeable Summaries", PODS 2012 — the
+  * merge preserves the n/(k+1) total-undercount bound, so any key with true
+  * frequency > n/(k+1) is guaranteed present in the final summary whatever
+  * the partition/merge order). Per-row reduce only ever reaches k+1 entries,
+  * so its decrement pivot is a plain min scan — no sort in the hot path; the
+  * sort-based selection runs only in the rare partial-state merges. */
+object MisraGries
+    extends org.apache.spark.sql.expressions.Aggregator[Long, Map[Long, Long], Array[Long]] {
+  val k = 64
+  def zero: Map[Long, Long] = Map.empty
+  def reduce(b: Map[Long, Long], key: Long): Map[Long, Long] = {
+    val b2 = b.updated(key, b.getOrElse(key, 0L) + 1L)
+    if (b2.size <= k) b2
+    else { // size is exactly k+1 → the (k+1)-th largest is the minimum
+      val cut = b2.valuesIterator.min
+      b2.collect { case (ky, c) if c > cut => ky -> (c - cut) }
+    }
+  }
+  def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = {
+    val summed = b.foldLeft(a) { case (m, (ky, c)) =>
+      m.updated(ky, m.getOrElse(ky, 0L) + c)
+    }
+    if (summed.size <= k) summed
+    else {
+      val cut = summed.valuesIterator.toArray.sorted(Ordering[Long].reverse)(k)
+      summed.collect { case (ky, c) if c > cut => ky -> (c - cut) }
+    }
+  }
+  def finish(r: Map[Long, Long]): Array[Long] = r.keysIterator.toArray.sorted
+  def bufferEncoder: org.apache.spark.sql.Encoder[Map[Long, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 object AnalyticQueries extends QueryModule {
 
   /** q30 — ROLLUP over the nation→region dimension chain: per-(region,nation),
@@ -482,7 +519,90 @@ object AnalyticQueries extends QueryModule {
       .orderBy(col("region"))
   }
 
+  /** q99 — EXACT HEAVY HITTERS with bounded-memory candidate generation
+    * (Misra–Gries k=64 + exact refine — the two-pass scheme of Charikar et
+    * al.'s "count then verify" applied to the MG summary of Agarwal et al.,
+    * "Mergeable Summaries", PODS 2012). The fixtures are deliberately
+    * uniform, so the key is a derived monotone-skew stream:
+    * key = floor(sqrt(event_id)) gives key v frequency ≈ 2v+1 (IEEE sqrt is
+    * correctly rounded, so floor∘sqrt is engine-exact on BIGINTs < 2^52).
+    *
+    * Why not plain groupBy+HAVING: that shuffles the ENTIRE key space — at
+    * 100 TB, billions of distinct keys of which only ~k matter. Here pass 1
+    * reduces each partition to ≤ k counters map-side (the partial MG maps,
+    * ~1 KB each, are all the exchange carries) and merging preserves the
+    * n/(k+1) undercount bound, so every key with true count > n/k is
+    * guaranteed to survive into the candidate set; pass 2 broadcast-semi-joins
+    * the ≤ k candidates against the stream, so the exact-count exchange
+    * carries ≤ k distinct keys. The final filter count·k > n re-checks
+    * exactly, making the OUTPUT deterministic (= the true heavy hitters)
+    * even though the intermediate candidate set depends on partitioning. */
+  val q99HeavyHitters: Q = (s, dir) => {
+    val keyed = Tables.load(s, dir, "events")
+      .filter(col("event_id").isNotNull)
+      .select(expr("CAST(floor(sqrt(event_id)) AS BIGINT)").as("key"))
+    val cands = keyed.as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .select(MisraGries.toColumn.name("cand"))
+      .select(explode(col("cand")).as("key"))
+    val total = keyed.agg(count(lit(1)).as("total"))
+    keyed.join(broadcast(cands), Seq("key"), "left_semi")
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * MisraGries.k > col("total"))
+      .select(col("key"), col("cnt"))
+      .orderBy(col("key"))
+  }
+
+  /** q100 — TRIANGLE COUNTING over the co-purchase graph (parts sharing an
+    * order, association-rule support ≥ 2), via DEGREE ORIENTATION — the
+    * "curse of the last reducer" fix (Suri & Vassilvitskii, WWW 2011):
+    * orient every edge toward its (degree, id)-larger endpoint, so each
+    * vertex enumerates wedges only among its ≤ O(√m) out-neighbours and a
+    * hub of degree D costs √m·√m instead of D² — the difference between a
+    * feasible and an infeasible last task at 100 TB. Wedges close via one
+    * equi-join against the oriented edge list (each triangle found exactly
+    * once, at its (deg,id)-smallest vertex); the id-ordered oracle counts
+    * the same set. Output: exact integer graph stats (nodes, edges,
+    * wedges = Σd(d−1)/2, triangles) — the clustering-coefficient
+    * numerator/denominator, kept as integers. */
+  val q100Triangles: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
+      .select(col("a"), col("b"))
+      .cache() // read 3× (degrees, orientation, stats); swept by releasePinned
+    val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val fwd = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("a") < col("b"))
+    val oriented = e
+      .join(deg.select(col("n").as("a"), col("d").as("dega")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("degb")), "b")
+      .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"),
+        when(fwd, col("degb")).otherwise(col("dega")).as("dv"))
+      .cache() // read 3× (both wedge legs + closing-edge probe)
+    val wedges = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+      .join(oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2")), Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    val tri = wedges
+      .join(oriented.select(col("u").as("v1"), col("v").as("v2")),
+        Seq("v1", "v2"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val estats = e.agg(count(lit(1)).as("n_edges"))
+    val dstats = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(d * (d - 1) div 2)").as("n_wedges"))
+    dstats.crossJoin(estats).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q100_triangles" -> q100Triangles,
+    "q99_heavy_hitters" -> q99HeavyHitters,
     "q98_sketch_rollup" -> q98SketchRollup,
     "q96_rolling_dau" -> q96RollingDau,
     "q91_pagerank" -> q91PageRank,
@@ -502,6 +622,27 @@ object AnalyticQueries extends QueryModule {
     "q36_case_agg"      -> q36CaseAgg)
 
   def oracles: Map[String, String] = Map(
+    "q100_triangles" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+      e0 AS (SELECT x.p a, y.p b, count(*) supp FROM li x
+             JOIN li y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+      e AS (SELECT a, b FROM e0 WHERE supp >= 2),
+      deg AS (SELECT n, count(*) d FROM
+        (SELECT a n FROM e UNION ALL SELECT b n FROM e) GROUP BY 1),
+      tri AS (SELECT count(*) t FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             (SELECT count(*) FROM e) AS n_edges,
+             (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+             (SELECT t FROM tri) AS n_triangles""",
+    "q99_heavy_hitters" -> """
+      WITH k AS (
+        SELECT CAST(floor(sqrt(event_id)) AS BIGINT) AS key
+        FROM events WHERE event_id IS NOT NULL)
+      SELECT key, count(*) AS cnt FROM k GROUP BY 1
+      HAVING count(*) * 64 > (SELECT count(*) FROM k)
+      ORDER BY key""",
     "q98_sketch_rollup" -> """
       SELECT CAST(n_regionkey AS BIGINT) AS region,
         count(DISTINCT c_custkey) AS exact_customers,

@@ -172,4 +172,28 @@ class PropertySpec extends SparkSpec {
     assert(total <= scale, s"mass must not be created (got $total)")
     assert(total >= scale - scale / 1000, s"truncation loss should be tiny (got $total)")
   }
+
+  test("Misra–Gries candidates cover every key above n/(k+1) for any partitioning (q99 law)") {
+    import spark.implicits._
+    import graft.operators.MisraGries
+    // hot head + a uniform tail wider than k distinct keys, so the summary
+    // actually evicts; the mergeable-summaries bound says eviction may only
+    // ever cost a key whose true count is ≤ n/(k+1)
+    val keyGen = Gen.frequency(
+      3 -> Gen.choose(0L, 4L),
+      2 -> Gen.choose(0L, 199L))
+    val g = for {
+      n <- Gen.choose(50, 1500)
+      ks <- Gen.listOfN(n, keyGen)
+    } yield ks
+    holds(Prop.forAll(g, Gen.choose(1, 32)) { (ks, parts) =>
+      val cands = ks.toDS().repartition(parts)
+        .select(MisraGries.toColumn.name("cand")).head().toSet
+      val exact = ks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val heavies = exact.collect {
+        case (key, c) if c * (MisraGries.k + 1) > ks.length => key
+      }.toSet
+      heavies.subsetOf(cands) && cands.size <= MisraGries.k
+    })
+  }
 }
