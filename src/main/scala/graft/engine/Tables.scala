@@ -18,20 +18,36 @@ object Tables {
 
   /** Load one fixture table; filters/pruning push down into the parquet scan.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
-    * reads as a raw long (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
-    * [[Sessions]]); it is normalized here to a microsecond TimestampType so
-    * every downstream operator sees a real timestamp column.
+    * `events.ts` has shipped in two fixture generations: parquet
+    * TIMESTAMP(NANOS), which Spark only reads as a raw long
+    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set in [[Sessions]]),
+    * and plain microsecond TIMESTAMP. Normalize on type, not on faith: a
+    * long column is nanos and converts to a microsecond TimestampType; a
+    * timestamp column passes through. Downstream operators always see a
+    * real timestamp.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // `div` (integer division): ns values ~1.7e18 exceed double's exact
-      // integer range, so `floor(ts / 1000)` would be off by up to 1 μs
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case LongType =>
+        // `div` (integer division): ns values ~1.7e18 exceed double's exact
+        // integer range, so `floor(ts / 1000)` would be off by up to 1 μs
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case TimestampNTZType =>
+        // tz-naive parquet timestamps arrive as TIMESTAMP_NTZ, which
+        // unix_micros / bigint casts reject; with the session pinned to UTC
+        // this cast is value-identical and restores the TimestampType every
+        // downstream operator (and the DuckDB oracle agreement) was built
+        // on. Other tables' date columns stay as read — they never hit
+        // epoch arithmetic, and their outputs already oracle-match as-is.
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Register every fixture table as a temp view named after itself, for
