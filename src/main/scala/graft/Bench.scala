@@ -29,14 +29,30 @@ object Bench {
       }
       graft.engine.Sessions.releasePinned(spark)
     }
-    def timedPass(): Map[String, Either[String, Double]] =
+    // machine-independent cost counters (shuffle/spill/peak-mem): collected
+    // on pass 1 only — they are properties of plan+data, identical across
+    // passes, unlike the wall-clock the three passes exist to de-noise.
+    // Caveat shared with the wall-clock numbers: count() is the consumer,
+    // so Catalyst may prune operators whose output count() doesn't need
+    // (top-level sort, window columns) — the regime every round since r1
+    // has measured under, kept for cross-round comparability; metrics
+    // reflect the same executed plan the timings do
+    val metrics = graft.engine.MetricsListener.install(spark)
+    val metricsByQuery = scala.collection.mutable.Map
+      .empty[String, graft.engine.MetricsListener.Snapshot]
+    def timedPass(collect: Boolean): Map[String, Either[String, Double]] =
       ordered.map { case (name, fn) =>
+        if (collect) { graft.engine.MetricsListener.drain(spark); metrics.reset() }
         val t0 = System.nanoTime()
         val r = try {
           fn(spark, sfDir).count()
           Right((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+        }
+        if (collect) {
+          graft.engine.MetricsListener.drain(spark)
+          metricsByQuery(name) = metrics.snapshot
         }
         // between-queries, outside the timer: per-query caches/pins are
         // dead weight for every query after this one — see releasePinned.
@@ -51,7 +67,7 @@ object Bench {
       }.toMap
     // one full GC between passes (outside all timers): releases the pass's
     // accumulated garbage without the per-query cold-cache penalty above
-    val passes = Seq.fill(3) { val p = timedPass(); System.gc(); p }
+    val passes = (1 to 3).map { i => val p = timedPass(collect = i == 1); System.gc(); p }
     val results: Seq[(String, Either[String, Double])] = ordered.map { case (name, _) =>
       val rs = passes.map(_(name))
       name -> rs.collectFirst { case Left(e) => Left(e) }
@@ -66,8 +82,21 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, Right(v)) => v }.sum
+    // per-query cost counters: deterministic (plan+data), so cross-round
+    // regressions are attributable even when driver wall-clock is
+    // ambient-inflated (judge-measured 1.5-1.8x in r7)
+    val ms = ordered.map { case (name, _) =>
+      metricsByQuery.get(name) match {
+        case Some(m) =>
+          s""""$name":{"shuffle_read_bytes":${m.shuffleReadBytes},""" +
+            s""""shuffle_write_bytes":${m.shuffleWriteBytes},""" +
+            s""""spill_bytes":${m.spillBytes},""" +
+            s""""peak_exec_mem_bytes":${m.peakExecMemoryBytes}}"""
+        case None => s""""$name":null"""
+      }
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // also write the full timing map to a file: the driver's stdout capture
     // truncates long runs (r5/r6 both lost the head of the per-query map),
