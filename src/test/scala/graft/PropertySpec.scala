@@ -173,6 +173,31 @@ class PropertySpec extends SparkSpec {
     assert(total >= scale - scale / 1000, s"truncation loss should be tiny (got $total)")
   }
 
+  test("PageRank pinned-round driver handles a >100k-node graph (q91 large branch)") {
+    // a 120_001-node ring crosses PageRankPinThreshold, so each round pins
+    // and frees via Pin — the branch the 25-nation fixture never reaches.
+    // Ring symmetry makes correctness exact: every node has in/out degree
+    // 1, so all ranks are identical each round, decaying by at most 1
+    // scaled unit per round of truncating division from the 1/n fixpoint
+    val n = 120001L
+    val ring = spark.range(n).select(col("id").as("src"),
+      ((col("id") + 1) % n).as("dst"),
+      org.apache.spark.sql.functions.lit(1L).as("w"))
+    val rounds = 3
+    val (ranks, pins) = graft.operators.AnalyticQueries.pageRankRanks(ring, rounds)
+    val distinctRanks = ranks.select(col("rank_s")).distinct().collect()
+    assert(ranks.count() == n)
+    assert(distinctRanks.length == 1, "ring symmetry: every node has the same rank")
+    val r = distinctRanks.head.getLong(0)
+    val fix = 1000000000000L / n
+    assert(r <= fix && r >= fix - rounds,
+      s"rank $r must sit within $rounds truncation units under the 1/n fixpoint $fix")
+    // the large branch held exactly two pins: edges + the last round
+    assert(pins.length == 2, "pin-per-round branch must have engaged")
+    pins.foreach(_.unpersist(blocking = false))
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("Misra–Gries candidates cover every key above n/(k+1) for any partitioning (q99 law)") {
     import spark.implicits._
     import graft.operators.MisraGries
