@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries extends QueryModule {
 
-  private def quantized(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def quantized(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), expr(
@@ -442,6 +442,62 @@ object SimilarityQueries extends QueryModule {
       .withColumn("is_new", lit(true))
     withinCellNearDup(oldAssigned.unionByName(newAssigned),
       b = 8, minCos = 0.45, newGate = true)
+  }
+
+  /** Bootstrap the persisted semantic cell index from the initial corpus —
+    * q83's index-build step as a durable artifact for the STREAMING ingest
+    * path: centroids from one Lloyd step over the 4 lowest ids (the
+    * production truth that the index predates every ingest batch), cells =
+    * the corpus assigned against them. The cell store is partitioned by
+    * `ingest_batch` with the bootstrap at -1, so streaming batch ids
+    * (0,1,…) can never dynamic-overwrite the base corpus. */
+  def writeSemanticCellIndex(oldCorpus: DataFrame, indexPath: String): Unit = {
+    val seeds = oldCorpus.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    val c1 = lloydStep(oldCorpus, seeds).select(col("cid"), col("cq"))
+    c1.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    assignToCells(oldCorpus, c1)
+      .withColumn("ingest_batch", lit(-1L))
+      .coalesce(1).write.partitionBy("ingest_batch").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(s"$indexPath/cells")
+  }
+
+  /** One micro-batch of STREAMING incremental semantic dedup — the
+    * foreachBatch body behind
+    * [[graft.streaming.StreamOps.semanticDedupStream]], mirroring
+    * [[graft.operators.DedupQueries.incrementalDedupBatch]]'s replay-safe
+    * state discipline on the embedding family:
+    *
+    *  - centroids NEVER move on ingest (q83's model — re-clustering is a
+    *    batch maintenance job, not a per-batch side effect);
+    *  - the batch assigns against the STORED centroids, then pairs against
+    *    the STORED cells with the at-least-one-side-new gate, so per batch
+    *    the cost is one assignment pass + a pair join whose output is
+    *    |new|-proportional — old×old never materializes;
+    *  - emitted pairs are PINNED before the batch's cells are appended
+    *    (the cell read is lazy; appending first would feed this batch's
+    *    own vectors back in as "old" rows);
+    *  - the append is batch-id-partitioned with dynamic overwrite, so a
+    *    failure replay overwrites its own partition instead of duplicating
+    *    rows. All durable state is the two parquet tables: restarts resume
+    *    from the index, executor memory stays flat over an unbounded
+    *    stream. */
+  def semanticDedupBatch(batch: DataFrame, batchId: Long, indexPath: String)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val s = batch.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val storedCents = s.read.parquet(s"$indexPath/centroids")
+    val oldAssigned = s.read.parquet(s"$indexPath/cells")
+      .select(col("vec_id"), col("cid"), col("q"), col("n2"))
+      .withColumn("is_new", lit(false))
+    val newAssigned = assignToCells(batch, storedCents)
+    val (pairs, pin) = graft.engine.Pin.pin(withinCellNearDup(
+      oldAssigned.unionByName(newAssigned.withColumn("is_new", lit(true))),
+      b = 8, minCos = 0.45, newGate = true))
+    newAssigned.withColumn("ingest_batch", lit(batchId))
+      .write.partitionBy("ingest_batch").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(s"$indexPath/cells")
+    (pairs, pin)
   }
 
   def queries: Map[String, Q] = Map(

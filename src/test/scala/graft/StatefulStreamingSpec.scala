@@ -402,4 +402,48 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("streaming semantic dedup over the stored cell index equals batch q83 across batches + restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = graft.operators.SimilarityQueries.quantized(spark, sfDir01)
+      .select(col("vec_id"), col("q"), col("n2"))
+    val isNew = col("vec_id") % 3 === 1
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    graft.operators.SimilarityQueries.writeSemanticCellIndex(e.filter(!isNew), dir)
+    // the q83 "new" slice split into three deterministic micro-batches: a
+    // cross-batch near-dup pair must surface exactly once, when its LATER
+    // member arrives and finds the earlier one already in the cell store
+    val news = e.filter(isNew)
+      .as[(Long, Array[Long], Long)].collect().toSeq
+    val parts = (0 until 3).map(g => news.filter(t => (t._1 / 3) % 3 == g))
+    val seen = scala.collection.mutable.Buffer[(Long, Long, Long)]()
+    def drive(batches: Seq[Seq[(Long, Array[Long], Long)]], base: Long): Unit = {
+      val stream = MemoryStream[(Long, Array[Long], Long)]
+      val q = StreamOps.semanticDedupStream(
+          stream.toDF().toDF("vec_id", "q", "n2"), dir, batchIdBase = base) {
+        (pairs, id) =>
+          seen ++= pairs.select(col("i"), col("j")).collect()
+            .map(r => (id, r.getLong(0), r.getLong(1)))
+      }
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      q.stop()
+    }
+    drive(Seq(parts(0), parts(1)), base = 0L)
+    // RESTART: a brand-new stream and query over the same index — the cell
+    // store and centroids must carry the resumed pipeline entirely
+    drive(Seq(parts(2)), base = 100L)
+    val got = seen.map(p => (p._2, p._3)).toSet
+    assert(seen.size == got.size, "a pair must be flagged exactly once")
+    val want = graft.operators.SimilarityQueries
+      .q83SemanticDedupIncremental(spark, sfDir01)
+      .select(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the cell store holds the bootstrap partition plus one per micro-batch
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.select(col("ingest_batch")).distinct().count() == 4)
+    graft.engine.Sessions.releasePinned(spark)
+  }
 }
