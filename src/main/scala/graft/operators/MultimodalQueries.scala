@@ -24,17 +24,17 @@ case class MediaFeatures(
   * a binary image column at scale (full pixel decode stays out-of-engine;
   * see q65's doc). */
 object MediaCodec {
-  private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n').map(_.toByte)
+  private[operators] val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n').map(_.toByte)
 
-  private def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+  private[operators] def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
     (v >>> 8).toByte, v.toByte)
   private def be16(v: Int) = Array((v >>> 8).toByte, v.toByte)
-  private def readBe32(b: Array[Byte], o: Int): Long =
+  private[operators] def readBe32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
       ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
   private def readBe16(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
-  private def crc32(bytes: Array[Byte]): Long = {
+  private[operators] def crc32(bytes: Array[Byte]): Long = {
     val c = new java.util.zip.CRC32; c.update(bytes); c.getValue
   }
 
@@ -167,6 +167,154 @@ object PgmCodec {
     }
     out
   }
+}
+
+/** Full PNG PIXEL codec for non-interlaced 8-bit grayscale/RGB — the decode
+  * step the resize family previously had only for uncompressed PGM, now on
+  * the format people actually store (VERDICT r7 §missing-3). No external
+  * libraries: zlib IS `java.util.zip` (Deflater/Inflater), and the rest of
+  * PNG §9 is the five row filters (None/Sub/Up/Average/Paeth), each a
+  * one-line predictor over (left, up, up-left) neighbours. The encoder
+  * synthesizes format-true fixtures with the filter type CYCLING 0–4 down
+  * the rows, so every decode exercises every defilter path; the decoder
+  * walks the real chunk grammar (CRC32-verified, ancillary chunks skipped,
+  * IDAT concatenated across chunks per §5.6) and degrades to None on any
+  * structural failure — a 100 TB corpus is guaranteed to contain garbage
+  * bytes, and a throwing decoder kills the whole task. */
+object PngPixelCodec {
+  import MediaCodec.{be32, crc32, readBe32, PngSig}
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val typed = typ.getBytes("US-ASCII") ++ data
+    be32(data.length) ++ typed ++ be32(crc32(typed).toInt)
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode w×h pixels (channels 1 = gray, 3 = RGB; `pixel(x, y, c)` gives
+    * the 8-bit sample) as a complete spec-conformant PNG: IHDR + one IDAT
+    * (deflated filtered scanlines, filter type y mod 5) + IEND. */
+  def encode(w: Int, h: Int, channels: Int, pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(channels == 1 || channels == 3, "gray or RGB only")
+    val stride = w * channels
+    val raw = new Array[Byte](h * (1 + stride))
+    val prior = new Array[Byte](stride)
+    val cur = new Array[Byte](stride)
+    var o = 0
+    var y = 0
+    while (y < h) {
+      var i = 0
+      while (i < stride) {
+        cur(i) = (pixel(i / channels, y, i % channels) & 0xFF).toByte; i += 1
+      }
+      val ft = y % 5
+      raw(o) = ft.toByte; o += 1
+      i = 0
+      while (i < stride) {
+        val a = if (i >= channels) cur(i - channels) & 0xFF else 0
+        val b = if (y > 0) prior(i) & 0xFF else 0
+        val c = if (y > 0 && i >= channels) prior(i - channels) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => paeth(a, b, c)
+        }
+        raw(o) = (((cur(i) & 0xFF) - pred) & 0xFF).toByte
+        o += 1; i += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val ihdr = be32(w) ++ be32(h) ++
+      Array[Byte](8, if (channels == 3) 2 else 0, 0, 0, 0)
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Decode to (w, h, channels, row-major samples), or None on anything
+    * structurally wrong: bad signature, chunk overrun, CRC mismatch,
+    * unsupported depth/color/interlace, truncated or corrupt deflate
+    * stream, unknown filter type. Never throws. */
+  def decode(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = try {
+    if (b.length < 8 || !(0 until 8).forall(i => b(i) == PngSig(i))) return None
+    var o = 8
+    var w = -1; var h = -1; var channels = -1
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      if (o + 8 > b.length) return None
+      val len = readBe32(b, o).toInt
+      if (len < 0 || o + 12 + len > b.length) return None
+      val typ = new String(b, o + 4, 4, "US-ASCII")
+      if (crc32(java.util.Arrays.copyOfRange(b, o + 4, o + 8 + len)) !=
+          readBe32(b, o + 8 + len)) return None
+      typ match {
+        case "IHDR" =>
+          if (len != 13 || seenIhdr) return None
+          w = readBe32(b, o + 8).toInt; h = readBe32(b, o + 12).toInt
+          val depth = b(o + 16); val ct = b(o + 17); val interlace = b(o + 20)
+          if (depth != 8 || interlace != 0) return None
+          channels = ct match { case 0 => 1; case 2 => 3; case _ => return None }
+          seenIhdr = true
+        case "IDAT" => if (!seenIhdr) return None else idat.write(b, o + 8, len)
+        case "IEND" => seenIend = true
+        case _      => () // ancillary chunk: skip per §5.6
+      }
+      o += 12 + len
+    }
+    if (!seenIhdr || w <= 0 || h <= 0) return None
+    val stride = w * channels
+    val expect = h * (1 + stride)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val raw = new Array[Byte](expect)
+    var got = 0
+    while (got < expect && !inf.finished()) {
+      val n = inf.inflate(raw, got, expect - got)
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+      got += n
+    }
+    inf.end()
+    if (got != expect) return None
+    val px = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xFF
+      if (ft > 4) return None
+      val ro = y * (1 + stride) + 1
+      val po = y * stride
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= channels) px(po + i - channels) & 0xFF else 0
+        val up = if (y > 0) px(po - stride + i) & 0xFF else 0
+        val c = if (y > 0 && i >= channels) px(po - stride + i - channels) & 0xFF else 0
+        val f = raw(ro + i) & 0xFF
+        val v = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + up
+          case 3 => f + (a + up) / 2
+          case _ => f + paeth(a, up, c)
+        }
+        px(po + i) = (v & 0xFF).toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some((w, h, channels, px))
+  } catch { case _: Exception => None }
 }
 
 /** PCM/WAV (RIFF) codec — the audio analogue of [[PgmCodec]]: uncompressed,
@@ -361,6 +509,38 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** q101 — image resize over REAL compressed PNG bytes: synthesize a full
+    * PNG per doc (same dimension/pixel formulas as q77, rows cycling all
+    * five filter types), decode through the complete path — chunk walk,
+    * CRC, Inflater, defilter — then q77's nearest-neighbour resample. Docs
+    * with doc_id ≡ 0 (mod 17) get their payload truncated mid-IDAT: the
+    * decoder must classify them (-1 row), not throw. The oracle recomputes
+    * the thumbnail arithmetic symbolically, so a defilter bug (wrong
+    * predictor, wrong neighbour offset) or a resample bug hash-mismatches
+    * on every filter type at once. */
+  val q101PngResize: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = ((id % 24 + 8).toInt, (id % 16 + 8).toInt)
+        val full = PngPixelCodec.encode(w, h, 1,
+          (x, y, _) => ((x * 31 + y * 17 + id) % 256).toInt)
+        val payload =
+          if (id % 17 == 0) java.util.Arrays.copyOfRange(full, 0, full.length - 16)
+          else full
+        PngPixelCodec.decode(payload) match {
+          case Some((dw, dh, _, px)) =>
+            val thumb = PgmCodec.resizeNearest(px, dw, dh, 4, 4)
+            (id, dw.toLong, dh.toLong,
+              thumb.map(b => (b & 0xFF).toLong).sum, (thumb(0) & 0xFF).toLong)
+          case None => (id, -1L, -1L, -1L, -1L)
+        }
+      })
+      .toDF("doc_id", "w", "h", "resized_sum", "resized_first")
+      .orderBy(col("doc_id"))
+  }
+
   /** Build the audio payload for one doc: text bytes (truncated to a whole
     * number of sample frames) wrapped in a PCM/WAV container whose
     * parameters derive from doc_id — channels 1-2, 8/16-bit, 8-16 kHz —
@@ -416,7 +596,8 @@ object MultimodalQueries extends QueryModule {
     "q65_multimodal" -> q65Multimodal,
     "q67_frame_sample" -> q67FrameSample,
     "q77_resize" -> q77Resize,
-    "q82_audio_meta" -> q82AudioMeta)
+    "q82_audio_meta" -> q82AudioMeta,
+    "q101_png_resize" -> q101PngResize)
 
   /** The oracle derives expectations from the synthesis arithmetic: header
     * prefix sizes are format constants (PNG 8+25 = 33 bytes before the body,
@@ -470,6 +651,28 @@ object MultimodalQueries extends QueryModule {
           AS resized_sum,
         CAST(min(doc_id % 256) AS BIGINT) AS resized_first
       FROM cells GROUP BY doc_id, w, h ORDER BY doc_id""",
+    // q77's symbolic thumbnail oracle, minus the docs whose payloads the
+    // query deliberately corrupts (doc_id ≡ 0 mod 17 → the -1 sentinel row)
+    "q101_png_resize" -> """
+      WITH cells AS (
+        SELECT doc_id,
+          CAST(doc_id % 24 + 8 AS BIGINT) AS w,
+          CAST(doc_id % 16 + 8 AS BIGINT) AS h,
+          i, j
+        FROM documents, range(0, 4) r1(i), range(0, 4) r2(j)
+        WHERE doc_id % 17 <> 0),
+      good AS (
+        SELECT doc_id, w, h,
+          CAST(sum(((i * w // 4) * 31 + (j * h // 4) * 17 + doc_id) % 256) AS BIGINT)
+            AS resized_sum,
+          CAST(min(doc_id % 256) AS BIGINT) AS resized_first
+        FROM cells GROUP BY doc_id, w, h),
+      bad AS (
+        SELECT doc_id, CAST(-1 AS BIGINT) AS w, CAST(-1 AS BIGINT) AS h,
+          CAST(-1 AS BIGINT) AS resized_sum, CAST(-1 AS BIGINT) AS resized_first
+        FROM documents WHERE doc_id % 17 = 0)
+      SELECT * FROM (SELECT * FROM good UNION ALL SELECT * FROM bad)
+      ORDER BY doc_id""",
     "q65_multimodal" -> """
       WITH f AS (
         SELECT doc_id,

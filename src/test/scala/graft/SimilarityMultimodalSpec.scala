@@ -109,6 +109,50 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(MediaCodec.decode(png.drop(1))._1 == "raw")
   }
 
+  test("PNG pixel codec: full round-trip through Inflater + all five row filters, gray and RGB") {
+    import graft.operators.PngPixelCodec
+    // h ≥ 5 so the encoder's y%5 filter cycle hits None/Sub/Up/Average/Paeth
+    def pix(x: Int, y: Int, c: Int): Int = (x * 37 + y * 11 + c * 7 + 3) % 256
+    for (channels <- Seq(1, 3)) {
+      val png = PngPixelCodec.encode(13, 11, channels, pix)
+      val Some((w, h, ch, px)) = PngPixelCodec.decode(png)
+      assert(w == 13 && h == 11 && ch == channels)
+      for (y <- 0 until 11; x <- 0 until 13; c <- 0 until channels)
+        assert((px((y * 13 + x) * channels + c) & 0xFF) == pix(x, y, c),
+          s"pixel ($x,$y,$c) channels=$channels")
+    }
+    // the header-only MediaCodec parser agrees on the geometry
+    val full = PngPixelCodec.encode(13, 11, 3, pix)
+    assert(graft.operators.MediaCodec.decode(full) == (("png", 13L, 11L)))
+  }
+
+  test("PNG pixel codec degrades to None on malformed bytes, never throws") {
+    import graft.operators.PngPixelCodec
+    val png = PngPixelCodec.encode(9, 7, 1, (x, y, _) => x + y)
+    assert(PngPixelCodec.decode(png).isDefined)
+    // truncated mid-IDAT: chunk overruns the buffer
+    assert(PngPixelCodec.decode(png.take(png.length - 16)).isEmpty)
+    // flipped byte inside IDAT data: chunk CRC catches it
+    val corrupt = png.clone
+    corrupt(45) = (corrupt(45) ^ 0x55).toByte
+    assert(PngPixelCodec.decode(corrupt).isEmpty)
+    assert(PngPixelCodec.decode("not a png".getBytes("UTF-8")).isEmpty)
+    assert(PngPixelCodec.decode(Array.emptyByteArray).isEmpty)
+    // bad deflate stream: valid chunks, garbage IDAT payload
+    val sig = png.take(8)
+    def chunkOf(typ: String, data: Array[Byte]): Array[Byte] = {
+      val typed = typ.getBytes("US-ASCII") ++ data
+      val crc = { val c = new java.util.zip.CRC32; c.update(typed); c.getValue }
+      Array((data.length >>> 24).toByte, (data.length >>> 16).toByte,
+        (data.length >>> 8).toByte, data.length.toByte) ++ typed ++
+        Array((crc >>> 24).toByte, (crc >>> 16).toByte, (crc >>> 8).toByte, crc.toByte)
+    }
+    val ihdr = png.slice(8, 8 + 25) // the real IHDR chunk
+    val junkIdat = chunkOf("IDAT", Array[Byte](1, 2, 3, 4, 5))
+    val iend = chunkOf("IEND", Array.emptyByteArray)
+    assert(PngPixelCodec.decode(sig ++ ihdr ++ junkIdat ++ iend).isEmpty)
+  }
+
   test("JPEG decode walks marker segments (APP0 and inserted COM) to SOF0") {
     import graft.operators.MediaCodec
     val jpg = MediaCodec.encodeJpeg(1920, 1080, "body".getBytes)
