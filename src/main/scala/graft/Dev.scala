@@ -115,6 +115,27 @@ object Dev {
         .filter(col("d") <= 2).count()
       println(f"[dev] 2M levenshtein: ${(System.nanoTime() - t0) / 1e9}%.2fs n=$n")
       spark.stop()
+    } else if (name == "scaling") {
+      // scaling probe of the heavy tier (VERDICT r7 §next-2): each query
+      // cold at sf0.01 then sf0.1 in ONE JVM, reporting time + output rows
+      // so observed growth can sit against the output-predicted growth in
+      // SCALING.md. Usage: runMain graft.Dev ignored scaling <reps>
+      val heavy = Seq("q79_fuzzy_join", "q92_record_linkage", "q53_dedup_ngram",
+        "q59_dedup_clusters", "q80_semantic_dedup", "q100_triangles",
+        "q51_dedup_minhash", "q73_pipeline")
+      for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1");
+           qn <- heavy) {
+        val fn = SparkEntry.queries(qn)
+        val times = (1 to math.max(1, reps)).map { _ =>
+          graft.engine.Sessions.releasePinned(spark)
+          val t0 = System.nanoTime()
+          val n = fn(spark, sf).count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val best = times.map(_._1).min
+        println(f"[scaling] $qn sf=${sf.split('/').last} best=$best%.2fs rows=${times.head._2}")
+      }
+      spark.stop()
     } else if (name == "all") {
       (1 to reps).foreach { i =>
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (qn, f) =>
