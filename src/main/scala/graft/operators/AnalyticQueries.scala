@@ -575,6 +575,43 @@ object AnalyticQueries extends QueryModule {
       .orderBy(col("report_day"))
   }
 
+  /** q102 — rolling 7-day DAU from MERGED DAILY SKETCHES: the scale path
+    * for q96's exact rolling distinct. One daily HLL per calendar day is
+    * the ONLY aggregation that sees event volume; each day's ~1.5 KB
+    * sketch then fans map-side to the ≤ 7 report days it serves (q96's
+    * sequence+explode equi-join shape, but fanning SKETCHES, not user
+    * rows) and `hll_union_agg` merges 7 of them per report day. At 100 TB
+    * this is the rolling-distinct pattern that works: daily sketches
+    * persist once (tiny, mergeable along any window width — 7-day, 28-day,
+    * MAU all reuse them), and the window merge never revisits raw events.
+    * The exact q96 computation rides along only to pin the estimate to
+    * its ±3σ contract flag (lgK=12 → rsd ≈ 1.6%, 3σ ≈ 5%), exactly the
+    * q37/q98 sketch-contract discipline. */
+  val q102RollingDauSketch: Q = (s, dir) => {
+    val day = "unix_micros(ts) div 86400000000"
+    val du = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr(day).as("day")).distinct()
+    val days = du.select(col("day")).distinct()
+    val daily = du.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val est = daily
+      .select(explode(expr("sequence(day, day + 6)")).as("report_day"), col("sk"))
+      .join(broadcast(days), col("report_day") === days("day"), "left_semi")
+      .groupBy(col("report_day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = du.select(col("user_id"),
+        explode(expr("sequence(day, day + 6)")).as("report_day"))
+      .distinct()
+      .join(broadcast(days), col("report_day") === days("day"), "left_semi")
+      .groupBy(col("report_day"))
+      .agg(count(lit(1)).as("dau7"))
+    exact.join(est, Seq("report_day"))
+      .select(col("report_day"), col("dau7"),
+        (abs(col("est") - col("dau7")) <= col("dau7") * 0.05)
+          .cast("long").as("est_within_3sd"))
+      .orderBy(col("report_day"))
+  }
+
   /** q98 — MERGEABLE SKETCH ROLLUP: per-nation HLL (Apache DataSketches)
     * distinct-customer sketches UNION-MERGED up to regions — the
     * sketch-once-merge-anywhere pattern that makes distinct counting
@@ -691,6 +728,7 @@ object AnalyticQueries extends QueryModule {
     "q99_heavy_hitters" -> q99HeavyHitters,
     "q98_sketch_rollup" -> q98SketchRollup,
     "q96_rolling_dau" -> q96RollingDau,
+    "q102_rolling_dau_sketch" -> q102RollingDauSketch,
     "q91_pagerank" -> q91PageRank,
     "q89_funnel" -> q89Funnel,
     "q90_retention" -> q90Retention,
@@ -747,6 +785,22 @@ object AnalyticQueries extends QueryModule {
         WHERE u.day + o IN (SELECT day FROM days))
       SELECT report_day, count(*) AS dau7,
         CAST(sum(user_id) AS BIGINT) AS user_checksum
+      FROM contrib GROUP BY 1 ORDER BY 1""",
+    // q96's exact rolling distinct + the literal flag the sketch estimate
+    // must reach (sketch bytes are engine-internal; the contract flag is
+    // the cross-engine surface, q37/q98 discipline)
+    "q102_rolling_dau_sketch" -> """
+      WITH du AS (
+        SELECT DISTINCT user_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        FROM events),
+      days AS (SELECT DISTINCT day FROM du),
+      contrib AS (
+        SELECT DISTINCT user_id, u.day + o AS report_day
+        FROM du u CROSS JOIN (SELECT unnest(range(0, 7)) AS o)
+        WHERE u.day + o IN (SELECT day FROM days))
+      SELECT report_day, count(*) AS dau7,
+        CAST(1 AS BIGINT) AS est_within_3sd
       FROM contrib GROUP BY 1 ORDER BY 1""",
     "q91_pagerank" -> pagerankOracle,
     "q89_funnel" -> """

@@ -349,6 +349,39 @@ object CoreQueries extends QueryModule {
       .orderBy(col("z_bucket"))
   }
 
+  /** q103 — SMALL-FILE COMPACTION PLAN: assign files to target-size
+    * compaction bins per partition directory — the planning half of
+    * OPTIMIZE/compact, the maintenance op every 100-TB parquet lake runs
+    * continuously (small files tax every scan with per-file open/footer
+    * cost; the planner's output IS the rewrite job list). Files here are
+    * the documents table (size = n_chars, partition = lang) — the planner
+    * only ever consumes a (partition, file, size) listing, whatever
+    * produces it. Binning is next-fit-decreasing via one window cumsum:
+    * order files largest-first within the partition, bin = floor of the
+    * PRE-file cumulative sum / target — stateless window arithmetic (one
+    * exchange on the partition key, linear in file count, works at
+    * millions of files) where true first-fit-decreasing would need a
+    * stateful per-bin scan that doesn't distribute; NFD's per-bin
+    * overshoot is bounded by one file and the largest-first order keeps
+    * stragglers off full bins. Every bin row carries an id checksum so
+    * the oracle pins WHICH files land where, not just the sizes. */
+  val q103CompactionPlan: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val target = 65536L
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("bin", expr(s"(cum - n_chars) div ${target}L"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_chars")).as("bytes"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
   /** q97 — WEIGHTED PRIORITY SAMPLING (Duffield, Lund, Thorup, JACM 2007):
     * per-source top-10 documents by priority q = w / u, with w = n_chars
     * (longer docs proportionally likelier) and u the same portable
@@ -377,6 +410,7 @@ object CoreQueries extends QueryModule {
 
   def queries: Map[String, Q] = Map(
     "q97_priority_sample" -> q97PrioritySample,
+    "q103_compaction_plan" -> q103CompactionPlan,
     "q93_zorder" -> q93ZOrder,
     "q58_partition_sort" -> q58PartitionSort,
     "q28_setops_all"     -> q28SetOpsAll,
@@ -395,6 +429,18 @@ object CoreQueries extends QueryModule {
     "q10_cogroup"        -> q10Cogroup)
 
   def oracles: Map[String, String] = Map(
+    "q103_compaction_plan" -> """
+      WITH f AS (
+        SELECT lang, doc_id, n_chars,
+          sum(n_chars) OVER (PARTITION BY lang
+            ORDER BY n_chars DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents)
+      SELECT lang, CAST((cum - n_chars) // 65536 AS BIGINT) AS bin,
+        count(*) AS n_files,
+        CAST(sum(n_chars) AS BIGINT) AS bytes,
+        CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
     "q97_priority_sample" -> """
       WITH p AS (
         SELECT doc_id, source, n_chars,
