@@ -262,7 +262,61 @@ object TextQueries extends QueryModule {
       .limit(20)
   }
 
+  /** Scrub patterns shared by query and doc: character classes only ([.]
+    * for the literal dot), so the SAME source string is a valid regex in
+    * Java (Spark) and RE2 (DuckDB) with identical semantics — no escaping
+    * dialect to disagree on. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val IpRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  /** q104 — PII SCRUBBING: the redaction pass every published training
+    * corpus runs (emails / phone numbers / IPs → typed mask tokens),
+    * map-side over the text column with per-source redaction accounting.
+    * The fixture text contains no digits or '@' (checked), so PII spans
+    * are INJECTED deterministically from doc_id arithmetic — the q65/q82
+    * synthesis-oracle discipline: both engines build the same dirty text,
+    * scrub with the same three regexes in the same order (emails first,
+    * then IPs, then phones — each pattern's alphabet is disjoint from the
+    * mask tokens, so the chain is confluent), and must agree on counts
+    * AND on the total scrubbed length, which pins that the masks replaced
+    * exactly the injected spans and nothing else. Detection count uses
+    * regexp_extract_all on the raw text; at 100 TB the whole operator is
+    * one narrow projection — no shuffle until the per-source rollup. */
+  val q104PiiScrub: Q = (s, dir) => {
+    val withPii = Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("text"))
+      .withColumn("raw", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" user"),
+          col("doc_id").cast("string"), lit("@mail.example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" 10.0."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          expr("(doc_id div 7) % 256").cast("string")))
+          .otherwise(lit(""))))
+    withPii
+      .withColumn("n_email", size(expr(s"regexp_extract_all(raw, '$EmailRe', 0)")).cast("long"))
+      .withColumn("n_phone", size(expr(s"regexp_extract_all(raw, '$PhoneRe', 0)")).cast("long"))
+      .withColumn("n_ip", size(expr(s"regexp_extract_all(raw, '$IpRe', 0)")).cast("long"))
+      .withColumn("clean", regexp_replace(regexp_replace(regexp_replace(
+        col("raw"), EmailRe, "[EMAIL]"), IpRe, "[IP]"), PhoneRe, "[PHONE]"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email")).as("emails"),
+        sum(col("n_phone")).as("phones"),
+        sum(col("n_ip")).as("ips"),
+        sum(length(col("raw")).cast("long")).as("raw_len"),
+        sum(length(col("clean")).cast("long")).as("clean_len"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q104_pii_scrub"  -> q104PiiScrub,
     "q95_bm25"        -> q95Bm25,
     "q64_tfidf"       -> q64TfIdf,
     "q60_lang_id"     -> q60LangId,
@@ -275,6 +329,36 @@ object TextQueries extends QueryModule {
   private val duckStop = "['the','a','an','and','of','is','to','in']"
 
   def oracles: Map[String, String] = Map(
+    "q104_pii_scrub" -> s"""
+      WITH p AS (
+        SELECT source, doc_id,
+          text ||
+          CASE WHEN doc_id % 3 = 0 THEN ' user' || CAST(doc_id AS VARCHAR)
+               || '@mail.example.com' ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0 THEN ' 555-'
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+          CASE WHEN doc_id % 7 = 0 THEN ' 10.0.'
+               || CAST(doc_id % 256 AS VARCHAR) || '.'
+               || CAST((doc_id // 7) % 256 AS VARCHAR) ELSE '' END AS raw
+        FROM documents),
+      sc AS (
+        SELECT source, raw,
+          len(regexp_extract_all(raw, '$EmailRe')) AS n_email,
+          len(regexp_extract_all(raw, '$PhoneRe')) AS n_phone,
+          len(regexp_extract_all(raw, '$IpRe')) AS n_ip,
+          regexp_replace(regexp_replace(regexp_replace(raw,
+            '$EmailRe', '[EMAIL]', 'g'),
+            '$IpRe', '[IP]', 'g'),
+            '$PhoneRe', '[PHONE]', 'g') AS clean
+        FROM p)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_email) AS BIGINT) AS emails,
+        CAST(sum(n_phone) AS BIGINT) AS phones,
+        CAST(sum(n_ip) AS BIGINT) AS ips,
+        CAST(sum(length(raw)) AS BIGINT) AS raw_len,
+        CAST(sum(length(clean)) AS BIGINT) AS clean_len
+      FROM sc GROUP BY source ORDER BY source""",
     "q95_bm25" -> {
       val inList = bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
       val tfCols = bm25Terms.map(t =>
