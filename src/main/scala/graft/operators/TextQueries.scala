@@ -315,7 +315,35 @@ object TextQueries extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** q105 — WITHIN-DOCUMENT REPETITION score: the "repetitious text"
+    * quality signal (duplicate word-3-gram fraction per doc) that corpus
+    * filters apply beside length/stopword gates — boilerplate, scraped
+    * navigation, and generation loops all light it up. Entirely map-side
+    * (transform over the split array, array_distinct, integer
+    * parts-per-million), so at 100 TB it rides the same single projection
+    * as q61's quality gates; only the per-source rollup shuffles. The
+    * flag threshold (10% duplicated grams) and the ppm×doc_id checksum
+    * pin per-doc values, not just totals. */
+  val q105Repetition: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("g", expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+      .withColumn("n_grams", size(col("g")).cast("long"))
+      .withColumn("n_dup",
+        (size(col("g")) - size(array_distinct(col("g")))).cast("long"))
+      .withColumn("rep_ppm", expr("n_dup * 1000000 div n_grams"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_dup")).as("dup_grams"),
+        sum(col("n_grams")).as("grams"),
+        sum(when(col("rep_ppm") > 100000, lit(1L)).otherwise(lit(0L))).as("n_flagged"),
+        sum(col("rep_ppm") * col("doc_id")).as("ppm_checksum"))
+      .orderBy(col("source"))
+
   def queries: Map[String, Q] = Map(
+    "q105_repetition" -> q105Repetition,
     "q104_pii_scrub"  -> q104PiiScrub,
     "q95_bm25"        -> q95Bm25,
     "q64_tfidf"       -> q64TfIdf,
@@ -329,6 +357,31 @@ object TextQueries extends QueryModule {
   private val duckStop = "['the','a','an','and','of','is','to','in']"
 
   def oracles: Map[String, String] = Map(
+    "q105_repetition" -> """
+      WITH w AS (
+        SELECT source, doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      g AS (
+        SELECT source, doc_id,
+          [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+           for i in range(1, len(ws) - 1)] AS gs
+        FROM w),
+      d AS (
+        SELECT source, doc_id,
+          CAST(len(gs) AS BIGINT) AS n_grams,
+          CAST(len(gs) - len(list_distinct(gs)) AS BIGINT) AS n_dup
+        FROM g),
+      r AS (
+        SELECT source, doc_id, n_grams, n_dup,
+          n_dup * 1000000 // n_grams AS rep_ppm
+        FROM d)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_dup) AS BIGINT) AS dup_grams,
+        CAST(sum(n_grams) AS BIGINT) AS grams,
+        CAST(sum(CASE WHEN rep_ppm > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_flagged,
+        CAST(sum(rep_ppm * doc_id) AS BIGINT) AS ppm_checksum
+      FROM r GROUP BY source ORDER BY source""",
     "q104_pii_scrub" -> s"""
       WITH p AS (
         SELECT source, doc_id,
