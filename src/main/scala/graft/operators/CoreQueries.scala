@@ -408,7 +408,73 @@ object CoreQueries extends QueryModule {
       .orderBy(col("source"), col("rnk"))
   }
 
+  /** q108 — TRAINING-SHARD ASSIGNMENT + balance audit: the last stage of a
+    * corpus pipeline deals documents into a fixed number of output shards
+    * for the training loader. The shard key is the q29/q71/q97 portable
+    * multiplicative hash (deterministic, engine-portable, oracle-checkable
+    * — Spark's murmur3 `hash()` would be opaque to any other system reading
+    * the shards), so assignment is reproducible across engines and reruns.
+    * The audit is the single aggregation a 100-TB run needs before
+    * committing the write: docs/tokens/bytes per shard expose imbalance
+    * (a skewed shard = a straggling trainer), and the id checksum pins
+    * membership. One exchange on the shard key — the same partitioning the
+    * physical `partitionBy(shard)` write uses, so audit and writer share a
+    * shuffle; SourcesSpec round-trips the actual partitioned write. */
+  val q108ShardAudit: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("n_chars"),
+        split(col("text"), " ").as("w"))
+      .withColumn("shard", expr("((doc_id % 999983) * 2654435761) % 64"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("w")).cast("long")).as("tokens"),
+        sum(col("n_chars").cast("long")).as("bytes"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("shard"))
+
+  /** q109 — TEMPERATURE MIXTURE SAMPLING (α = 1/2): rebalance a multi-source
+    * corpus toward uniform by keeping each source at rate
+    * √(n_min/n_source) — the standard temperature reweighting between
+    * corpus filtering and shard writing (over-represented sources are
+    * down-sampled as their share^(1-α)). Integer-exact and engine-portable:
+    * rate‰ = floor(√((10⁶·n_min) div n_source)) — integer division plus one
+    * IEEE-754 sqrt (correctly rounded, so Spark and any other engine agree
+    * bit-for-bit) — and membership is the q29/q71/q97 portable hash, so the
+    * kept set is reproducible everywhere. Scale shape: one partial-agg pass
+    * for per-source counts (rows = #sources, driver-trivial), rates
+    * broadcast back onto the corpus scan, one final rollup — the full-data
+    * path is two narrow map stages; nothing global ever shuffles doc rows
+    * twice. */
+  val q109MixtureSample: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        col("n_chars"))
+    val rates = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_min", min(col("n_docs")).over(
+        Window.partitionBy()))  // #sources rows — tiny by construction
+      .withColumn("rate_permille",
+        expr("cast(floor(sqrt((1000000 * n_min) div n_docs)) as bigint)"))
+      .select(col("source"), col("n_docs"), col("rate_permille"))
+    d.withColumn("h",
+        pmod(pmod(col("doc_id"), lit(999983)) * 2654435761L, lit(1000)))
+      .join(broadcast(rates), "source")
+      .groupBy(col("source"))
+      .agg(min(col("n_docs")).as("n_docs"),
+        min(col("rate_permille")).as("rate_permille"),
+        sum(when(col("h") < col("rate_permille"), 1L).otherwise(0L))
+          .as("n_sampled"),
+        sum(when(col("h") < col("rate_permille"), col("n_chars").cast("long"))
+          .otherwise(0L)).as("sampled_chars"),
+        sum(when(col("h") < col("rate_permille"), col("doc_id"))
+          .otherwise(0L)).as("sampled_id_sum"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q109_mixture_sample" -> q109MixtureSample,
+    "q108_shard_audit"    -> q108ShardAudit,
     "q97_priority_sample" -> q97PrioritySample,
     "q103_compaction_plan" -> q103CompactionPlan,
     "q93_zorder" -> q93ZOrder,
@@ -429,6 +495,34 @@ object CoreQueries extends QueryModule {
     "q10_cogroup"        -> q10Cogroup)
 
   def oracles: Map[String, String] = Map(
+    "q109_mixture_sample" -> """
+      WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      r AS (
+        SELECT source, n_docs,
+          CAST(floor(sqrt((1000000 * (SELECT min(n_docs) FROM n)) // n_docs))
+            AS BIGINT) AS rate_permille
+        FROM n),
+      h AS (
+        SELECT d.source, d.doc_id, d.n_chars, r.n_docs, r.rate_permille,
+          ((d.doc_id % 999983) * 2654435761) % 1000 AS h
+        FROM documents d JOIN r ON d.source = r.source)
+      SELECT source,
+        CAST(min(n_docs) AS BIGINT) AS n_docs,
+        CAST(min(rate_permille) AS BIGINT) AS rate_permille,
+        CAST(sum(CASE WHEN h < rate_permille THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_sampled,
+        CAST(sum(CASE WHEN h < rate_permille THEN n_chars ELSE 0 END) AS BIGINT)
+          AS sampled_chars,
+        CAST(sum(CASE WHEN h < rate_permille THEN doc_id ELSE 0 END) AS BIGINT)
+          AS sampled_id_sum
+      FROM h GROUP BY source ORDER BY source""",
+    "q108_shard_audit" -> """
+      SELECT CAST(((doc_id % 999983) * 2654435761) % 64 AS BIGINT) AS shard,
+        count(*) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        CAST(sum(n_chars) AS BIGINT) AS bytes,
+        CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM documents GROUP BY 1 ORDER BY 1""",
     "q103_compaction_plan" -> """
       WITH f AS (
         SELECT lang, doc_id, n_chars,

@@ -567,7 +567,33 @@ object JoinQueries extends QueryModule {
       .orderBy(col("decision"))
   }
 
+  /** q107 — selective-fact join shaped for RUNTIME ROW-LEVEL FILTERING:
+    * a <2%-selective dimension filter (urgent + high-value orders) against
+    * the full lineitem fact, revenue rolled up per ship year. At sf0.01 the
+    * filtered side broadcasts and the fact never shuffles; at 100 TB both
+    * sides exceed the broadcast budget and the join becomes a shuffle join —
+    * which is exactly where Spark's runtime Bloom filter
+    * (`spark.sql.optimizer.runtime.bloomFilter.*`) injects a
+    * `might_contain` pre-filter on l_orderkey ahead of the fact-side
+    * exchange, shrinking shuffle bytes by roughly the dimension
+    * selectivity. PlansSpec proves the injection fires and preserves
+    * results under production-scale thresholds; SCALING.md carries the
+    * measured shuffle-bytes delta. */
+  val q107BloomJoin: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 150000)
+    val l = Tables.load(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(Num.cents(col("l_extendedprice"))).as("revenue_cents"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .orderBy(col("ship_year"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q107_bloom_join"    -> q107BloomJoin,
     "q92_record_linkage" -> q92RecordLinkage,
     "q86_hamming_profile" -> q86HammingProfile,
     "q79_fuzzy_join"     -> q79FuzzyJoin,
@@ -585,6 +611,15 @@ object JoinQueries extends QueryModule {
     "q18_range_join"     -> q18RangeJoin)
 
   def oracles: Map[String, String] = Map(
+    "q107_bloom_join" -> """
+      SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+        count(*) AS n_items,
+        CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT)
+          AS revenue_cents,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+      GROUP BY 1 ORDER BY 1""",
     "q92_record_linkage" -> """
       WITH feed AS (
         SELECT c_custkey AS f_id,

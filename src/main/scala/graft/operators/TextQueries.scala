@@ -342,7 +342,37 @@ object TextQueries extends QueryModule {
         sum(col("rep_ppm") * col("doc_id")).as("ppm_checksum"))
       .orderBy(col("source"))
 
+  /** q106 — CONTEXT-WINDOW CHUNKING with overlap: split each document's
+    * token stream into fixed-size training windows (64 tokens, stride 48,
+    * so 16-token overlap) — the packing step between corpus filtering and
+    * tokenizer sharding in an LLM data pipeline. Chunk starts come from
+    * `sequence(0, n-1, stride)` and explode map-side; partial aggregation
+    * collapses the ~n/stride row blowup before the only shuffle (the
+    * per-source rollup), so at 100 TB the exchange carries one row per
+    * source per map task, not one per chunk. `n_docs` rides the start==0
+    * chunk (exactly one per doc) instead of a count-distinct, which would
+    * add an Expand + second aggregate pass. The checksum folds each
+    * chunk's (start + first-token-length) × doc_id so chunk boundaries
+    * AND content alignment are pinned per chunk, not just totals. */
+  val q106Chunking: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        split(col("text"), " ").as("w"))
+      .withColumn("n_tok", size(col("w")))
+      .withColumn("start", explode(expr("sequence(0, n_tok - 1, 48)")))
+      .withColumn("c_len", least(lit(64), col("n_tok") - col("start")))
+      .withColumn("f_len", length(col("w")(col("start"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("start") === 0, lit(1L)).otherwise(lit(0L))).as("n_docs"),
+        sum(col("c_len").cast("long")).as("chunk_tokens"),
+        sum(when(col("c_len") === 64, lit(1L)).otherwise(lit(0L))).as("full_chunks"),
+        sum((col("start") + col("f_len")).cast("long") * col("doc_id")).as("checksum"))
+      .orderBy(col("source"))
+
   def queries: Map[String, Q] = Map(
+    "q106_chunking"   -> q106Chunking,
     "q105_repetition" -> q105Repetition,
     "q104_pii_scrub"  -> q104PiiScrub,
     "q95_bm25"        -> q95Bm25,
@@ -357,6 +387,24 @@ object TextQueries extends QueryModule {
   private val duckStop = "['the','a','an','and','of','is','to','in']"
 
   def oracles: Map[String, String] = Map(
+    "q106_chunking" -> """
+      WITH w AS (
+        SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+               string_split(text, ' ') AS ws
+        FROM documents WHERE text IS NOT NULL),
+      c AS (
+        SELECT source, doc_id, len(ws) AS n_tok, s.start AS start,
+               least(64, len(ws) - s.start) AS c_len,
+               len(ws[s.start + 1]) AS f_len
+        FROM w, LATERAL (SELECT unnest(range(0, len(ws), 48)) AS start) s)
+      SELECT source,
+        count(*) AS n_chunks,
+        CAST(sum(CASE WHEN start = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        CAST(sum(c_len) AS BIGINT) AS chunk_tokens,
+        CAST(sum(CASE WHEN c_len = 64 THEN 1 ELSE 0 END) AS BIGINT)
+          AS full_chunks,
+        CAST(sum((start + f_len) * doc_id) AS BIGINT) AS checksum
+      FROM c GROUP BY source ORDER BY source""",
     "q105_repetition" -> """
       WITH w AS (
         SELECT source, doc_id, string_split(text, ' ') AS ws

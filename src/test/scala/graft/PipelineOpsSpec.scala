@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Law tests for the round-9 pipeline operators (q103–q106) on crafted
+  * corpora. Queries are exercised BLACK-BOX: a synthetic `documents.parquet`
+  * is written into a temp fixture dir and the production query function runs
+  * against it unchanged — so these pin the operator's semantics on inputs
+  * whose expected outputs are computable by hand, independent of the DuckDB
+  * oracle (which checks the driver fixtures, not edge shapes). */
+class PipelineOpsSpec extends SparkSpec {
+
+  /** Write a synthetic documents table (full fixture schema) to a temp
+    * fixture dir and return the dir. */
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q105 repetition: all-repeated doc flags at 750000 ppm, all-distinct doc at 0") {
+    // "x x x x x x" → four 3-grams, all equal → 3 dup / 4 grams = 750000 ppm
+    // "a b c d e f" → four distinct 3-grams → 0 ppm
+    val dir = docsDir(Seq(
+      (1L, "x x x x x x", "en", "rep"),
+      (2L, "a b c d e f", "en", "uniq")))
+    val out = graft.operators.TextQueries.q105Repetition(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("rep") == ((3L, 4L, 1L, 750000L)),
+      "dup_grams=3, grams=4, flagged, ppm*doc_id=750000*1")
+    assert(out("uniq") == ((0L, 4L, 0L, 0L)))
+  }
+
+  test("q105 repetition: docs under three tokens are excluded") {
+    val dir = docsDir(Seq((1L, "one two", "en", "s"), (2L, "a b c", "en", "s")))
+    val rows = graft.operators.TextQueries.q105Repetition(spark, dir).collect()
+    assert(rows.length == 1 && rows(0).getLong(1) == 1L, "only the 3-token doc counts")
+  }
+
+  test("q106 chunking: stride-48/size-64 windows cover 100 tokens as 64+52+4") {
+    // starts 0,48,96; lens 64,52,4 → 3 chunks, 120 chunk-tokens, 1 full
+    val text100 = (1 to 100).map(_ => "t").mkString(" ")
+    val dir = docsDir(Seq((1L, text100, "en", "s")))
+    val r = graft.operators.TextQueries.q106Chunking(spark, dir).collect()(0)
+    assert(r.getLong(1) == 3L, "n_chunks")
+    assert(r.getLong(2) == 1L, "n_docs")
+    assert(r.getLong(3) == 120L, "chunk_tokens = 64+52+4")
+    assert(r.getLong(4) == 1L, "full_chunks")
+    // checksum: doc_id=1, token "t" len 1 at each start → (0+1)+(48+1)+(96+1)
+    assert(r.getLong(5) == 147L, "boundary checksum")
+  }
+
+  test("q106 chunking: a one-token doc yields exactly one one-token chunk") {
+    val dir = docsDir(Seq((7L, "solo", "en", "s")))
+    val r = graft.operators.TextQueries.q106Chunking(spark, dir).collect()(0)
+    assert(r.getLong(1) == 1L && r.getLong(3) == 1L && r.getLong(4) == 0L)
+  }
+
+  test("q104 pii scrub: doc_id=105 injects email+phone+ip and all are redacted") {
+    // 105 ≡ 0 mod 3,5,7 → all three PII forms appended to the text
+    val dir = docsDir(Seq((105L, "hello world", "en", "s")))
+    val r = graft.operators.TextQueries.q104PiiScrub(spark, dir).collect()(0)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 1L && r.getLong(4) == 1L,
+      "one email, one phone, one ip detected")
+    assert(r.getLong(6) < r.getLong(5), "redaction must shrink the text")
+  }
+
+  test("q104 pii scrub: clean text keeps no raw email/phone/ip substrings") {
+    val dir = docsDir(Seq((105L, "hello world", "en", "s")))
+    // reproduce the scrub projection up to the aggregate: clean must contain
+    // the placeholders and none of the injected literals
+    val base = graft.engine.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" user105@mail.example.com 555-105-0105 10.0.105.15"))
+          .as("raw"))
+      .withColumn("clean", regexp_replace(regexp_replace(regexp_replace(
+        col("raw"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "[EMAIL]"),
+        "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "[IP]"),
+        "[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"))
+      .collect()(0).getString(2)
+    assert(base.contains("[EMAIL]") && base.contains("[PHONE]") && base.contains("[IP]"))
+    assert(!base.contains("@") && !base.contains("555-"))
+  }
+
+  test("q103 compaction plan: bins are contiguous per partition and conserve bytes") {
+    val plan = graft.operators.CoreQueries.q103CompactionPlan(spark, sfDir).collect()
+    val perLang = plan.groupBy(_.getString(0))
+    perLang.foreach { case (lang, rows) =>
+      val bins = rows.map(_.getLong(1)).sorted
+      assert(bins.head == 0L && bins.last == bins.length - 1,
+        s"$lang: bin ids must be 0..${bins.length - 1} with no gaps")
+    }
+    val planned = plan.map(_.getLong(3)).sum
+    val total = graft.engine.Tables.load(spark, sfDir, "documents")
+      .agg(sum(col("n_chars")).cast("long")).collect()(0).getLong(0)
+    assert(planned == total, "every byte of every file is assigned to exactly one bin")
+  }
+
+  test("q108 shard audit: shards conserve the corpus and audit fields agree") {
+    val audit = graft.operators.CoreQueries.q108ShardAudit(spark, sfDir).collect()
+    val nDocs = audit.map(_.getLong(1)).sum
+    val total = graft.engine.Tables.load(spark, sfDir, "documents").count()
+    assert(nDocs == total, "each doc lands in exactly one shard")
+    assert(audit.map(_.getLong(0)).distinct.length == audit.length, "unique shard ids")
+    assert(audit.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 64))
+  }
+}

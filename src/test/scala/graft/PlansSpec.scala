@@ -220,6 +220,28 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("q107 gets the runtime bloom probe under production-scale thresholds") {
+    // q107's shape (selective dim filter × full fact) is the bloom target;
+    // at test scale the dim broadcasts, so pin the cluster-scale plan by
+    // forcing the shuffle-join path the same way a 100-TB fact would.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val df = graft.operators.JoinQueries.q107BloomJoin(spark, sfDir01)
+      assert(df.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "q107 must carry the bloom might_contain probe on the fact side")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation (skew pattern) equals plain aggregation") {
     // two-phase skew-safe aggregation: key+salt partial, then key final
     val li = Tables.load(spark, sfDir, "lineitem")

@@ -54,4 +54,28 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() ==
       o.filter(col("o_year") === 1995).count())
   }
+
+  test("q108 shard write: one directory per shard, membership round-trips") {
+    // the physical half of q108's audit: deal documents into training
+    // shards with the portable hash, write partitionBy(shard), and check
+    // the files on disk agree with the audit's per-shard membership
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("shard", expr("((doc_id % 999983) * 2654435761) % 64"))
+    val dir = tmp("graft_shards")
+    docs.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/shards")
+    val back = spark.read.parquet(s"$dir/shards")
+    assert(back.count() == docs.count())
+    val onDisk = new java.io.File(s"$dir/shards").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).length.toLong
+    val audit = graft.operators.CoreQueries.q108ShardAudit(spark, sfDir).collect()
+    assert(onDisk == audit.length.toLong, "one partition directory per audited shard")
+    val diskSums = back.groupBy(col("shard"))
+      .agg(sum(col("doc_id")).as("ck")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    audit.foreach { r =>
+      assert(diskSums(r.getLong(0)) == r.getLong(4),
+        s"shard ${r.getLong(0)}: on-disk membership checksum must match the audit")
+    }
+  }
 }
