@@ -40,6 +40,30 @@ object Dev {
         println(f"[dev] cold $qname rep$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
       }
       spark.stop()
+    } else if (name == "bloom") {
+      // shuffle-bytes effect of the runtime bloom filter on q107's join,
+      // forced onto the shuffle-join path a 100-TB fact side would take.
+      // Usage: runMain graft.Dev <sfDir> bloom [reps]
+      val metrics = graft.engine.MetricsListener.install(spark)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      Seq(false, true).foreach { on =>
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", on.toString)
+        (1 to reps).foreach { i =>
+          graft.engine.Sessions.releasePinned(spark)
+          graft.engine.MetricsListener.drain(spark); metrics.reset()
+          val t0 = System.nanoTime()
+          val n = graft.operators.JoinQueries.q107BloomJoin(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.engine.MetricsListener.drain(spark)
+          val m = metrics.snapshot
+          println(f"[dev] bloom=$on rep$i: $dt%.2fs rows=$n " +
+            s"shuffleRead=${m.shuffleReadBytes} shuffleWrite=${m.shuffleWriteBytes}")
+        }
+      }
+      spark.stop()
     } else if (name == "q53cand") {
       // how many distinct docs reach the verify stage, and stage timings
       import org.apache.spark.sql.functions._
