@@ -612,6 +612,45 @@ object AnalyticQueries extends QueryModule {
       .orderBy(col("report_day"))
   }
 
+  /** Append one ingest batch's per-day HLL sketches to the day-partitioned
+    * sketch store — the persistence half of q102's "daily sketches persist
+    * once and re-merge for any window width". HLL union is register-max,
+    * so re-appending a replayed batch's sketches CANNOT move any estimate:
+    * the store is replay-idempotent by algebra alone, with none of the
+    * batch-id dynamic-overwrite bookkeeping the dedup index family needs
+    * (its pair emission is not idempotent; a sketch merge is).
+    * [[graft.streaming.StreamOps.rollingDauStream]] drives this per
+    * micro-batch; the spec pins streamed-store == batch-store estimates
+    * and the replay-merge invariance. */
+  def dauSketchBatchAppend(events: org.apache.spark.sql.DataFrame,
+      storePath: String): Unit =
+    events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .write.mode("append").partitionBy("day").parquet(storePath)
+
+  /** Serve rolling 7-day DAU estimates ENTIRELY from the sketch store —
+    * raw events are never revisited. Multiple sketches per day (one per
+    * ingest batch) first union to one per day, then fan to their ≤ 7
+    * report days exactly as batch q102 does. */
+  def dauFromSketchStore(s: org.apache.spark.sql.SparkSession, storePath: String)
+      : org.apache.spark.sql.DataFrame = {
+    // partition-dir inference reads `day` back as int — restore the long
+    // epoch-day the write produced
+    val daily = s.read.parquet(storePath)
+      .withColumn("day", col("day").cast("long"))
+      .groupBy(col("day")).agg(expr("hll_union_agg(sk)").as("sk"))
+    val days = daily.select(col("day"))
+    daily
+      .select(explode(expr("sequence(day, day + 6)")).as("report_day"), col("sk"))
+      .join(broadcast(days), col("report_day") === days("day"), "left_semi")
+      .groupBy(col("report_day"))
+      .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk)) as bigint)")
+        .as("dau7_est"))
+      .orderBy(col("report_day"))
+  }
+
   /** q98 — MERGEABLE SKETCH ROLLUP: per-nation HLL (Apache DataSketches)
     * distinct-customer sketches UNION-MERGED up to regions — the
     * sketch-once-merge-anywhere pattern that makes distinct counting

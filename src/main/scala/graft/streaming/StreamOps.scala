@@ -217,6 +217,25 @@ object StreamOps {
       finally pairsPin.unpersist(blocking = false)
     }.start()
 
+  /** STREAMING rolling-DAU ingestion into the persisted daily-sketch store:
+    * each micro-batch of (user_id, ts) events appends its per-day HLL
+    * sketches via
+    * [[graft.operators.AnalyticQueries.dauSketchBatchAppend]]; serving
+    * reads ONLY the store
+    * ([[graft.operators.AnalyticQueries.dauFromSketchStore]]) and never
+    * revisits events. The lightest durable-state discipline in the
+    * incremental family: HLL union is register-max, so a failure replay
+    * that re-appends a batch's sketches is absorbed by the merge algebra
+    * itself — no batch-id keying, no dynamic overwrite, nothing to make
+    * idempotent. Restarts need no bookkeeping for the same reason; the
+    * spec pins streamed-store == batch-store estimates and replay
+    * invariance. */
+  def rollingDauStream(events: DataFrame, storePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.operators.AnalyticQueries.dauSketchBatchAppend(batch, storePath)
+    }.start()
+
   /** STREAMING decontamination over a persisted eval-gram index: each
     * micro-batch of corpus docs checks against the stored index
     * ([[graft.operators.TextQueries.writeEvalGramIndex]]) map-side and

@@ -281,6 +281,37 @@ class StatefulStreamingSpec extends SparkSpec {
     graft.engine.Sessions.releasePinned(spark)
   }
 
+  test("streaming DAU sketch store equals batch build; replayed merges cannot move estimates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)].collect().toSeq
+    val streamedStore = java.nio.file.Files.createTempDirectory("graft_dau_s").toString
+    val batchStore = java.nio.file.Files.createTempDirectory("graft_dau_b").toString
+    // three ingest micro-batches vs one batch build over the same events
+    val batches = events.groupBy(e => (e._1 % 3).toInt).toSeq.sortBy(_._1).map(_._2)
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamOps.rollingDauStream(
+      stream.toDF().toDF("user_id", "ts"), streamedStore)
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    graft.operators.AnalyticQueries.dauSketchBatchAppend(
+      graft.engine.Tables.load(spark, sfDir, "events"), batchStore)
+    def est(path: String): Map[Long, Long] =
+      graft.operators.AnalyticQueries.dauFromSketchStore(spark, path)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = est(streamedStore)
+    assert(streamed == est(batchStore),
+      "union of per-batch daily sketches must estimate exactly like the single-pass build")
+    assert(streamed.nonEmpty)
+    // at-least-once replay: re-append batch 2's sketches; register-max
+    // union absorbs the duplicate, so every estimate is unchanged
+    val replay = batches(1).toDF("user_id", "ts")
+    graft.operators.AnalyticQueries.dauSketchBatchAppend(replay, streamedStore)
+    assert(est(streamedStore) == streamed, "replayed sketch merge must be a no-op")
+  }
+
   test("streaming decontamination over the stored gram index equals batch q70") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
