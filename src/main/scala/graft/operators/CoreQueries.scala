@@ -472,7 +472,49 @@ object CoreQueries extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** q110 — JOIN-KEY SKEW PROFILER: the diagnostic a 100-TB shuffle plan
+    * starts from — per candidate join/partition key: row count, key
+    * cardinality, the heaviest key's share, and how much of the table sits
+    * on keys over 2× the mean. These four numbers decide broadcast vs
+    * shuffle, whether AQE's skew split will engage, and whether a key
+    * needs salting BEFORE the job runs, instead of discovering a straggler
+    * task at hour three. All-integer skew indicators (shares in ppm,
+    * heaviness by cross-multiplied `c·n_keys > 2·n_rows` — no division
+    * until the final ppm) so the profile is oracle-exact. Shape: one
+    * partial-agg pass builds the per-key count frame (one row per key —
+    * the only thing that shuffles), a 1-row broadcast total joins back for
+    * the threshold comparison; three keys profiled in one union. */
+  val q110KeySkew: Q = (s, dir) => {
+    def profile(df: org.apache.spark.sql.DataFrame, key: String,
+        label: String): org.apache.spark.sql.DataFrame = {
+      val counts = df.groupBy(col(key).cast("long").as("k"))
+        .agg(count(lit(1)).as("c"))
+      val totals = counts.agg(sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"), max(col("c")).as("max_per_key"))
+      counts.crossJoin(broadcast(totals))
+        .agg(first(col("n_rows")).as("n_rows"),
+          first(col("n_keys")).as("n_keys"),
+          first(col("max_per_key")).as("max_per_key"),
+          sum(when(col("c") * col("n_keys") > col("n_rows") * 2, 1L)
+            .otherwise(0L)).as("heavy_keys"),
+          sum(when(col("c") * col("n_keys") > col("n_rows") * 2, col("c"))
+            .otherwise(0L)).as("heavy_rows"))
+        .select(lit(label).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_per_key"),
+          expr("max_per_key * 1000000 div n_rows").as("top1_share_ppm"),
+          expr("heavy_rows * 1000000 div n_rows").as("heavy_rows_ppm"),
+          col("heavy_keys"))
+    }
+    profile(Tables.load(s, dir, "lineitem"), "l_orderkey", "lineitem.l_orderkey")
+      .unionAll(profile(Tables.load(s, dir, "orders"), "o_custkey",
+        "orders.o_custkey"))
+      .unionAll(profile(Tables.load(s, dir, "events"), "user_id",
+        "events.user_id"))
+      .orderBy(col("key_col"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q110_key_skew"       -> q110KeySkew,
     "q109_mixture_sample" -> q109MixtureSample,
     "q108_shard_audit"    -> q108ShardAudit,
     "q97_priority_sample" -> q97PrioritySample,
@@ -495,6 +537,30 @@ object CoreQueries extends QueryModule {
     "q10_cogroup"        -> q10Cogroup)
 
   def oracles: Map[String, String] = Map(
+    "q110_key_skew" -> """
+      WITH
+      p1 AS (SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
+      p2 AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders),
+      p3 AS (SELECT CAST(user_id AS BIGINT) AS k FROM events),
+      prof AS (
+        SELECT 'lineitem.l_orderkey' AS key_col, k FROM p1
+        UNION ALL SELECT 'orders.o_custkey', k FROM p2
+        UNION ALL SELECT 'events.user_id', k FROM p3),
+      counts AS (
+        SELECT key_col, k, count(*) AS c FROM prof GROUP BY key_col, k),
+      tot AS (
+        SELECT key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+          count(*) AS n_keys, CAST(max(c) AS BIGINT) AS max_per_key
+        FROM counts GROUP BY key_col)
+      SELECT c.key_col, t.n_rows, t.n_keys, t.max_per_key,
+        CAST(t.max_per_key * 1000000 // t.n_rows AS BIGINT) AS top1_share_ppm,
+        CAST(sum(CASE WHEN c.c * t.n_keys > t.n_rows * 2 THEN c.c ELSE 0 END)
+          * 1000000 // t.n_rows AS BIGINT) AS heavy_rows_ppm,
+        CAST(sum(CASE WHEN c.c * t.n_keys > t.n_rows * 2 THEN 1 ELSE 0 END)
+          AS BIGINT) AS heavy_keys
+      FROM counts c JOIN tot t ON c.key_col = t.key_col
+      GROUP BY c.key_col, t.n_rows, t.n_keys, t.max_per_key
+      ORDER BY c.key_col""",
     "q109_mixture_sample" -> """
       WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
       r AS (

@@ -371,7 +371,38 @@ object TextQueries extends QueryModule {
         sum((col("start") + col("f_len")).cast("long") * col("doc_id")).as("checksum"))
       .orderBy(col("source"))
 
+  /** q111 — SOURCE NOVELTY via unique-n-gram contribution: for each source,
+    * how many of its distinct word-5-grams appear in NO other source — the
+    * marginal-diversity signal that decides whether a source earns its
+    * place in the mixture (a source whose grams all appear elsewhere adds
+    * bytes, not coverage; pairs with q109's mixture weights). Same shape
+    * as the q64 document-frequency pass: per-doc grams dedup map-side
+    * (array_distinct before explode), distinct (gram, source) is the only
+    * wide state, and the gram → #sources aggregation is a df computation —
+    * the exchange carries each distinct gram once per source, never per
+    * occurrence. Novelty reported in exact ppm of the source's distinct
+    * grams. */
+  val q111SourceNovelty: Q = (s, dir) => {
+    val gs = Tables.load(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("source"), explode(array_distinct(expr(
+        "transform(sequence(0, size(w) - 5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")))
+        .as("g"))
+      .distinct()
+    val spread = gs.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_sources"))
+    gs.join(spread, "g")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("unique_grams"),
+        sum(when(col("n_sources") >= 3, 1L).otherwise(0L)).as("common_grams"))
+      .withColumn("novelty_ppm", expr("unique_grams * 1000000 div n_grams"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q111_source_novelty" -> q111SourceNovelty,
     "q106_chunking"   -> q106Chunking,
     "q105_repetition" -> q105Repetition,
     "q104_pii_scrub"  -> q104PiiScrub,
@@ -387,6 +418,28 @@ object TextQueries extends QueryModule {
   private val duckStop = "['the','a','an','and','of','is','to','in']"
 
   def oracles: Map[String, String] = Map(
+    "q111_source_novelty" -> """
+      WITH w AS (
+        SELECT source, string_split(text, ' ') AS ws
+        FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      gs AS (
+        SELECT DISTINCT source, g
+        FROM w, LATERAL (SELECT unnest(
+          [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+             || ' ' || ws[i+4]
+           for i in range(1, len(ws) - 3)]) AS g) t),
+      spread AS (
+        SELECT g, count(*) AS n_sources FROM gs GROUP BY g)
+      SELECT gs.source,
+        count(*) AS n_grams,
+        CAST(sum(CASE WHEN s.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS unique_grams,
+        CAST(sum(CASE WHEN s.n_sources >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS common_grams,
+        CAST(sum(CASE WHEN s.n_sources = 1 THEN 1 ELSE 0 END) * 1000000
+          // count(*) AS BIGINT) AS novelty_ppm
+      FROM gs JOIN spread s ON gs.g = s.g
+      GROUP BY gs.source ORDER BY gs.source""",
     "q106_chunking" -> """
       WITH w AS (
         SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
