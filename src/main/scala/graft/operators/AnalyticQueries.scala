@@ -762,7 +762,46 @@ object AnalyticQueries extends QueryModule {
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
   }
 
+  /** q112 — LAST-TOUCH ATTRIBUTION: each purchase credits the same user's
+    * most recent click/view within a 72 h lookback — the product-analytics
+    * join that answers "what drove this conversion". One window pass per
+    * user (ignore-nulls `last` over a strictly-before ROWS frame carries
+    * the latest touch forward — no self-join of purchases × touches, which
+    * at 100 TB would re-shuffle event volume quadratically on hot users);
+    * the (ts, event_id) window order makes same-timestamp ties
+    * deterministic on both engines. Purchases with no in-window touch
+    * attribute to 'none'. Integer lag seconds via epoch-micros div;
+    * revenue in exact cents; event-id checksum pins which purchases landed
+    * in which bucket. */
+  val q112Attribution: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"), col("ts"))
+    val touchType =
+      when(col("event_type").isin("click", "view"), col("event_type"))
+    Tables.load(s, dir, "events")
+      .select(col("event_id").cast("long").as("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .withColumn("t_ts", last(touch, ignoreNulls = true).over(w))
+      .withColumn("t_type", last(touchType, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("lag_s", expr(
+        "unix_micros(ts) div 1000000 - unix_micros(t_ts) div 1000000"))
+      .withColumn("touch",
+        when(col("t_ts").isNull || col("lag_s") > 259200L, lit("none"))
+          .otherwise(col("t_type")))
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(Num.cents(col("value"))).as("revenue_cents"),
+        sum(when(col("touch") =!= "none", col("lag_s")).otherwise(0L))
+          .as("lag_sum_s"),
+        sum(col("event_id")).as("id_checksum"))
+      .orderBy(col("touch"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q112_attribution" -> q112Attribution,
     "q100_triangles" -> q100Triangles,
     "q99_heavy_hitters" -> q99HeavyHitters,
     "q98_sketch_rollup" -> q98SketchRollup,
@@ -785,6 +824,29 @@ object AnalyticQueries extends QueryModule {
     "q36_case_agg"      -> q36CaseAgg)
 
   def oracles: Map[String, String] = Map(
+    "q112_attribution" -> """
+      WITH t AS (
+        SELECT event_id, ts, user_id, event_type, value,
+          last_value(CASE WHEN event_type IN ('click','view') THEN ts END
+            IGNORE NULLS) OVER w AS t_ts,
+          last_value(CASE WHEN event_type IN ('click','view') THEN event_type
+            END IGNORE NULLS) OVER w AS t_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      p AS (
+        SELECT event_id, value,
+          epoch_us(ts) // 1000000 - epoch_us(t_ts) // 1000000 AS lag_s,
+          CASE WHEN t_ts IS NULL
+                 OR epoch_us(ts) // 1000000 - epoch_us(t_ts) // 1000000 > 259200
+               THEN 'none' ELSE t_type END AS touch
+        FROM t WHERE event_type = 'purchase')
+      SELECT touch, count(*) AS n_purchases,
+        CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        CAST(sum(CASE WHEN touch <> 'none' THEN lag_s ELSE 0 END) AS BIGINT)
+          AS lag_sum_s,
+        CAST(sum(event_id) AS BIGINT) AS id_checksum
+      FROM p GROUP BY touch ORDER BY touch""",
     "q100_triangles" -> """
       WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
       e0 AS (SELECT x.p a, y.p b, count(*) supp FROM li x

@@ -101,6 +101,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(planned == total, "every byte of every file is assigned to exactly one bin")
   }
 
+  test("q112 attribution: every purchase lands in exactly one touch bucket, revenue conserved") {
+    val out = graft.operators.AnalyticQueries.q112Attribution(spark, sfDir).collect()
+    val purchases = graft.engine.Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+    assert(out.map(_.getLong(1)).sum == purchases.count(),
+      "attribution partitions the purchase set")
+    val totalCents = purchases
+      .agg(sum(expr("CAST(round(value*100,0) AS BIGINT)"))).collect()(0).getLong(0)
+    assert(out.map(_.getLong(2)).sum == totalCents, "revenue is conserved across buckets")
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("click", "view", "none")))
+  }
+
   test("q108 shard audit: shards conserve the corpus and audit fields agree") {
     val audit = graft.operators.CoreQueries.q108ShardAudit(spark, sfDir).collect()
     val nDocs = audit.map(_.getLong(1)).sum
