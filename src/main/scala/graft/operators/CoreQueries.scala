@@ -487,8 +487,14 @@ object CoreQueries extends QueryModule {
   val q110KeySkew: Q = (s, dir) => {
     def profile(df: org.apache.spark.sql.DataFrame, key: String,
         label: String): org.apache.spark.sql.DataFrame = {
+      // both the totals pass and the threshold pass consume the per-key
+      // count frame; pin it so the base table scans ONCE per key (the
+      // frame is (k, c) pairs — tiny next to a 100-TB rescan). The
+      // harness session sweep (Sessions.releasePinned) frees it after
+      // the action, the same contract the iterative drivers use.
       val counts = df.groupBy(col(key).cast("long").as("k"))
         .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val totals = counts.agg(sum(col("c")).as("n_rows"),
         count(lit(1)).as("n_keys"), max(col("c")).as("max_per_key"))
       counts.crossJoin(broadcast(totals))
