@@ -101,6 +101,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(planned == total, "every byte of every file is assigned to exactly one bin")
   }
 
+  test("q109 mixture: smallest source keeps everything, rates never exceed 1000‰ and fall with size") {
+    val rows = graft.operators.CoreQueries.q109MixtureSample(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.forall { case (_, rate, _) => rate >= 1L && rate <= 1000L })
+    val minDocs = rows.map(_._1).min
+    rows.filter(_._1 == minDocs).foreach { case (n, rate, sampled) =>
+      assert(rate == 1000L && sampled == n,
+        "the rarest source defines the mixture floor and is kept whole")
+    }
+    // α=1/2 temperature: bigger sources never get a higher keep-rate
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array((n1, r1, _), (n2, r2, _)) if n1 <= n2 => assert(r1 >= r2)
+      case _ =>
+    }
+  }
+
+  test("q110 skew profile: integer invariants hold for every profiled key") {
+    graft.operators.CoreQueries.q110KeySkew(spark, sfDir).collect().foreach { r =>
+      val (nRows, nKeys, maxK) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (top1, heavyPpm, heavyKeys) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(maxK <= nRows && maxK * nKeys >= nRows,
+        "max per key sits between the mean and the total")
+      assert(heavyKeys <= nKeys && top1 <= 1000000L && heavyPpm <= 1000000L)
+      assert(top1 == maxK * 1000000L / nRows)
+    }
+  }
+
   test("q112 attribution: every purchase lands in exactly one touch bucket, revenue conserved") {
     val out = graft.operators.AnalyticQueries.q112Attribution(spark, sfDir).collect()
     val purchases = graft.engine.Tables.load(spark, sfDir, "events")
