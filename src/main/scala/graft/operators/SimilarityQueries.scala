@@ -500,7 +500,34 @@ object SimilarityQueries extends QueryModule {
     (pairs, pin)
   }
 
+  /** q113 — HARD-NEGATIVE MINING: for each query vector, the top-5 most
+    * cosine-similar vectors carrying a DIFFERENT label — the contrastive /
+    * metric-learning training-pair op (the negatives that matter are the
+    * ones the embedding currently confuses). Same tiled-broadcast shape as
+    * q55's brute top-k with the label disequality folded into the join;
+    * the scale path is exactly q57/q75's IVF probe (mine within the
+    * query's nearest cells, filter labels at probe time) — brute is the
+    * recall-1.0 baseline those variants are spec'd against. Exact integer
+    * dots via the codegen'd `dot_long`; ties broken by candidate id. */
+  val q113HardNegatives: Q = (s, dir) => {
+    val e = quantized(s, dir)
+    val queries = broadcast(e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("q").as("qq"), col("n2").as("qn2")))
+    val corpus = e.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("q").as("qc"), col("n2").as("cn2"))
+    val scored = queries.join(corpus, col("qlabel") =!= col("clabel"))
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        (dotExpr / (sqrt(col("qn2")) * sqrt(col("cn2")))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        col("cos"), row_number().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q113_hard_negatives" -> q113HardNegatives,
     "q83_semantic_dedup_incremental" -> q83SemanticDedupIncremental,
     "q55_knn_brute" -> q55KnnBrute,
     "q56_knn_lsh"   -> q56KnnLsh,
@@ -655,6 +682,19 @@ object SimilarityQueries extends QueryModule {
         CAST(sum(v) AS BIGINT) AS sum_v,
         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS new_cv
       FROM ex GROUP BY cluster, pos ORDER BY cluster, pos""",
+    "q113_hard_negatives" -> s"""
+      WITH $duckQuant,
+      scored AS (
+        SELECT a.vec_id AS qid, a.label AS qlabel,
+          b.vec_id AS cid, b.label AS clabel,
+          CAST(list_sum([a.qv[k] * b.qv[k] for k in range(1, len(a.qv)+1)]) AS BIGINT)
+            / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+        FROM n a JOIN n b ON a.vec_id < 20 AND a.label != b.label),
+      ranked AS (
+        SELECT qid, qlabel, cid, clabel, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM scored)
+      SELECT * FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
     "q55_knn_brute" -> s"""
       WITH $duckQuant,
       scored AS (
