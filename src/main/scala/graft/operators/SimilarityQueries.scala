@@ -526,7 +526,45 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** q114 — hard-negative mining, IVF-PROBED (the scale path q113
+    * declares, coded): each query probes its 3 nearest DIFFERENT-label
+    * cells — with per-label centroids, "most confusable other-label
+    * vectors" live precisely in the nearest other-label cells, so the
+    * label filter and the probe are the same act — and scores only those
+    * cells' members. At 100 TB this is the stored-index shape
+    * ([[writeIvfIndex]]/[[knnIvfStored]]): centroids broadcast (K rows),
+    * only probed cell partitions are read (DPP-pruned), the full corpus
+    * never joins the query side. Brute q113 is the recall baseline; the
+    * spec measures q114's top-5 overlap against it and pins the floor. */
+  val q114HardNegativesIvf: Q = (s, dir) => {
+    val e = quantized(s, dir)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("q").as("qq"), col("n2").as("qn2"))
+    val corpus = e.select(col("vec_id").as("cid"), col("label"),
+      col("q").as("qc"), col("n2").as("cn2"))
+    val assigned = queries.join(broadcast(ivfCentroids(e)),
+        col("clabel") =!= col("qlabel"))
+      .select(col("qid"), col("qlabel"), col("qq"), col("qn2"), col("clabel"),
+        (expr("dot_long(qq, cvec)") /
+          (sqrt(col("qn2")) * sqrt(col("cn2")))).as("ccos"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("clabel"))
+    val cell = assigned.select(col("qid"), col("qlabel"), col("qq"), col("qn2"),
+        col("clabel"), row_number().over(wq).as("r"))
+      .filter(col("r") <= 3).drop("r")
+    val scored = cell.join(corpus, col("clabel") === col("label"))
+      .select(col("qid"), col("qlabel"), col("cid"),
+        col("clabel").cast("long").as("clabel"),
+        (dotExpr / (sqrt(col("qn2")) * sqrt(col("cn2")))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        col("cos"), row_number().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q114_hard_negatives_ivf" -> q114HardNegativesIvf,
     "q113_hard_negatives" -> q113HardNegatives,
     "q83_semantic_dedup_incremental" -> q83SemanticDedupIncremental,
     "q55_knn_brute" -> q55KnnBrute,
@@ -682,6 +720,38 @@ object SimilarityQueries extends QueryModule {
         CAST(sum(v) AS BIGINT) AS sum_v,
         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS new_cv
       FROM ex GROUP BY cluster, pos ORDER BY cluster, pos""",
+    "q114_hard_negatives_ivf" -> s"""
+      WITH $duckQuant,
+      comp AS (
+        SELECT label, pos, CAST(floor(avg(v)) AS BIGINT) AS cv
+        FROM (SELECT label, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v
+              FROM n)
+        GROUP BY label, pos),
+      cents AS (
+        SELECT label AS clabel, list(cv ORDER BY pos) AS cvec,
+          CAST(list_sum([c2 * c2 for c2 in list(cv ORDER BY pos)]) AS BIGINT) AS cn2
+        FROM comp GROUP BY label),
+      assigned AS (
+        SELECT a.vec_id AS qid, a.label AS qlabel, a.qv, a.n2, c.clabel,
+          CAST(list_sum([a.qv[k] * c.cvec[k] for k in range(1, len(a.qv)+1)]) AS BIGINT)
+            / (sqrt(a.n2) * sqrt(c.cn2)) AS ccos
+        FROM n a, cents c WHERE a.vec_id < 20 AND c.clabel != a.label),
+      cell AS (
+        SELECT * FROM (
+          SELECT qid, qlabel, qv, n2, clabel,
+            row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, clabel) AS r
+          FROM assigned) WHERE r <= 3),
+      scored AS (
+        SELECT cell.qid, cell.qlabel, b.vec_id AS cid,
+          CAST(cell.clabel AS BIGINT) AS clabel,
+          CAST(list_sum([cell.qv[k] * b.qv[k] for k in range(1, len(cell.qv)+1)]) AS BIGINT)
+            / (sqrt(cell.n2) * sqrt(b.n2)) AS cos
+        FROM cell JOIN n b ON cell.clabel = b.label),
+      ranked AS (
+        SELECT qid, qlabel, cid, clabel, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM scored)
+      SELECT * FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
     "q113_hard_negatives" -> s"""
       WITH $duckQuant,
       scored AS (

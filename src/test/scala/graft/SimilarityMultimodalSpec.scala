@@ -47,6 +47,28 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(multi > 0, "fixture must produce some true neighbours")
   }
 
+  test("IVF-probed hard negatives recover most of the brute-force top-5 set") {
+    // brute truth: q113's (qid, cid) pairs; q114 probes only 3 of the 9
+    // other-label cells, so its candidate pool is a 1/3 subset — recall@5
+    // must beat that pool share (the fixture's embeddings are only weakly
+    // label-clustered, so this is the honest bar: centroid-guided probing
+    // must find MORE truth than its share of the corpus) plus a hard floor
+    val truth = SimilarityQueries.q113HardNegatives(spark, sfDir01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val probed = SimilarityQueries.q114HardNegativesIvf(spark, sfDir01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = probed.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.4, f"3-cell probe recall@5 fell to $recall%.2f")
+    assert(recall > 3.0 / 9.0,
+      f"probing must beat its pool share, got $recall%.2f vs 0.33")
+    // every probed negative really is a different label than its query
+    // (label is int32 in the fixture; q114 widens clabel to long)
+    SimilarityQueries.q114HardNegativesIvf(spark, sfDir01).collect().foreach { r =>
+      assert(r.getAs[Number](1).longValue != r.getAs[Number](3).longValue,
+        "a hard negative must cross labels")
+    }
+  }
+
   test("stored-index IVF probe equals the in-query-built probe") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
