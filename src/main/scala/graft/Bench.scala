@@ -108,6 +108,10 @@ object Bench {
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    // Always exit 0: failures are recorded honestly in the "failed" field of
+    // the JSON artifact. A nonzero exit makes sbt append [error] lines AFTER
+    // the JSON line on stdout, which corrupted the driver's last-line parse
+    // in round 8 (BENCH_r08.json carried raw sbt stderr instead of the map).
+    // A parseable artifact that says what failed beats an unparseable one.
   }
 }

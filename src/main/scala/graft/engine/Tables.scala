@@ -26,17 +26,44 @@ object Tables {
     * timestamp column passes through. Downstream operators always see a
     * real timestamp.
     */
+  /** Epoch unit of a long-typed `ts` column, inferred once per fixture dir
+    * from a single non-null value's magnitude (epoch seconds ~1.7e9, millis
+    * ~1.7e12, micros ~1.7e15, nanos ~1.7e18 — three decades apart, so any one
+    * value decides). The fixture generator has already changed `ts`'s physical
+    * type twice across rounds (TIMESTAMP(NANOS) → tz-naive micros); inferring
+    * the unit instead of assuming nanos means a third change degrades to
+    * nothing instead of failing every events-table query (round 8's BENCH
+    * lost 20 queries to exactly that). Cached so the one-row read happens
+    * once per dir, not once per query. */
+  private val longTsUnitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def inferLongTsUnit(df: DataFrame, key: String): String =
+    longTsUnitCache.computeIfAbsent(key, _ => {
+      import org.apache.spark.sql.functions.col
+      val sample = df.select(col("ts")).filter(col("ts").isNotNull).head(1)
+      val v = if (sample.isEmpty) 0L else math.abs(sample(0).getLong(0))
+      if (v >= 100000000000000000L) "ns"        // ≥1e17
+      else if (v >= 100000000000000L) "us"      // ≥1e14
+      else if (v >= 100000000000L) "ms"         // ≥1e11
+      else "s"
+    })
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name != "events") df
     else df.schema("ts").dataType match {
       case LongType =>
-        // `div` (integer division): ns values ~1.7e18 exceed double's exact
-        // integer range, so `floor(ts / 1000)` would be off by up to 1 μs
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+        import org.apache.spark.sql.functions.{expr, timestamp_micros, timestamp_millis, timestamp_seconds}
+        inferLongTsUnit(df, s"$dir/$name") match {
+          // `div` (integer division): ns values ~1.7e18 exceed double's exact
+          // integer range, so `floor(ts / 1000)` would be off by up to 1 μs
+          case "ns" => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case "us" => df.withColumn("ts", timestamp_micros(expr("ts")))
+          case "ms" => df.withColumn("ts", timestamp_millis(expr("ts")))
+          case _    => df.withColumn("ts", timestamp_seconds(expr("ts")))
+        }
       case TimestampNTZType =>
         // tz-naive parquet timestamps arrive as TIMESTAMP_NTZ, which
         // unix_micros / bigint casts reject; with the session pinned to UTC

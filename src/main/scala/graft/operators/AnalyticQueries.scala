@@ -800,7 +800,125 @@ object AnalyticQueries extends QueryModule {
       .orderBy(col("touch"))
   }
 
+  /** q118 — MERGEABLE QUANTILE ROLLUP: fixed-grid histogram sketches built
+    * per NATION, union-merged up to REGION, with the p50/p95 estimates read
+    * from the merged sketch only — the quantile twin of q98's HLL rollup.
+    * GK (q37) is the tight-error stream summary, but GK summaries don't
+    * merge losslessly; the mergeable-anywhere shape a 100-TB rollup needs
+    * is the histogram: bin = value div 65536 (cents), so a nation's sketch
+    * is ≤ domain/65536 (bin, count) rows, merge along ANY dimension is a
+    * count sum, and the estimate (lower edge of the bin holding the target
+    * rank) carries the deterministic contract |est − exact| < binwidth —
+    * exact sits in the est's bin BY CONSTRUCTION, so the flags the oracle
+    * pins are certainties, not luck. Exact per-region rank values ride
+    * along from the value-multiset frame (q37's pinning discipline):
+    * distinct-cents-sized, not row-sized.
+    *
+    * Ranks are integer-exact on both engines: r_q = ceil(q·n) computed as
+    * (n·q% + 99) div 100. Only the nation-level bin aggregation ever sees
+    * event volume; the merge and the quantile read run over sketch rows. */
+  val q118QuantileRollup: Q = (s, dir) => {
+    val W = 65536L
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_suppkey"), Num.cents(col("l_extendedprice")).as("v"))
+    val sup = broadcast(Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val nat = broadcast(Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey")))
+    val keyed = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey").cast("long").as("region"),
+        col("n_nationkey").cast("long").as("nat"), col("v"))
+    // nation-level sketch → region merge (sketch-row volume only)
+    val nationSketch = keyed
+      .groupBy(col("region"), col("nat"), expr("v div 65536").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = nationSketch
+      .groupBy(col("region"), col("bin")).agg(sum(col("cnt")).as("cnt"))
+    val wcum = Window.partitionBy(col("region")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col("region"))
+    val est = merged
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+      .withColumn("n", sum(col("cnt")).over(wall))
+      .withColumn("r50", expr("(n * 50 + 99) div 100"))
+      .withColumn("r95", expr("(n * 95 + 99) div 100"))
+      .groupBy(col("region"))
+      .agg(max(col("n")).as("n_values"),
+        min(when(col("cum") >= col("r50"), col("bin") * W)).as("p50_est"),
+        min(when(col("cum") >= col("r95"), col("bin") * W)).as("p95_est"))
+    // exact boundary-rank values from the per-region value multiset — the
+    // contract-pinning path, distinct-value-sized (q37's discipline)
+    val exact = keyed.groupBy(col("region"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("region")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(wall))
+      .withColumn("r50", expr("(n * 50 + 99) div 100"))
+      .withColumn("r95", expr("(n * 95 + 99) div 100"))
+      .groupBy(col("region"))
+      .agg(min(when(col("cum") >= col("r50"), col("v"))).as("p50_exact"),
+        min(when(col("cum") >= col("r95"), col("v"))).as("p95_exact"))
+    est.join(exact, "region")
+      .select(col("region"), col("n_values"),
+        col("p50_est"), col("p50_exact"),
+        (col("p50_exact") >= col("p50_est") &&
+          col("p50_exact") < col("p50_est") + W).cast("long").as("p50_in_bin"),
+        col("p95_est"), col("p95_exact"),
+        (col("p95_exact") >= col("p95_est") &&
+          col("p95_exact") < col("p95_est") + W).cast("long").as("p95_in_bin"))
+      .orderBy(col("region"))
+  }
+
+  /** q119 — COUNT–MIN SKETCH point estimates (Cormode & Muthukrishnan 2005):
+    * d=4 hash rows × w=512 buckets of event counts per user, probed for the
+    * 20 lowest user ids. The sketch is the only thing the event exchange
+    * carries: each event folds into 4 (row, bucket) cells map-side and the
+    * partial aggregate collapses to ≤ 2048 cells per partition before the
+    * shuffle — frequency queries over a 100-TB stream cost O(d·w) state,
+    * merge by cell-wise sum along any dimension (same mergeability class as
+    * q98's HLL / q118's histogram), and never touch the key space. Row
+    * hashes are the engine-portable multiplicative family (q29's reduce-
+    * then-multiply discipline, four public xxHash/Knuth odd constants), so
+    * the oracle rebuilds the identical sketch. CMS guarantees est ≥ true
+    * always (flag pinned 1 deterministically) and est ≤ true + 2N/w with
+    * probability 1−2⁻ᵈ per probe — on fixed data that bound either holds or
+    * doesn't, so the flag is still deterministic and the oracle still pins
+    * it; the integer form (est−true)·256 ≤ N avoids division. True counts
+    * for the 20 probes ride along via one semi-filtered aggregate. */
+  val q119CmsEstimate: Q = (s, dir) => {
+    val hashConsts = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+    def cells(k: org.apache.spark.sql.Column) = array(
+      hashConsts.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).cast("long").as("r"),
+          pmod(pmod(k, lit(999983)) * c, lit(512)).as("b"))
+      }: _*)
+    val keyed = Tables.load(s, dir, "events")
+      .select(col("user_id").as("k"))
+    val sketch = keyed
+      .select(explode(cells(col("k"))).as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = keyed.agg(count(lit(1)).as("total"))
+    val probes = keyed.filter(col("k") < 20)
+      .groupBy(col("k")).agg(count(lit(1)).as("true_n"))
+    probes
+      .select(col("k"), col("true_n"), explode(cells(col("k"))).as("cell"))
+      .select(col("k"), col("true_n"), col("cell.r").as("r"), col("cell.b").as("b"))
+      .join(broadcast(sketch), Seq("r", "b"))
+      .groupBy(col("k").as("user_id"), col("true_n"))
+      .agg(min(col("cnt")).as("est_n"))
+      .crossJoin(broadcast(total))
+      .select(col("user_id"), col("true_n"), col("est_n"),
+        (col("est_n") >= col("true_n")).cast("long").as("never_under"),
+        ((col("est_n") - col("true_n")) * 256 <= col("total"))
+          .cast("long").as("within_eps"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q118_quantile_rollup" -> q118QuantileRollup,
+    "q119_cms_estimate" -> q119CmsEstimate,
     "q112_attribution" -> q112Attribution,
     "q100_triangles" -> q100Triangles,
     "q99_heavy_hitters" -> q99HeavyHitters,
@@ -824,6 +942,86 @@ object AnalyticQueries extends QueryModule {
     "q36_case_agg"      -> q36CaseAgg)
 
   def oracles: Map[String, String] = Map(
+    "q118_quantile_rollup" -> """
+      WITH keyed AS (
+        SELECT CAST(n.n_regionkey AS BIGINT) AS region,
+          CAST(n.n_nationkey AS BIGINT) AS nat,
+          CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS v
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey),
+      nsk AS (
+        SELECT region, nat, v // 65536 AS bin, count(*) AS cnt
+        FROM keyed GROUP BY 1, 2, 3),
+      merged AS (
+        SELECT region, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+        FROM nsk GROUP BY 1, 2),
+      cume AS (
+        SELECT region, bin, cnt,
+          sum(cnt) OVER (PARTITION BY region ORDER BY bin
+            ROWS UNBOUNDED PRECEDING) AS cum,
+          sum(cnt) OVER (PARTITION BY region) AS n
+        FROM merged),
+      est AS (
+        SELECT region, CAST(max(n) AS BIGINT) AS n_values,
+          CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin * 65536 END)
+            AS BIGINT) AS p50_est,
+          CAST(min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bin * 65536 END)
+            AS BIGINT) AS p95_est
+        FROM cume GROUP BY region),
+      vals AS (
+        SELECT region, v, count(*) AS c FROM keyed GROUP BY 1, 2),
+      vcume AS (
+        SELECT region, v,
+          sum(c) OVER (PARTITION BY region ORDER BY v
+            ROWS UNBOUNDED PRECEDING) AS cum,
+          sum(c) OVER (PARTITION BY region) AS n
+        FROM vals),
+      ex AS (
+        SELECT region,
+          CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS BIGINT)
+            AS p50_exact,
+          CAST(min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN v END) AS BIGINT)
+            AS p95_exact
+        FROM vcume GROUP BY region)
+      SELECT est.region, n_values,
+        p50_est, p50_exact,
+        CAST(p50_exact >= p50_est AND p50_exact < p50_est + 65536 AS BIGINT)
+          AS p50_in_bin,
+        p95_est, p95_exact,
+        CAST(p95_exact >= p95_est AND p95_exact < p95_est + 65536 AS BIGINT)
+          AS p95_in_bin
+      FROM est JOIN ex ON est.region = ex.region
+      ORDER BY est.region""",
+    "q119_cms_estimate" -> """
+      WITH cells AS (
+        SELECT user_id AS k,
+          unnest([{'r': 0, 'b': ((user_id % 999983) * 2654435761) % 512},
+                  {'r': 1, 'b': ((user_id % 999983) * 2246822519) % 512},
+                  {'r': 2, 'b': ((user_id % 999983) * 3266489917) % 512},
+                  {'r': 3, 'b': ((user_id % 999983) * 668265263) % 512}]) AS c
+        FROM events),
+      sketch AS (
+        SELECT c.r AS r, c.b AS b, count(*) AS cnt FROM cells GROUP BY 1, 2),
+      total AS (SELECT count(*) AS total FROM events),
+      probes AS (
+        SELECT user_id AS k, count(*) AS true_n FROM events
+        WHERE user_id < 20 GROUP BY 1),
+      pcells AS (
+        SELECT k, true_n,
+          unnest([{'r': 0, 'b': ((k % 999983) * 2654435761) % 512},
+                  {'r': 1, 'b': ((k % 999983) * 2246822519) % 512},
+                  {'r': 2, 'b': ((k % 999983) * 3266489917) % 512},
+                  {'r': 3, 'b': ((k % 999983) * 668265263) % 512}]) AS c
+        FROM probes),
+      est AS (
+        SELECT k AS user_id, true_n, CAST(min(s.cnt) AS BIGINT) AS est_n
+        FROM pcells p JOIN sketch s ON p.c.r = s.r AND p.c.b = s.b
+        GROUP BY 1, 2)
+      SELECT user_id, true_n, est_n,
+        CAST(est_n >= true_n AS BIGINT) AS never_under,
+        CAST((est_n - true_n) * 256 <= total AS BIGINT) AS within_eps
+      FROM est, total ORDER BY user_id""",
     "q112_attribution" -> """
       WITH t AS (
         SELECT event_id, ts, user_id, event_type, value,

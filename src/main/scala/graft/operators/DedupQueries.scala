@@ -4,6 +4,7 @@ import graft.QueryModule
 import graft.engine.Tables
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -687,7 +688,95 @@ object DedupQueries extends QueryModule {
       .orderBy(col("stage"))
   }
 
+  /** q115 — duplicate-SPAN removal (the C4/CCNet move): dedup happens BELOW
+    * document granularity. Each document is cut map-side into consecutive
+    * 8-word blocks (`transform` over `sequence`, no shuffle), and every block
+    * TEXT keeps only its globally first occurrence — ordered by (doc_id,
+    * block index), so boilerplate repeated across documents (and repeated
+    * spans within one document) is dropped everywhere but its first site,
+    * while the surrounding unique text survives. This is the operator
+    * document-level dedup cannot express: two documents 30% identical are no
+    * one's near-duplicates, yet a third of the corpus' tokens are copies.
+    *
+    * One exchange on the block text (the window's partition key) does the
+    * first-occurrence arbitration; reassembly groups by doc_id — block-count
+    * rows, not token rows, and each block row carries ≤ 8 words. At 100 TB
+    * both keys (block text / doc id) are high-cardinality and skew-free by
+    * construction (a block repeated billions of times is exactly what the
+    * operator deletes — its window computes one row_number partition, which
+    * AQE skew handling splits; the kept/dropped DECISION needs only rank 1).
+    * Output pins per-doc block accounting AND the exact surviving text. */
+  val q115SpanDedup: Q = (s, dir) => {
+    val blocks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(t)-1) div 8), b -> concat_ws(' ', slice(t, b*8+1, 8)))")))
+      .withColumnRenamed("pos", "bidx").withColumnRenamed("col", "btext")
+    val firstSite = Window.partitionBy(col("btext"))
+      .orderBy(col("doc_id"), col("bidx"))
+    blocks
+      .withColumn("rnk", row_number().over(firstSite))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN rnk = 1 THEN struct(bidx, btext) END)), x -> x.btext)"),
+          " ").as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q116 — LEAKAGE-SAFE train/val/test split: the assignment unit is the
+    * near-duplicate CLUSTER (connected components over the q51-verified
+    * MinHash pair graph — the q59 machinery), not the document. A naive
+    * per-doc hash split puts two near-identical documents on opposite sides
+    * of the train/eval boundary — the classic contamination leak that
+    * inflates eval scores. Splitting on the cluster representative's
+    * portable hash (80/10/10) makes that impossible by construction, and the
+    * output MEASURES what the construction prevented: per split, the number
+    * of multi-doc clusters whose members' naive per-doc hashes would have
+    * landed in ≥ 2 different splits.
+    *
+    * Scale shape: the cluster labels come from the audited CC drivers
+    * (auto-selected propagation/star-contraction); everything after is one
+    * broadcast-sized left join (labels frame is pair-graph-sized, corpus
+    * never re-shuffles on text) + two integer aggregations. Split assignment
+    * is the q29 engine-portable multiplicative hash, so ANY engine -- and
+    * any re-run at any cluster size — deals identical docs to identical
+    * splits: the property that makes a 100-TB training mix reproducible. */
+  val q116LeakSafeSplit: Q = (s, dir) => {
+    def h10(c: Column): Column =
+      pmod(pmod(c, lit(999983)) * 2654435761L, lit(10))
+    def splitName(c: Column): Column =
+      when(h10(c) < 8, "train").when(h10(c) === 8, "val").otherwise("test")
+    val sh = shingled(s, dir).cache()
+    val bands = lshBands(sh, "sh").cache()
+    val pairs = verifyPairs(bandPairs(bands), sh).select(col("i"), col("j"))
+    val labels = connectedComponentsAuto(pairs)
+    sh.unpersist(blocking = false)
+    bands.unpersist(blocking = false)
+    val docs = Tables.load(s, dir, "documents")
+      .join(labels.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster"))
+    docs
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(size(split(col("text"), " ")).cast("long")).as("toks"),
+        countDistinct(splitName(col("doc_id"))).as("n_naive"))
+      .groupBy(splitName(col("cluster")).as("split"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("n")).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("id_sum")).as("id_checksum"),
+        sum(when(col("n") > 1 && col("n_naive") > 1, 1L).otherwise(0L))
+          .as("n_leaks_prevented"))
+      .orderBy(col("split"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q115_span_dedup"     -> q115SpanDedup,
+    "q116_leak_safe_split" -> q116LeakSafeSplit,
     "q73_pipeline"        -> q73Pipeline,
     "q59_dedup_clusters"  -> q59DedupClusters,
     "q50_dedup_exact"     -> q50Exact,
@@ -718,6 +807,57 @@ object DedupQueries extends QueryModule {
       ORDER BY i, j"""
 
   def oracles: Map[String, String] = Map(
+    "q115_span_dedup" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      b AS (SELECT doc_id, u.bidx, u.btext FROM (
+        SELECT doc_id,
+          unnest([{'bidx': x, 'btext': array_to_string(t[x*8+1:x*8+8], ' ')}
+                  for x in range(0, (len(t)-1)//8 + 1)]) AS u
+        FROM w)),
+      r AS (SELECT doc_id, bidx, btext,
+              row_number() OVER (PARTITION BY btext ORDER BY doc_id, bidx) AS rnk
+            FROM b)
+      SELECT doc_id, count(*) AS n_blocks,
+        CAST(sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        coalesce(string_agg(CASE WHEN rnk = 1 THEN btext END, ' ' ORDER BY bidx), '')
+          AS kept_text
+      FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "q116_leak_safe_split" -> s"""
+      WITH RECURSIVE $duckShingles,
+      pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.ss) > 0 AND len(b.ss) > 0
+          AND len(list_intersect(a.ss, b.ss)) >=
+              len(list_distinct(list_concat(a.ss, b.ss))) * 0.8),
+      edges AS (
+        SELECT i AS a, j AS b FROM pairs
+        UNION ALL SELECT j AS a, i AS b FROM pairs),
+      reach(id, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      comp AS (SELECT id, min(r) AS keep_id FROM reach GROUP BY id),
+      cl AS (SELECT d.doc_id, d.text, coalesce(c.keep_id, d.doc_id) AS cluster
+             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+      g AS (SELECT cluster, count(*) AS n,
+              CAST(sum(doc_id) AS BIGINT) AS id_sum,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks,
+              count(DISTINCT CASE
+                WHEN ((doc_id % 999983) * 2654435761) % 10 < 8 THEN 'train'
+                WHEN ((doc_id % 999983) * 2654435761) % 10 = 8 THEN 'val'
+                ELSE 'test' END) AS n_naive
+            FROM cl GROUP BY cluster)
+      SELECT CASE
+          WHEN ((cluster % 999983) * 2654435761) % 10 < 8 THEN 'train'
+          WHEN ((cluster % 999983) * 2654435761) % 10 = 8 THEN 'val'
+          ELSE 'test' END AS split,
+        count(*) AS n_clusters, CAST(sum(n) AS BIGINT) AS n_docs,
+        CAST(sum(toks) AS BIGINT) AS n_tokens,
+        CAST(sum(id_sum) AS BIGINT) AS id_checksum,
+        CAST(sum(CASE WHEN n > 1 AND n_naive > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_leaks_prevented
+      FROM g GROUP BY 1 ORDER BY split""",
     "q73_pipeline" -> s"""
       WITH RECURSIVE $duckShingles,
       pairs AS (

@@ -563,7 +563,72 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** q117 — SCALAR-QUANTIZED (SQ8) ANN with exact rerank: the
+    * memory-bandwidth path a 100-TB vector corpus actually scans. Each
+    * dimension is affinely mapped to an 8-bit code using per-dimension
+    * corpus min/max (one 64-row aggregate, broadcast back) — integer-exact
+    * arithmetic, so any engine codes identically. The candidate pass ranks
+    * by the dot product of CENTERED codes (`dot_long` over code−128, exact
+    * BIGINT) — an 8× smaller scan than full precision (64 bytes vs 512 per
+    * vector here; 4× for float32 corpora) — and only the top-32 candidates
+    * per query fetch their full-precision vectors for the exact cosine
+    * rerank. Quantization error can reorder near-ties, so recall < 1 by
+    * design (spec pins recall@5 vs the q55 brute truth); determinism makes
+    * the whole two-stage plan oracle-checkable, approx scores included.
+    *
+    * Scale shape: codes are the ONLY thing the candidate stage reads — at
+    * 100 TB they live in their own parquet column (written once, like the
+    * IVF index), the scan is sequential and codegen'd, and the full-vector
+    * fetch is a candidate-sized equi-join, never a second scan. Composes
+    * with IVF (probe cells, then SQ8-scan within the cell — IVF-SQ). */
+  val q117KnnSq8: Q = (s, dir) => {
+    val e = quantized(s, dir)
+    // per-dimension [min, max] over the corpus → one broadcast row of two
+    // 64-element arrays (positions pinned by sort, like ivfCentroids)
+    val ranges = e.select(posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("pmn"),
+        array_sort(collect_list(struct(col("pos"), col("mx")))).as("pmx"))
+      .select(expr("transform(pmn, p -> p.mn)").as("mns"),
+        expr("transform(pmx, p -> p.mx)").as("mxs"))
+    val coded = e.crossJoin(broadcast(ranges))
+      .withColumn("code", expr(
+        """zip_with(zip_with(q, mns, (v, m) -> v - m),
+          |         zip_with(mxs, mns, (a, b) -> a - b),
+          |         (d, s) -> CASE WHEN s > 0 THEN (d * 255) div s ELSE 0 END)"""
+          .stripMargin))
+    // candidate stage reads codes ONLY (the compressed scan)
+    val queryCodes = broadcast(coded.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("code").as("qcode")))
+    val corpusCodes = coded.select(col("vec_id").as("cid"), col("code").as("ccode"))
+    val approx = queryCodes.join(corpusCodes, col("qid") =!= col("cid"))
+      .withColumn("approx", expr(
+        "dot_long(transform(qcode, x -> x - 128), transform(ccode, x -> x - 128))"))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("cid"))
+    val cand = approx
+      .withColumn("arnk", row_number().over(wa))
+      .filter(col("arnk") <= 32)
+      .select(col("qid"), col("cid"), col("approx"))
+    // rerank stage: candidate-sized joins fetch the full-precision vectors
+    val full = e.select(col("vec_id"), col("q"), col("n2"))
+    val rer = cand
+      .join(broadcast(full.filter(col("vec_id") < 5))
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2")), "qid")
+      .join(full.select(col("vec_id").as("cid"), col("q").as("qc"),
+        col("n2").as("cn2")), "cid")
+      .select(col("qid"), col("cid"), col("approx"),
+        (dotExpr / (sqrt(col("qn2")) * sqrt(col("cn2")))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    rer.select(col("qid"), col("cid"), col("approx"), col("cos"),
+        row_number().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q117_knn_sq8" -> q117KnnSq8,
     "q114_hard_negatives_ivf" -> q114HardNegativesIvf,
     "q113_hard_negatives" -> q113HardNegatives,
     "q83_semantic_dedup_incremental" -> q83SemanticDedupIncremental,
@@ -613,6 +678,42 @@ object SimilarityQueries extends QueryModule {
         CAST(list_sum([x * x for x in qv]) AS BIGINT) AS n2 FROM q)"""
 
   def oracles: Map[String, String] = Map(
+    "q117_knn_sq8" -> s"""
+      WITH $duckQuant,
+      rg AS (
+        SELECT pos, min(v) AS mn, max(v) AS mx
+        FROM (SELECT generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM n)
+        GROUP BY pos),
+      rr AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+             FROM rg),
+      coded AS (
+        SELECT vec_id, qv, n2,
+          [CASE WHEN (rr.mxs[k] - rr.mns[k]) > 0
+                THEN ((qv[k] - rr.mns[k]) * 255) // (rr.mxs[k] - rr.mns[k])
+                ELSE 0 END
+           for k in range(1, len(qv)+1)] AS code
+        FROM n, rr),
+      ap AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+          CAST(list_sum([(a.code[k] - 128) * (b.code[k] - 128)
+                         for k in range(1, len(a.code)+1)]) AS BIGINT) AS approx
+        FROM coded a JOIN coded b ON a.vec_id < 5 AND a.vec_id != b.vec_id),
+      cand AS (
+        SELECT qid, cid, approx FROM (
+          SELECT qid, cid, approx,
+            row_number() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS arnk
+          FROM ap) WHERE arnk <= 32),
+      rer AS (
+        SELECT c.qid, c.cid, c.approx,
+          CAST(list_sum([a.qv[k] * b.qv[k] for k in range(1, len(a.qv)+1)]) AS BIGINT)
+            / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+        FROM cand c JOIN n a ON a.vec_id = c.qid JOIN n b ON b.vec_id = c.cid),
+      ranked AS (
+        SELECT qid, cid, approx, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM rer)
+      SELECT qid, cid, approx, cos, rnk FROM ranked WHERE rnk <= 5
+      ORDER BY qid, rnk""",
     // centroids from the OLD corpus only (the index predates the batch);
     // assignment of ALL vectors against them; pairs restricted to
     // new-involving — exactly what the incremental gated join computes

@@ -401,7 +401,45 @@ object TextQueries extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** q120 — BIGRAM LANGUAGE-MODEL scoring (KenLM-style perplexity gating,
+    * reduced to the n=2 add-one model that stays engine-exact): train bigram
+    * and unigram counts over the whole corpus in one pass, then score every
+    * document by its mean token log-probability ln((c(w₁w₂)+1)/(c(w₁)+V)).
+    * Low scores flag statistically anomalous text (the perplexity filter in
+    * CCNet/Gopher-class pipelines); here the model IS the corpus, so the
+    * score measures how typical each document's transitions are.
+    *
+    * Scale shape: the model tables are VOCABULARY-sized, not corpus-sized —
+    * unigram/bigram counts aggregate with map-side partial combine, then
+    * broadcast back onto the token stream, so scoring is one map-side join
+    * pass and the only full-corpus exchange is the count aggregation itself.
+    * Per-doc mean log-prob sums ~100 doubles whose error (~1e-13) sits five
+    * orders below the micro-unit rounding, so `lp_micro` is engine-stable
+    * the same way q61's quality micro-score is. */
+  val q120BigramLm: Q = (s, dir) => {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val bigrams = toks.select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")))
+      .select(col("doc_id"), col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = toks.select(explode(col("t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(countDistinct(col("w1")).as("v"))
+    bigrams
+      .join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log((col("c2") + 1) / (col("c1") + col("v")))).as("lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("lp") / col("n_bigrams") * 1e6, 0).cast("long").as("lp_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q120_bigram_lm" -> q120BigramLm,
     "q111_source_novelty" -> q111SourceNovelty,
     "q106_chunking"   -> q106Chunking,
     "q105_repetition" -> q105Repetition,
@@ -418,6 +456,22 @@ object TextQueries extends QueryModule {
   private val duckStop = "['the','a','an','and','of','is','to','in']"
 
   def oracles: Map[String, String] = Map(
+    "q120_bigram_lm" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      bg AS (
+        SELECT doc_id, u.w1, u.w2 FROM (
+          SELECT doc_id,
+            unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS u
+          FROM toks)),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, count(*) AS c1
+             FROM (SELECT doc_id, unnest(t) AS w1 FROM toks) GROUP BY 1),
+      v AS (SELECT count(DISTINCT w1) AS v FROM c1)
+      SELECT doc_id, count(*) AS n_bigrams,
+        CAST(round(sum(ln((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE)))
+                   / count(*) * 1000000, 0) AS BIGINT) AS lp_micro
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+      GROUP BY doc_id ORDER BY doc_id""",
     "q111_source_novelty" -> """
       WITH w AS (
         SELECT source, string_split(text, ' ') AS ws

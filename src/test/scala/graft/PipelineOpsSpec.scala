@@ -21,6 +21,63 @@ class PipelineOpsSpec extends SparkSpec {
     dir
   }
 
+  test("q115 span dedup: cross-doc and within-doc duplicate blocks drop, first site survives") {
+    // doc 1: 10 words → blocks [a1..a8], [a9 a10] — both first-sited, kept.
+    // doc 2: same first 8 words + distinct tail → first block is a cross-doc
+    //        duplicate (removed), tail survives.
+    // doc 3: the same 8 words twice → second block is a WITHIN-doc duplicate.
+    val b1 = (1 to 8).map("a" + _).mkString(" ")
+    val d3b = (1 to 8).map("c" + _).mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, b1 + " a9 a10", "en", "s"),
+      (2L, b1 + " b9 b10", "en", "s"),
+      (3L, d3b + " " + d3b, "en", "s")))
+    val out = graft.operators.DedupQueries.q115SpanDedup(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, b1 + " a9 a10")), "doc1 keeps everything")
+    assert(out(2L) == ((2L, 1L, "b9 b10")), "doc2 loses the shared block")
+    assert(out(3L) == ((2L, 1L, d3b)), "doc3 loses its self-repeat")
+  }
+
+  test("q116 leak-safe split: a near-dup pair straddling naive splits lands whole, leak counted") {
+    // h10(k) = ((k % 999983) * 2654435761) % 10 = k % 10 for small k (the
+    // multiplier ends in 1), so naive split is doc_id mod 10: <8 train,
+    // 8 val, 9 test. Docs 7 & 8 are near-identical → one cluster, rep 7 →
+    // whole cluster goes to train, and it counts as 1 prevented leak
+    // (members' naive splits were train vs val). Docs 0 and 9 are loners.
+    val base = (1 to 40).map("w" + _).mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, "solo zero " + (1 to 20).map("z" + _).mkString(" "), "en", "s"),
+      (7L, base, "en", "s"),
+      (8L, base + " tail8", "en", "s"),
+      (9L, "solo nine " + (1 to 20).map("y" + _).mkString(" "), "en", "s")))
+    val rows = graft.operators.DedupQueries.q116LeakSafeSplit(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // train: clusters {0} and {7,8} → 2 clusters, 3 docs, ids 0+7+8, 1 leak
+    val (c, d, tok, ids, leaks) = rows("train")
+    assert(c == 2L && d == 3L && ids == 15L && leaks == 1L)
+    assert(tok == 22L + 40L + 41L, "token conservation in train")
+    // test: cluster {9} alone; no val row (no cluster rep hashes to 8)
+    assert(rows("test") == ((1L, 1L, 22L, 9L, 0L)))
+    assert(!rows.contains("val"))
+    // conservation: every doc lands in exactly one split
+    assert(rows.values.map(_._2).sum == 4L)
+  }
+
+  test("q120 bigram LM: two identical two-word docs score ln(3/4) exactly") {
+    // corpus: "a b" ×2 → c2(a,b)=2, c1(a)=2, V=2 → per-bigram
+    // ln((2+1)/(2+2)) = ln(0.75); lp_micro = round(ln(0.75)*1e6) = -287682
+    val dir = docsDir(Seq((1L, "a b", "en", "s"), (2L, "a b", "en", "s")))
+    val rows = graft.operators.TextQueries.q120BigramLm(spark, dir).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1L, "one bigram per doc")
+      assert(r.getLong(2) == -287682L, s"ln(3/4) micro, got ${r.getLong(2)}")
+    }
+  }
+
   test("q105 repetition: all-repeated doc flags at 750000 ppm, all-distinct doc at 0") {
     // "x x x x x x" → four 3-grams, all equal → 3 dup / 4 grams = 750000 ppm
     // "a b c d e f" → four distinct 3-grams → 0 ppm

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{AnalyticQueries, SimilarityQueries}
+import org.apache.spark.sql.functions._
+
+/** Laws for the round-9 sketch/quantization tier: SQ8 ANN (q117), mergeable
+  * histogram-quantile rollup (q118), Count–Min point estimates (q119).
+  * Checks are black-box over the production query functions, with exact
+  * expectations recomputed independently in plain Scala on the small
+  * fixture. */
+class SketchQuantileSpec extends SparkSpec {
+
+  test("q117 SQ8: quantized candidates + exact rerank recover most of the brute top-5") {
+    val truth = SimilarityQueries.q55KnnBrute(spark, sfDir01).collect()
+      .filter(_.getLong(3) <= 5).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = SimilarityQueries.q117KnnSq8(spark, sfDir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sq8.size == truth.size, "both emit top-5 per query")
+    val recall = sq8.intersect(truth).size.toDouble / truth.size
+    // 8-bit codes over a 64-dim corpus preserve neighbourhoods well; the
+    // floor is deliberately below observed so it trips only on regressions
+    assert(recall >= 0.6, s"SQ8 recall@5 vs brute = $recall")
+  }
+
+  test("q117 SQ8: reranked cosine never exceeds the true best and ranks are dense per query") {
+    val rows = SimilarityQueries.q117KnnSq8(spark, sfDir01).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(4)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      // cosines are exact (full-precision rerank), so they must be sorted
+      val cs = rs.sortBy(_.getLong(4)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q118 quantile rollup: estimates bracket independently computed exact ranks") {
+    val out = AnalyticQueries.q118QuantileRollup(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // exact values recomputed by brute sort per region in plain Scala
+    val keyed = graft.engine.Tables.load(spark, sfDir, "lineitem")
+      .join(graft.engine.Tables.load(spark, sfDir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(graft.engine.Tables.load(spark, sfDir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey").cast("long").as("region"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byRegion = keyed.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    out.foreach { r =>
+      val vs = byRegion(r.getLong(0))
+      val n = vs.length
+      assert(r.getLong(1) == n.toLong, "n_values")
+      val p50 = vs((n * 50 + 99) / 100 - 1)
+      val p95 = vs((n * 95 + 99) / 100 - 1)
+      assert(r.getLong(3) == p50 && r.getLong(6) == p95, "exact ranks agree")
+      assert(r.getLong(4) == 1L && r.getLong(7) == 1L, "in-bin flags certain")
+      assert(r.getLong(2) <= p50 && p50 < r.getLong(2) + 65536L)
+      assert(r.getLong(5) <= p95 && p95 < r.getLong(5) + 65536L)
+    }
+  }
+
+  test("q119 CMS: never underestimates, and estimates equal an independent sketch rebuild") {
+    val out = AnalyticQueries.q119CmsEstimate(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val keys = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("user_id")).collect().map(_.getLong(0))
+    val consts = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+    def cell(k: Long, r: Int): (Int, Long) = (r, ((k % 999983L) * consts(r)) % 512L)
+    val sketch = keys.flatMap(k => (0 until 4).map(r => cell(k, r)))
+      .groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    val trueCnt = keys.filter(_ < 20).groupBy(identity)
+      .map { case (k, xs) => k -> xs.length.toLong }
+    out.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(1) == trueCnt(k), "true count")
+      val est = (0 until 4).map(i => sketch(cell(k, i))).min
+      assert(r.getLong(2) == est, "estimate equals rebuilt sketch min")
+      assert(r.getLong(3) == 1L, "CMS never underestimates (law)")
+    }
+    assert(out.map(_.getLong(0)).toSet == trueCnt.keySet)
+  }
+}
