@@ -886,19 +886,27 @@ object AnalyticQueries extends QueryModule {
     * doesn't, so the flag is still deterministic and the oracle still pins
     * it; the integer form (est−true)·256 ≤ N avoids division. True counts
     * for the 20 probes ride along via one semi-filtered aggregate. */
-  val q119CmsEstimate: Q = (s, dir) => {
-    val hashConsts = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
-    def cells(k: org.apache.spark.sql.Column) = array(
-      hashConsts.zipWithIndex.map { case (c, i) =>
-        struct(lit(i).cast("long").as("r"),
-          pmod(pmod(k, lit(999983)) * c, lit(512)).as("b"))
-      }: _*)
-    val keyed = Tables.load(s, dir, "events")
-      .select(col("user_id").as("k"))
-    val sketch = keyed
-      .select(explode(cells(col("k"))).as("cell"))
+  /** The CMS hash family shared by q119/q122: d=4 rows of the q29-portable
+    * reduce-then-multiply hash (public xxHash/Knuth odd constants), w=512
+    * buckets. One array of (row, bucket) cells per key, exploded map-side. */
+  private val cmsConsts = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+  private def cmsCells(k: org.apache.spark.sql.Column) = array(
+    cmsConsts.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).cast("long").as("r"),
+        pmod(pmod(k, lit(999983)) * c, lit(512)).as("b"))
+    }: _*)
+  /** Build the (r, b, cnt) CMS frame of a single key column. */
+  private def cmsSketch(keys: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    keys.select(explode(cmsCells(col("k"))).as("cell"))
       .groupBy(col("cell.r").as("r"), col("cell.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
+
+  val q119CmsEstimate: Q = (s, dir) => {
+    def cells(k: org.apache.spark.sql.Column) = cmsCells(k)
+    val keyed = Tables.load(s, dir, "events")
+      .select(col("user_id").as("k"))
+    val sketch = cmsSketch(keyed)
     val total = keyed.agg(count(lit(1)).as("total"))
     val probes = keyed.filter(col("k") < 20)
       .groupBy(col("k")).agg(count(lit(1)).as("true_n"))
@@ -916,9 +924,49 @@ object AnalyticQueries extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  /** q122 — JOIN-SIZE PRE-FLIGHT from CMS sketches (the AMS/CM inner-product
+    * estimator, Alon–Matias–Szegedy F₂ + Cormode–Muthukrishnan): estimate
+    * |events ⋈ events| on user_id (self-join / F₂ second moment) and
+    * |events ⋈ orders| on user=cust BEFORE running either join, from the
+    * d=4 × w=512 sketches alone. Per hash row, Σ_b e[b]·o[b] upper-bounds
+    * the true Σ_k c_k·d_k (colliding keys only ADD cross terms), so
+    * min-over-rows is never below truth — both flags are laws, pinned.
+    * Paired with q110's skew profile this is the planner's pre-flight kit:
+    * q110 says WHERE the heat is, this says HOW BIG the output will be —
+    * at 100 TB each side folds to 2 KB of sketch, sketches merge cell-wise
+    * across partitions/days, and no key space ever shuffles. True sizes
+    * ride along from per-key count frames (key-cardinality-sized, the
+    * pinning path). Estimates within d·N²/w of truth w.h.p.; the accuracy
+    * observed here is reported as integer ppm error, not asserted. */
+  val q122JoinSizeEstimate: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events").select(col("user_id").as("k"))
+    val or = Tables.load(s, dir, "orders").select(col("o_custkey").as("k"))
+    val es = cmsSketch(ev).withColumnRenamed("cnt", "ec")
+    val os = cmsSketch(or).withColumnRenamed("cnt", "oc")
+    val estSelf = es.groupBy(col("r"))
+      .agg(sum(col("ec") * col("ec")).as("rowdot"))
+      .agg(min(col("rowdot")).as("est_self"))
+    val estCross = es.join(os, Seq("r", "b"))
+      .groupBy(col("r")).agg(sum(col("ec") * col("oc")).as("rowdot"))
+      .agg(min(col("rowdot")).as("est_cross"))
+    val ecnt = ev.groupBy(col("k")).agg(count(lit(1)).as("c"))
+    val ocnt = or.groupBy(col("k")).agg(count(lit(1)).as("d"))
+    val trueSelf = ecnt.agg(sum(col("c") * col("c")).as("true_self"))
+    val trueCross = ecnt.join(ocnt, "k")
+      .agg(coalesce(sum(col("c") * col("d")), lit(0L)).as("true_cross"))
+    estSelf.crossJoin(trueSelf).crossJoin(estCross).crossJoin(trueCross)
+      .select(col("est_self"), col("true_self"),
+        (col("est_self") >= col("true_self")).cast("long").as("self_never_under"),
+        expr("(est_self - true_self) * 1000000 div true_self").as("self_err_ppm"),
+        col("est_cross"), col("true_cross"),
+        (col("est_cross") >= col("true_cross")).cast("long").as("cross_never_under"),
+        expr("(est_cross - true_cross) * 1000000 div true_cross").as("cross_err_ppm"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q118_quantile_rollup" -> q118QuantileRollup,
     "q119_cms_estimate" -> q119CmsEstimate,
+    "q122_join_size_estimate" -> q122JoinSizeEstimate,
     "q112_attribution" -> q112Attribution,
     "q100_triangles" -> q100Triangles,
     "q99_heavy_hitters" -> q99HeavyHitters,
@@ -993,6 +1041,44 @@ object AnalyticQueries extends QueryModule {
           AS p95_in_bin
       FROM est JOIN ex ON est.region = ex.region
       ORDER BY est.region""",
+    "q122_join_size_estimate" -> """
+      WITH ek AS (SELECT user_id AS k FROM events),
+      ok AS (SELECT o_custkey AS k FROM orders),
+      ecell AS (
+        SELECT unnest([{'r': 0, 'b': ((k % 999983) * 2654435761) % 512},
+                       {'r': 1, 'b': ((k % 999983) * 2246822519) % 512},
+                       {'r': 2, 'b': ((k % 999983) * 3266489917) % 512},
+                       {'r': 3, 'b': ((k % 999983) * 668265263) % 512}]) AS c
+        FROM ek),
+      es AS (SELECT c.r AS r, c.b AS b, count(*) AS ec FROM ecell GROUP BY 1, 2),
+      ocell AS (
+        SELECT unnest([{'r': 0, 'b': ((k % 999983) * 2654435761) % 512},
+                       {'r': 1, 'b': ((k % 999983) * 2246822519) % 512},
+                       {'r': 2, 'b': ((k % 999983) * 3266489917) % 512},
+                       {'r': 3, 'b': ((k % 999983) * 668265263) % 512}]) AS c
+        FROM ok),
+      os AS (SELECT c.r AS r, c.b AS b, count(*) AS oc FROM ocell GROUP BY 1, 2),
+      e1 AS (SELECT min(rowdot) AS est_self FROM
+        (SELECT r, sum(ec * ec) AS rowdot FROM es GROUP BY r)),
+      e2 AS (SELECT min(rowdot) AS est_cross FROM
+        (SELECT es.r, sum(es.ec * os.oc) AS rowdot
+         FROM es JOIN os ON es.r = os.r AND es.b = os.b GROUP BY es.r)),
+      t1 AS (SELECT sum(c * c) AS true_self FROM
+        (SELECT k, count(*) AS c FROM ek GROUP BY k)),
+      t2 AS (SELECT coalesce(sum(a.c * b.d), 0) AS true_cross FROM
+        (SELECT k, count(*) AS c FROM ek GROUP BY k) a JOIN
+        (SELECT k, count(*) AS d FROM ok GROUP BY k) b USING (k))
+      SELECT CAST(est_self AS BIGINT) AS est_self,
+        CAST(true_self AS BIGINT) AS true_self,
+        CAST(est_self >= true_self AS BIGINT) AS self_never_under,
+        CAST((est_self - true_self) * 1000000 // true_self AS BIGINT)
+          AS self_err_ppm,
+        CAST(est_cross AS BIGINT) AS est_cross,
+        CAST(true_cross AS BIGINT) AS true_cross,
+        CAST(est_cross >= true_cross AS BIGINT) AS cross_never_under,
+        CAST((est_cross - true_cross) * 1000000 // true_cross AS BIGINT)
+          AS cross_err_ppm
+      FROM e1, e2, t1, t2""",
     "q119_cms_estimate" -> """
       WITH cells AS (
         SELECT user_id AS k,

@@ -706,23 +706,113 @@ object DedupQueries extends QueryModule {
     * operator deletes — its window computes one row_number partition, which
     * AQE skew handling splits; the kept/dropped DECISION needs only rank 1).
     * Output pins per-doc block accounting AND the exact surviving text. */
-  val q115SpanDedup: Q = (s, dir) => {
-    val blocks = Tables.load(s, dir, "documents")
+  /** Map-side 8-word block explosion shared by the span-dedup family:
+    * (doc_id, bidx, btext), one row per consecutive block. */
+  private[graft] def spanBlocks(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, (size(t)-1) div 8), b -> concat_ws(' ', slice(t, b*8+1, 8)))")))
       .withColumnRenamed("pos", "bidx").withColumnRenamed("col", "btext")
-    val firstSite = Window.partitionBy(col("btext"))
-      .orderBy(col("doc_id"), col("bidx"))
-    blocks
-      .withColumn("rnk", row_number().over(firstSite))
+
+  /** Shared reassembly: per-doc block accounting + exact surviving text from
+    * a (doc_id, bidx, btext, kept) frame. */
+  private def spanReassemble(marked: DataFrame): DataFrame =
+    marked
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_blocks"),
-        sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         array_join(expr(
-          "transform(array_sort(collect_list(CASE WHEN rnk = 1 THEN struct(bidx, btext) END)), x -> x.btext)"),
+          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(bidx, btext) END)), x -> x.btext)"),
           " ").as("kept_text"))
       .orderBy(col("doc_id"))
+
+  val q115SpanDedup: Q = (s, dir) => {
+    val firstSite = Window.partitionBy(col("btext"))
+      .orderBy(col("doc_id"), col("bidx"))
+    spanReassemble(spanBlocks(Tables.load(s, dir, "documents"))
+      .withColumn("kept", row_number().over(firstSite) === 1))
+  }
+
+  /** One ingest step of INCREMENTAL span dedup against a persisted span
+    * store: blocks of `batch` keep a site iff their text is absent from the
+    * store AND first within the batch (arrival order wins — the store was
+    * there first, which is the production semantics; a global re-run could
+    * prefer a later-arriving smaller doc_id, so the contract is
+    * arrival-ordered, not corpus-ordered). The batch's surviving spans are
+    * APPENDED to the store afterwards as (btext, first doc_id, first bidx)
+    * rows — the store is the FIRST-SITE REGISTRY of every span ever seen,
+    * not a bare membership set, and that provenance is what makes replay
+    * self-absorbing: a failed batch whose append DID land replays against a
+    * store that already contains its own sites, and the "store's first site
+    * IS this row" disjunct reproduces the identical output (a membership-
+    * only store would flip every replayed first site to dropped). Duplicate
+    * appends collapse under the min-site aggregate. No batch-id keying, no
+    * dynamic overwrite — the algebra absorbs replays, like the rolling-DAU
+    * sketch union.
+    *
+    * Scale: one equi-join of batch blocks against the store (at 100 TB the
+    * store keys on a 128-bit text digest — ~32 bytes/span with its site —
+    * and partitions by digest range so the probe join co-locates), one
+    * within-batch window over batch-sized data, one batch-sized append.
+    * The old corpus is re-read never. */
+  private[graft] def spanDedupBatch(batch: DataFrame, storePath: String)
+      : DataFrame = {
+    val s = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val store =
+      if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+        s.read.parquet(storePath)
+      else s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("btext",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bidx",
+            org.apache.spark.sql.types.IntegerType))))
+    val firstSites = store
+      .groupBy(col("btext"))
+      .agg(min(struct(col("doc_id"), col("bidx"))).as("s0"))
+    val firstSite = Window.partitionBy(col("btext"))
+      .orderBy(col("doc_id"), col("bidx"))
+    val marked = spanBlocks(batch)
+      .join(firstSites, Seq("btext"), "left")
+      .withColumn("kept",
+        (col("s0").isNull && row_number().over(firstSite) === 1) ||
+          (col("s0.doc_id") === col("doc_id") && col("s0.bidx") === col("bidx")))
+    val out = spanReassemble(marked.select(
+      col("doc_id"), col("bidx"), col("btext"), col("kept")))
+    // persist the result BEFORE appending: `out` must not observe the store
+    // rows its own batch is about to add
+    val (pinned, _) = graft.engine.Pin.pin(out)
+    marked.filter(col("s0").isNull && col("kept"))
+      .select(col("btext"), col("doc_id"), col("bidx"))
+      .write.mode("append").parquet(storePath)
+    pinned
+  }
+
+  /** q121 — INCREMENTAL span dedup over the PERSISTED span store: the
+    * sub-document twin of q74's signature index. The old corpus
+    * (doc_id % 7 ≠ 3) seeds the store — written to parquet and READ BACK,
+    * so the round-trip sits inside the checked path — and the new batch
+    * (doc_id % 7 = 3) ingests via [[spanDedupBatch]]: boilerplate already
+    * seen by the store is dropped at zero re-scan cost, new boilerplate
+    * arbitrates within the batch, and the store grows by exactly the
+    * batch's surviving spans. Streaming twin: `StreamOps.spanDedupStream`
+    * (same ingest per micro-batch; spec pins micro-batch invariance and
+    * replay idempotence). */
+  val q121SpanDedupIncremental: Q = (s, dir) => {
+    val isNew = col("doc_id") % 7 === 3
+    val docs = Tables.load(s, dir, "documents")
+    val storePath = graft.engine.Scratch.dir(s, "spanstore") + "/spans"
+    spanBlocks(docs.filter(!isNew))
+      .groupBy(col("btext"))
+      .agg(min(struct(col("doc_id"), col("bidx"))).as("s0"))
+      .select(col("btext"), col("s0.doc_id").as("doc_id"), col("s0.bidx").as("bidx"))
+      .write.mode("overwrite").parquet(storePath)
+    spanDedupBatch(docs.filter(isNew), storePath)
   }
 
   /** q116 — LEAKAGE-SAFE train/val/test split: the assignment unit is the
@@ -777,6 +867,7 @@ object DedupQueries extends QueryModule {
   def queries: Map[String, Q] = Map(
     "q115_span_dedup"     -> q115SpanDedup,
     "q116_leak_safe_split" -> q116LeakSafeSplit,
+    "q121_span_dedup_incremental" -> q121SpanDedupIncremental,
     "q73_pipeline"        -> q73Pipeline,
     "q59_dedup_clusters"  -> q59DedupClusters,
     "q50_dedup_exact"     -> q50Exact,
@@ -821,6 +912,28 @@ object DedupQueries extends QueryModule {
         CAST(sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         coalesce(string_agg(CASE WHEN rnk = 1 THEN btext END, ' ' ORDER BY bidx), '')
           AS kept_text
+      FROM r GROUP BY doc_id ORDER BY doc_id""",
+    // arrival-order contract: a new-batch block survives iff its text is in
+    // NO old doc and it is the first (doc_id, bidx) site within the batch
+    "q121_span_dedup_incremental" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      b AS (SELECT doc_id, u.bidx, u.btext FROM (
+        SELECT doc_id,
+          unnest([{'bidx': x, 'btext': array_to_string(t[x*8+1:x*8+8], ' ')}
+                  for x in range(0, (len(t)-1)//8 + 1)]) AS u
+        FROM w)),
+      oldb AS (SELECT DISTINCT btext FROM b WHERE doc_id % 7 <> 3),
+      newb AS (SELECT * FROM b WHERE doc_id % 7 = 3),
+      r AS (SELECT n.doc_id, n.bidx, n.btext,
+              row_number() OVER (PARTITION BY n.btext
+                ORDER BY n.doc_id, n.bidx) AS rnk,
+              o.btext IS NOT NULL AS in_old
+            FROM newb n LEFT JOIN oldb o ON n.btext = o.btext)
+      SELECT doc_id, count(*) AS n_blocks,
+        CAST(sum(CASE WHEN NOT in_old AND rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        coalesce(string_agg(CASE WHEN NOT in_old AND rnk = 1 THEN btext END,
+                            ' ' ORDER BY bidx), '') AS kept_text
       FROM r GROUP BY doc_id ORDER BY doc_id""",
     "q116_leak_safe_split" -> s"""
       WITH RECURSIVE $duckShingles,

@@ -217,6 +217,32 @@ object StreamOps {
       finally pairsPin.unpersist(blocking = false)
     }.start()
 
+  /** STREAMING sub-document span dedup over the persisted span store:
+    * foreachBatch drives [[graft.operators.DedupQueries.spanDedupBatch]] —
+    * per micro-batch of (doc_id, text) documents: drop every 8-word block
+    * whose text the store has already seen (or an earlier block of this
+    * batch claims first), hand the per-doc surviving text to `onDocs`,
+    * then append the batch's new block texts to the store. Completes the
+    * incremental-twin symmetry for the span family (q115 batch ↔ this):
+    * signature dedup, decontamination, semantic dedup, rolling DAU, and
+    * span dedup all share the one durable-index ingest shape.
+    *
+    * Replay discipline is the rolling-DAU kind, not the batch-id kind: the
+    * store is the FIRST-SITE REGISTRY of every span seen, so a failed
+    * batch's re-append collapses under the min-site aggregate AND the
+    * replayed batch reproduces its original output (its own sites are the
+    * registered first sites) — no batch-id keying, no dynamic overwrite.
+    * Delivery to `onDocs` is at-least-once like foreachBatch; outputs are
+    * deterministic per batch given the store, so an idempotent sink keyed
+    * by doc_id absorbs replays. */
+  def spanDedupStream(docs: DataFrame, storePath: String)
+      (onDocs: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onDocs(graft.operators.DedupQueries.spanDedupBatch(batch, storePath),
+        batchId)
+    }.start()
+
   /** STREAMING rolling-DAU ingestion into the persisted daily-sketch store:
     * each micro-batch of (user_id, ts) events appends its per-day HLL
     * sketches via

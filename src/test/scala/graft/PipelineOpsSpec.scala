@@ -66,6 +66,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.values.map(_._2).sum == 4L)
   }
 
+  test("q121 incremental span dedup: store suppresses old spans, arrival order wins in-batch") {
+    // old corpus (ids ≢ 3 mod 7): doc 1 registers block A. new batch (ids ≡
+    // 3 mod 7): doc 3 = A ++ B (A store-dropped, B first-sited), doc 10 = B
+    // ++ C (B lost to doc 3 — in-batch arbitration — C kept).
+    val A = (1 to 8).map("a" + _).mkString(" ")
+    val B = (1 to 8).map("b" + _).mkString(" ")
+    val C = (1 to 8).map("c" + _).mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, A, "en", "s"),
+      (3L, A + " " + B, "en", "s"),
+      (10L, B + " " + C, "en", "s")))
+    val out = graft.operators.DedupQueries.q121SpanDedupIncremental(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set(3L, 10L), "only the new batch is emitted")
+    assert(out(3L) == ((2L, 1L, B)), "A suppressed by store, B kept")
+    assert(out(10L) == ((2L, 1L, C)), "B lost to doc 3, C kept")
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("q120 bigram LM: two identical two-word docs score ln(3/4) exactly") {
     // corpus: "a b" ×2 → c2(a,b)=2, c1(a)=2, V=2 → per-bigram
     // ln((2+1)/(2+2)) = ln(0.75); lp_micro = round(ln(0.75)*1e6) = -287682

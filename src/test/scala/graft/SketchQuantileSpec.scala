@@ -60,6 +60,31 @@ class SketchQuantileSpec extends SparkSpec {
     }
   }
 
+  test("q122 join-size estimate: never below truth, equals an independent sketch rebuild") {
+    val r = AnalyticQueries.q122JoinSizeEstimate(spark, sfDir).collect()(0)
+    val ek = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("user_id")).collect().map(_.getLong(0))
+    val okeys = graft.engine.Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey")).collect().map(_.getLong(0))
+    val trueSelf = ek.groupBy(identity).values.map(v => v.size.toLong * v.size).sum
+    val oc = okeys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val trueCross = ek.groupBy(identity)
+      .map { case (k, v) => oc.getOrElse(k, 0L) * v.size }.sum
+    assert(r.getLong(1) == trueSelf && r.getLong(5) == trueCross, "true sizes")
+    val consts = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+    def sketch(ks: Array[Long]): Map[(Int, Long), Long] =
+      ks.flatMap(k => (0 until 4).map(i => (i, ((k % 999983L) * consts(i)) % 512L)))
+        .groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    val es = sketch(ek); val os = sketch(okeys)
+    val estSelf = (0 until 4).map(i =>
+      es.collect { case ((r0, _), c) if r0 == i => c * c }.sum).min
+    val estCross = (0 until 4).map(i =>
+      es.collect { case ((r0, b), c) if r0 == i => c * os.getOrElse((i, b), 0L) }.sum).min
+    assert(r.getLong(0) == estSelf && r.getLong(4) == estCross, "sketch estimates")
+    assert(r.getLong(2) == 1L && r.getLong(6) == 1L,
+      "AMS/CM inner product never underestimates (law)")
+  }
+
   test("q119 CMS: never underestimates, and estimates equal an independent sketch rebuild") {
     val out = AnalyticQueries.q119CmsEstimate(spark, sfDir).collect()
     assert(out.nonEmpty)

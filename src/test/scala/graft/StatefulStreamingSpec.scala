@@ -281,6 +281,53 @@ class StatefulStreamingSpec extends SparkSpec {
     graft.engine.Sessions.releasePinned(spark)
   }
 
+  test("streaming span dedup equals the one-shot ingest; a replayed batch reproduces its output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.engine.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val newDocs = docs.filter(col("doc_id") % 7 === 3)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    def seedStore(path: String): Unit =
+      graft.operators.DedupQueries.spanBlocks(docs.filter(col("doc_id") % 7 =!= 3))
+        .groupBy(col("btext"))
+        .agg(min(struct(col("doc_id"), col("bidx"))).as("s0"))
+        .select(col("btext"), col("s0.doc_id").as("doc_id"), col("s0.bidx").as("bidx"))
+        .write.mode("overwrite").parquet(path)
+    // one-shot reference over its own store
+    val oneShot = java.nio.file.Files.createTempDirectory("graft_span1").toString + "/spans"
+    seedStore(oneShot)
+    val want = graft.operators.DedupQueries
+      .spanDedupBatch(spark.createDataset(newDocs).toDF("doc_id", "text"), oneShot)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // streamed: the same docs in three ascending-id micro-batches
+    val streamed = java.nio.file.Files.createTempDirectory("graft_span2").toString + "/spans"
+    seedStore(streamed)
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Long, String)]
+    val q = StreamOps.spanDedupStream(
+        stream.toDF().toDF("doc_id", "text"), streamed) { (out, _) =>
+      out.collect().foreach(r =>
+        got(r.getLong(0)) = (r.getLong(1), r.getLong(2), r.getString(3)))
+    }
+    val batches = newDocs.grouped((newDocs.size + 2) / 3).toSeq
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    assert(got.toMap == want, "micro-batched ingest equals one-shot")
+    assert(want.values.exists(v => v._2 < v._1),
+      "fixture must actually drop some spans for the law to bite")
+    // REPLAY the last batch (its append already landed): the first-site
+    // registry must reproduce the identical per-doc output, not drop the
+    // replayed docs' own first sites
+    val replay = graft.operators.DedupQueries
+      .spanDedupBatch(spark.createDataset(batches.last).toDF("doc_id", "text"), streamed)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    replay.foreach { case (id, v) => assert(v == got(id), s"replay drifted for doc $id") }
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("streaming DAU sketch store equals batch build; replayed merges cannot move estimates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
