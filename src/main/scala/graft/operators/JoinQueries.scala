@@ -592,7 +592,49 @@ object JoinQueries extends QueryModule {
       .orderBy(col("ship_year"))
   }
 
+  /** q124 — SNAPSHOT DIFF (dataset versioning / CDC): classify every key of
+    * two table snapshots as added / removed / changed / same and emit the
+    * per-class audit a data-versioning layer publishes per commit. q69
+    * showed MERGE (apply a change-set); this is its inverse — RECOVER the
+    * change-set from two materialized snapshots, the shape used to diff a
+    * re-run pipeline against its last release or to CDC a table without a
+    * log. Snapshot B is derived from A deterministically (deletes k≡3 mod
+    * 17, updates k≡5 mod 13 by +100 cents, inserts fresh keys from k≡7 mod
+    * 29), so the oracle rebuilds both sides exactly.
+    *
+    * Scale shape: ONE full-outer sort-merge join on the key — both sides
+    * shuffle exactly once on the comparison key, classification and the
+    * balance delta are map-side expressions, and the output aggregate is
+    * 4 rows. A billion-row diff costs one co-partitioned pass; at 100 TB
+    * the snapshots would be bucketed on the key and the exchange vanishes
+    * entirely. */
+  val q124SnapshotDiff: Q = (s, dir) => {
+    val a = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("k"), Num.cents(col("c_acctbal")).as("va"))
+    val b = Tables.load(s, dir, "customer")
+      .filter(pmod(col("c_custkey"), lit(17)) =!= 3)
+      .select(col("c_custkey").as("bk"),
+        (Num.cents(col("c_acctbal")) +
+          when(pmod(col("c_custkey"), lit(13)) === 5, 100L).otherwise(0L)).as("vb"))
+      .union(Tables.load(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(29)) === 7)
+        .select((col("c_custkey") + 10000000L).as("bk"), lit(4242L).as("vb")))
+    a.join(b, col("k") === col("bk"), "full_outer")
+      .select(coalesce(col("k"), col("bk")).as("key"), col("va"), col("vb"),
+        when(col("k").isNull, lit("added"))
+          .when(col("bk").isNull, lit("removed"))
+          .when(col("va") =!= col("vb"), lit("changed"))
+          .otherwise(lit("same")).as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("key")).as("key_checksum"),
+        sum(coalesce(col("vb"), lit(0L)) - coalesce(col("va"), lit(0L)))
+          .as("delta_cents"))
+      .orderBy(col("status"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q124_snapshot_diff" -> q124SnapshotDiff,
     "q107_bloom_join"    -> q107BloomJoin,
     "q92_record_linkage" -> q92RecordLinkage,
     "q86_hamming_profile" -> q86HammingProfile,
@@ -611,6 +653,30 @@ object JoinQueries extends QueryModule {
     "q18_range_join"     -> q18RangeJoin)
 
   def oracles: Map[String, String] = Map(
+    "q124_snapshot_diff" -> """
+      WITH a AS (
+        SELECT c_custkey AS k,
+          CAST(round(c_acctbal * 100, 0) AS BIGINT) AS va
+        FROM customer),
+      b AS (
+        SELECT c_custkey AS bk,
+          CAST(round(c_acctbal * 100, 0) AS BIGINT) +
+            CASE WHEN c_custkey % 13 = 5 THEN 100 ELSE 0 END AS vb
+        FROM customer WHERE c_custkey % 17 <> 3
+        UNION ALL
+        SELECT c_custkey + 10000000 AS bk, 4242 AS vb
+        FROM customer WHERE c_custkey % 29 = 7),
+      d AS (
+        SELECT coalesce(k, bk) AS key, va, vb,
+          CASE WHEN k IS NULL THEN 'added'
+               WHEN bk IS NULL THEN 'removed'
+               WHEN va <> vb THEN 'changed'
+               ELSE 'same' END AS status
+        FROM a FULL OUTER JOIN b ON a.k = b.bk)
+      SELECT status, count(*) AS n_rows,
+        CAST(sum(key) AS BIGINT) AS key_checksum,
+        CAST(sum(coalesce(vb, 0) - coalesce(va, 0)) AS BIGINT) AS delta_cents
+      FROM d GROUP BY status ORDER BY status""",
     "q107_bloom_join" -> """
       SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
         count(*) AS n_items,

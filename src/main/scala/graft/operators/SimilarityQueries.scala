@@ -583,22 +583,7 @@ object SimilarityQueries extends QueryModule {
     * with IVF (probe cells, then SQ8-scan within the cell — IVF-SQ). */
   val q117KnnSq8: Q = (s, dir) => {
     val e = quantized(s, dir)
-    // per-dimension [min, max] over the corpus → one broadcast row of two
-    // 64-element arrays (positions pinned by sort, like ivfCentroids)
-    val ranges = e.select(posexplode(col("q")).as(Seq("pos", "v")))
-      .groupBy(col("pos"))
-      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-      .groupBy()
-      .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("pmn"),
-        array_sort(collect_list(struct(col("pos"), col("mx")))).as("pmx"))
-      .select(expr("transform(pmn, p -> p.mn)").as("mns"),
-        expr("transform(pmx, p -> p.mx)").as("mxs"))
-    val coded = e.crossJoin(broadcast(ranges))
-      .withColumn("code", expr(
-        """zip_with(zip_with(q, mns, (v, m) -> v - m),
-          |         zip_with(mxs, mns, (a, b) -> a - b),
-          |         (d, s) -> CASE WHEN s > 0 THEN (d * 255) div s ELSE 0 END)"""
-          .stripMargin))
+    val coded = sq8Coded(e)
     // candidate stage reads codes ONLY (the compressed scan)
     val queryCodes = broadcast(coded.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("code").as("qcode")))
@@ -627,8 +612,80 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Per-dimension corpus min/max → 8-bit code column, shared by q117/q123.
+    * Integer-exact (BIGINT affine + truncating div), so any engine codes
+    * identically. */
+  private def sq8Coded(e: DataFrame): DataFrame = {
+    val ranges = e.select(posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("pmn"),
+        array_sort(collect_list(struct(col("pos"), col("mx")))).as("pmx"))
+      .select(expr("transform(pmn, p -> p.mn)").as("mns"),
+        expr("transform(pmx, p -> p.mx)").as("mxs"))
+    e.crossJoin(broadcast(ranges))
+      .withColumn("code", expr(
+        """zip_with(zip_with(q, mns, (v, m) -> v - m),
+          |         zip_with(mxs, mns, (a, b) -> a - b),
+          |         (d, s) -> CASE WHEN s > 0 THEN (d * 255) div s ELSE 0 END)"""
+          .stripMargin))
+      .drop("mns", "mxs")
+  }
+
+  /** q123 — IVF × SQ8 COMPOSED ANN: the two scale techniques q57/q75 and
+    * q117 prove separately, composed the way a production vector index
+    * actually runs (FAISS's IVF-SQ): probe each query's 2 nearest cells by
+    * exact centroid cosine, scan ONLY those cells' 8-bit code column for
+    * candidates (centered-code `dot_long`), then exact-rerank the top-16
+    * union to the final top-3. Cost per query = 2 cells × corpus-fraction
+    * × 64 code bytes, vs the full-precision cell scan of q75 or the
+    * full-corpus code scan of q117 — multiplicative pruning, same plan
+    * shape at any corpus size (cells come from the stored index / DPP path,
+    * codes from their own parquet column). Both pruning layers are
+    * deterministic, so the composition stays oracle-checkable end to end;
+    * the recall trade (cell boundary misses × quantization reorders) is
+    * spec-pinned against both parents. */
+  val q123KnnIvfSq8: Q = (s, dir) => {
+    val e = quantized(s, dir)
+    val coded = sq8Coded(e)
+    val cents = broadcast(ivfCentroids(e))
+    val q2 = coded.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"),
+        col("code").as("qcode"))
+    // cell assignment: exact centroid cosine, top-2 per query (q75's probe)
+    val assigned = broadcast(q2).join(cents)
+      .select(col("qid"), col("qq"), col("qn2"), col("qcode"), col("clabel"),
+        (expr("dot_long(qq, cvec)") /
+          (sqrt(col("qn2")) * sqrt(col("cn2")))).as("ccos"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("clabel"))
+    val cell = assigned
+      .withColumn("r", row_number().over(wq)).filter(col("r") <= 2)
+      .select(col("qid"), col("qq"), col("qn2"), col("qcode"), col("clabel"))
+    // candidate stage: code scan of the probed cells only
+    val corpus = coded.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("q").as("qc"), col("n2").as("cn2"), col("code").as("ccode"))
+    val approx = cell.join(corpus, Seq("clabel"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("approx", expr(
+        "dot_long(transform(qcode, x -> x - 128), transform(ccode, x -> x - 128))"))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("cid"))
+    val cand = approx.withColumn("arnk", row_number().over(wa))
+      .filter(col("arnk") <= 16)
+    // exact rerank of the candidate union
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cand
+      .select(col("qid"), col("cid"), col("approx"),
+        (dotExpr / (sqrt(col("qn2")) * sqrt(col("cn2")))).as("cos"))
+      .select(col("qid"), col("cid"), col("approx"), col("cos"),
+        row_number().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q117_knn_sq8" -> q117KnnSq8,
+    "q123_knn_ivf_sq8" -> q123KnnIvfSq8,
     "q114_hard_negatives_ivf" -> q114HardNegativesIvf,
     "q113_hard_negatives" -> q113HardNegatives,
     "q83_semantic_dedup_incremental" -> q83SemanticDedupIncremental,
@@ -678,6 +735,60 @@ object SimilarityQueries extends QueryModule {
         CAST(list_sum([x * x for x in qv]) AS BIGINT) AS n2 FROM q)"""
 
   def oracles: Map[String, String] = Map(
+    "q123_knn_ivf_sq8" -> s"""
+      WITH $duckQuant,
+      rg AS (
+        SELECT pos, min(v) AS mn, max(v) AS mx
+        FROM (SELECT generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM n)
+        GROUP BY pos),
+      rr AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+             FROM rg),
+      coded AS (
+        SELECT vec_id, label, qv, n2,
+          [CASE WHEN (rr.mxs[k] - rr.mns[k]) > 0
+                THEN ((qv[k] - rr.mns[k]) * 255) // (rr.mxs[k] - rr.mns[k])
+                ELSE 0 END
+           for k in range(1, len(qv)+1)] AS code
+        FROM n, rr),
+      comp AS (
+        SELECT label, pos, CAST(floor(avg(v)) AS BIGINT) AS cv
+        FROM (SELECT label, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v
+              FROM n)
+        GROUP BY label, pos),
+      cents AS (
+        SELECT label AS clabel, list(cv ORDER BY pos) AS cvec,
+          CAST(list_sum([c2 * c2 for c2 in list(cv ORDER BY pos)]) AS BIGINT) AS cn2
+        FROM comp GROUP BY label),
+      assigned AS (
+        SELECT a.vec_id AS qid, a.qv, a.n2, a.code, c.clabel,
+          CAST(list_sum([a.qv[k] * c.cvec[k] for k in range(1, len(a.qv)+1)]) AS BIGINT)
+            / (sqrt(a.n2) * sqrt(c.cn2)) AS ccos
+        FROM coded a, cents c WHERE a.vec_id < 5),
+      cell AS (
+        SELECT qid, qv, n2, code, clabel FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, clabel) AS r
+          FROM assigned) WHERE r <= 2),
+      ap AS (
+        SELECT cell.qid, b.vec_id AS cid,
+          cell.qv AS aqv, cell.n2 AS an2, b.qv AS bqv, b.n2 AS bn2,
+          CAST(list_sum([(cell.code[k] - 128) * (b.code[k] - 128)
+                         for k in range(1, len(cell.code)+1)]) AS BIGINT) AS approx
+        FROM cell JOIN coded b ON cell.clabel = b.label AND cell.qid != b.vec_id),
+      cand AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS arnk
+          FROM ap) WHERE arnk <= 16),
+      rer AS (
+        SELECT qid, cid, approx,
+          CAST(list_sum([aqv[k] * bqv[k] for k in range(1, len(aqv)+1)]) AS BIGINT)
+            / (sqrt(an2) * sqrt(bn2)) AS cos
+        FROM cand),
+      ranked AS (
+        SELECT qid, cid, approx, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM rer)
+      SELECT qid, cid, approx, cos, rnk FROM ranked WHERE rnk <= 3
+      ORDER BY qid, rnk""",
     "q117_knn_sq8" -> s"""
       WITH $duckQuant,
       rg AS (

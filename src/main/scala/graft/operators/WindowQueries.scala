@@ -229,7 +229,43 @@ object WindowQueries extends QueryModule {
       .orderBy(col("user_id"), col("hour"))
   }
 
+  /** q125 — ROLLING Z-SCORE ANOMALY DETECTION over daily per-type event
+    * volumes: each (event_type, day) compares its count x against the
+    * trailing 7-day window's mean/variance, flagging |z| > 3 — the
+    * monitoring primitive that pages before a pipeline poisons a day of
+    * training data. The z-test is INTEGER-EXACT by cross-multiplication:
+    * with n, S=Σx, Q=Σx² over the trailing RANGE frame (calendar-day
+    * range, so gaps cannot misalign the window the way a ROWS frame
+    * would), |x−μ| > 3σ ⇔ (n·x − S)² > 9·(n·Q − S²) — no division, no
+    * doubles, identical on any engine. Flag only on full 7-day windows
+    * (n = 7): a 3-day-old series has no baseline to betray.
+    *
+    * Scale: ONE event-volume aggregation to daily counts (map-side
+    * partial), then the window runs over type×day rows — thousands, not
+    * billions; state per partition is the 7-row frame. */
+  val q125RollingAnomaly: Q = (s, dir) => {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_num"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-7, -1)
+    daily
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("win_sum", coalesce(sum(col("n_events")).over(w), lit(0L)))
+      .withColumn("win_sumsq",
+        coalesce(sum(col("n_events") * col("n_events")).over(w), lit(0L)))
+      .withColumn("is_anomaly",
+        (col("win_n") === 7 &&
+          (col("win_n") * col("n_events") - col("win_sum")) *
+            (col("win_n") * col("n_events") - col("win_sum")) >
+          (col("win_n") * col("win_sumsq") -
+            col("win_sum") * col("win_sum")) * 9).cast("long"))
+      .orderBy(col("event_type"), col("day_num"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q125_rolling_anomaly" -> q125RollingAnomaly,
     "q26_asof_join"     -> q26AsofJoin,
     "q27_gapfill"       -> q27GapFill,
     "q20_window_rank"   -> q20Rank,
@@ -243,6 +279,30 @@ object WindowQueries extends QueryModule {
     "q25_window_ntile"  -> q25Ntile)
 
   def oracles: Map[String, String] = Map(
+    "q125_rolling_anomaly" -> """
+      WITH daily AS (
+        SELECT event_type,
+          CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+            AS day_num,
+          count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      win AS (
+        SELECT event_type, day_num, n_events,
+          count(*) OVER w AS win_n,
+          coalesce(sum(n_events) OVER w, 0) AS win_sum,
+          coalesce(sum(n_events * n_events) OVER w, 0) AS win_sumsq
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                     RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, day_num, n_events,
+        CAST(win_n AS BIGINT) AS win_n,
+        CAST(win_sum AS BIGINT) AS win_sum,
+        CAST(win_sumsq AS BIGINT) AS win_sumsq,
+        CAST(win_n = 7 AND
+             (win_n * n_events - win_sum) * (win_n * n_events - win_sum) >
+             (win_n * win_sumsq - win_sum * win_sum) * 9 AS BIGINT)
+          AS is_anomaly
+      FROM win ORDER BY event_type, day_num""",
     "q94_path_analysis" -> """
       WITH gaps AS (
         SELECT user_id, event_id, ts, event_type,

@@ -84,6 +84,58 @@ class CoreOpsSpec extends SparkSpec {
     assert(avg(xSpans.map(_._2)) / gy > 0.85, "x-sort leaves y at full width")
   }
 
+  test("q124 snapshot diff equals a plain-Scala reconstruction of both snapshots") {
+    import org.apache.spark.sql.functions._
+    val cust = graft.engine.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), round(col("c_acctbal") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = cust.toMap
+    val b = cust.filter(_._1 % 17 != 3)
+      .map { case (k, v) => k -> (v + (if (k % 13 == 5) 100L else 0L)) }.toMap ++
+      cust.filter(_._1 % 29 == 7).map { case (k, _) => (k + 10000000L) -> 4242L }
+    val want = (a.keySet ++ b.keySet).toSeq.map { k =>
+      val st = (a.get(k), b.get(k)) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some(x), Some(y)) => if (x != y) "changed" else "same"
+      }
+      (st, k, b.getOrElse(k, 0L) - a.getOrElse(k, 0L))
+    }.groupBy(_._1).map { case (st, xs) =>
+      st -> ((xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).sum))
+    }
+    val got = graft.operators.JoinQueries.q124SnapshotDiff(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    assert(Set("added", "removed", "changed").subsetOf(got.keySet),
+      "fixture must exercise every change class")
+  }
+
+  test("q125 rolling anomaly: integer z-test equals a plain-Scala trailing-window recompute") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.engine.Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    val got = graft.operators.WindowQueries.q125RollingAnomaly(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.nonEmpty)
+    byType.foreach { case (t, rows) =>
+      val m = rows.map(r => r._2 -> r._3).toMap
+      m.keys.foreach { d =>
+        val win = m.filter { case (d2, _) => d2 >= d - 7 && d2 <= d - 1 }.values.toSeq
+        val (n, sm, sq) = (win.size.toLong, win.sum, win.map(v => v * v).sum)
+        val x = m(d)
+        val flag = n == 7 && (n * x - sm) * (n * x - sm) > 9 * (n * sq - sm * sm)
+        assert(got((t, d)) == ((n, sm, sq, if (flag) 1L else 0L)),
+          s"window mismatch at ($t, $d)")
+      }
+    }
+  }
+
   test("every declared query runs at sf0.001 and matching oracle keys exist") {
     val qs = SparkEntry.queries
     val orc = SparkEntry.oracleSql

