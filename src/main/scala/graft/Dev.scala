@@ -146,7 +146,9 @@ object Dev {
       // SCALING.md. Usage: runMain graft.Dev ignored scaling <reps>
       val heavy = Seq("q79_fuzzy_join", "q92_record_linkage", "q53_dedup_ngram",
         "q59_dedup_clusters", "q80_semantic_dedup", "q100_triangles",
-        "q51_dedup_minhash", "q73_pipeline", "q111_source_novelty")
+        "q51_dedup_minhash", "q73_pipeline", "q111_source_novelty",
+        "q115_span_dedup", "q116_leak_safe_split", "q120_bigram_lm",
+        "q121_span_dedup_incremental")
       for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1");
            qn <- heavy) {
         val fn = SparkEntry.queries(qn)

@@ -22,6 +22,44 @@ import org.apache.spark.sql.functions._
   * is IVF-style: coarse quantization to the per-label centroid (computed in
   * one aggregation), probe the nearest cell only.
   */
+/** Mergeable GRAM-MATRIX accumulator: one flat d×d Long array per partial
+  * state, reduce = rank-1 outer-product add (v·vᵀ), merge = element-wise sum
+  * — the X^T·X building block of covariance/PCA/whitening, computed in ONE
+  * corpus pass with d²-sized states crossing the exchange instead of row
+  * data (the same mergeable-summary discipline as MisraGries/HLL). Exact
+  * BIGINT arithmetic over integer-millionth components, so any engine
+  * reproduces it bit-for-bit; products are ≤ ~1.6e13 per row, safe to ~5e5
+  * rows per final sum — beyond that a production run merges per-shard
+  * matrices hierarchically or rescales components first (documented trade:
+  * exactness here buys oracle parity). */
+object GramMatrix
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Long], Array[Long], Array[Long]] {
+  val dim = 64
+  def zero: Array[Long] = new Array[Long](dim * dim)
+  def reduce(b: Array[Long], v: Seq[Long]): Array[Long] = {
+    var i = 0
+    while (i < dim) {
+      val vi = v(i)
+      val off = i * dim
+      var j = 0
+      while (j < dim) { b(off + j) += vi * v(j); j += 1 }
+      i += 1
+    }
+    b
+  }
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+  def finish(r: Array[Long]): Array[Long] = r
+  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 object SimilarityQueries extends QueryModule {
 
   private[graft] def quantized(s: SparkSession, dir: String): DataFrame = {
@@ -683,9 +721,37 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** q126 — exact GRAM MATRIX of the embedding corpus (X^T·X over the
+    * integer-millionth components): the linear-algebra primitive under
+    * covariance, PCA, and whitening — the preprocessing a production
+    * embedding pipeline runs before ANN indexing or semantic dedup. One
+    * corpus scan through the [[GramMatrix]] typed Aggregator: each task
+    * folds its rows into a d² array map-side, partial states (32 KB) merge
+    * on the exchange, and NOTHING row-sized shuffles — at any corpus size
+    * the exchange carries #partitions × 32 KB. The d×d result is
+    * driver-small by construction (the whole point: eigen-decomposition of
+    * a 64×64 matrix is free once the distributed pass has reduced 100 TB
+    * to it). Output: upper triangle as (i, j, s) rows plus the row count
+    * riding along — all exact BIGINTs, oracle-checked cell by cell. */
+  val q126GramMatrix: Q = (s, dir) => {
+    val sess = s
+    import sess.implicits._
+    val e = quantized(s, dir)
+    val n = e.agg(count(lit(1)).as("n_rows"))
+    e.select(col("q")).as[Seq[Long]]
+      .select(GramMatrix.toColumn.name("g"))
+      .select(posexplode(col("g")).as(Seq("idx", "s")))
+      .select(expr(s"idx div ${GramMatrix.dim}").cast("long").as("i"),
+        pmod(col("idx"), lit(GramMatrix.dim)).cast("long").as("j"), col("s"))
+      .filter(col("i") <= col("j"))
+      .crossJoin(broadcast(n))
+      .orderBy(col("i"), col("j"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q117_knn_sq8" -> q117KnnSq8,
     "q123_knn_ivf_sq8" -> q123KnnIvfSq8,
+    "q126_gram_matrix" -> q126GramMatrix,
     "q114_hard_negatives_ivf" -> q114HardNegativesIvf,
     "q113_hard_negatives" -> q113HardNegatives,
     "q83_semantic_dedup_incremental" -> q83SemanticDedupIncremental,
@@ -735,6 +801,21 @@ object SimilarityQueries extends QueryModule {
         CAST(list_sum([x * x for x in qv]) AS BIGINT) AS n2 FROM q)"""
 
   def oracles: Map[String, String] = Map(
+    "q126_gram_matrix" -> """
+      WITH q AS (
+        SELECT vec_id,
+          [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS qv
+        FROM embeddings),
+      ex AS (
+        SELECT vec_id, generate_subscripts(qv, 1) - 1 AS p, unnest(qv) AS v
+        FROM q),
+      g AS (
+        SELECT a.p AS i, b.p AS j, CAST(sum(a.v * b.v) AS BIGINT) AS s
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.p <= b.p
+        GROUP BY 1, 2),
+      n AS (SELECT count(*) AS n_rows FROM q)
+      SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, s, n_rows
+      FROM g, n ORDER BY i, j""",
     "q123_knn_ivf_sq8" -> s"""
       WITH $duckQuant,
       rg AS (

@@ -106,6 +106,32 @@ class SketchQuantileSpec extends SparkSpec {
       "AMS/CM inner product never underestimates (law)")
   }
 
+  test("q126 gram matrix: equals a plain-Scala outer-product sum; merge order is irrelevant") {
+    // quantize through the engine's own expression (Spark round is
+    // away-from-zero on negative halves; a JVM math.round recompute would
+    // silently disagree on exact .5 components)
+    val vecs = SimilarityQueries.quantized(spark, sfDir)
+      .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+    val d = 64
+    val want = Array.ofDim[Long](d, d)
+    vecs.foreach(v => for (i <- 0 until d; j <- 0 until d) want(i)(j) += v(i) * v(j))
+    val out = SimilarityQueries.q126GramMatrix(spark, sfDir).collect()
+    assert(out.length == d * (d + 1) / 2)
+    out.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      assert(r.getLong(2) == want(i)(j), s"cell ($i,$j)")
+      assert(r.getLong(3) == vecs.length.toLong)
+    }
+    // mergeability: reduce over any split, then merge == reduce over all
+    import graft.operators.GramMatrix
+    val (l, rr) = vecs.splitAt(vecs.length / 3)
+    val merged = GramMatrix.merge(
+      l.foldLeft(GramMatrix.zero)((b, v) => GramMatrix.reduce(b, v.toSeq)),
+      rr.foldLeft(GramMatrix.zero)((b, v) => GramMatrix.reduce(b, v.toSeq)))
+    val whole = vecs.foldLeft(GramMatrix.zero)((b, v) => GramMatrix.reduce(b, v.toSeq))
+    assert(java.util.Arrays.equals(merged, whole))
+  }
+
   test("q119 CMS: never underestimates, and estimates equal an independent sketch rebuild") {
     val out = AnalyticQueries.q119CmsEstimate(spark, sfDir).collect()
     assert(out.nonEmpty)
