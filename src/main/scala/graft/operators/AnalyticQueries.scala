@@ -963,7 +963,57 @@ object AnalyticQueries extends QueryModule {
         expr("(est_cross - true_cross) * 1000000 div true_cross").as("cross_err_ppm"))
   }
 
+  /** q128 — LABEL-PROPAGATION community detection (Raghavan et al. 2007)
+    * over the co-purchase graph, made DETERMINISTIC: synchronous rounds,
+    * each node adopts the most frequent label among its neighbours with
+    * ties broken toward the smallest label, fixed 3 rounds — the classic
+    * nondeterminism sources (asynchronous order, random tie-break) are
+    * replaced by rules any engine reproduces, which is what makes an LPA
+    * run auditable at all. Complements the CC family (q59 finds connected
+    * blobs; LPA splits dense blobs into communities) and q91's PageRank
+    * (importance vs membership) — the three standard propagation shapes.
+    *
+    * Each round is one neighbour join + two aggregations (vote count, then
+    * argmax-with-tie-break as a single `max(struct(cnt, -lbl))` — no
+    * window over the full node set); labels pin per round with q59's O(1)
+    * storage discipline. Per-round cost is |E| join rows — the same bound
+    * as one CC round, diameter-independent by construction since rounds
+    * are fixed. Oracle: 3 rounds unrolled as CTEs (q91's discipline). */
+  val q128LabelPropagation: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
+      .select(col("a"), col("b"))
+    val (sym, symPin) = graft.engine.Pin.pin(
+      e.select(col("a").as("v"), col("b").as("u"))
+        .union(e.select(col("b").as("v"), col("a").as("u"))))
+    var (labels, labelsPin) = graft.engine.Pin.pin(
+      sym.select(col("v").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
+    (1 to 3).foreach { _ =>
+      val votes = sym.join(labels, sym("u") === labels("id"))
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val (next, nextPin) = graft.engine.Pin.pin(votes
+        .groupBy(col("v"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("v").as("id"), (-col("m.nl")).as("lbl")))
+      labelsPin.unpersist(blocking = false)
+      labels = next
+      labelsPin = nextPin
+    }
+    symPin.unpersist(blocking = false)
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("id")).as("min_member"),
+        sum(col("id")).as("id_sum"))
+      .orderBy(col("community"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q128_label_propagation" -> q128LabelPropagation,
     "q118_quantile_rollup" -> q118QuantileRollup,
     "q119_cms_estimate" -> q119CmsEstimate,
     "q122_join_size_estimate" -> q122JoinSizeEstimate,
@@ -989,7 +1039,30 @@ object AnalyticQueries extends QueryModule {
     "q35_time_bucket"   -> q35TimeBucket,
     "q36_case_agg"      -> q36CaseAgg)
 
+  /** One unrolled LPA round as CTEs: labels `$from` → `r$n` (vote count,
+    * then mode with min-label tie-break). */
+  private def duckLpaRound(n: Int, from: String): String = s"""
+      v$n AS (SELECT s.v, l.lbl, count(*) AS c
+              FROM sym s JOIN $from l ON s.u = l.id GROUP BY 1, 2),
+      r$n AS (SELECT v AS id, lbl FROM (
+        SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+        FROM v$n) WHERE rn = 1)"""
+
   def oracles: Map[String, String] = Map(
+    "q128_label_propagation" -> s"""
+      WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+      e0 AS (SELECT x.p a, y.p b, count(*) supp FROM li x
+             JOIN li y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+      e AS (SELECT a, b FROM e0 WHERE supp >= 2),
+      sym AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e),
+      l0 AS (SELECT DISTINCT v AS id, v AS lbl FROM sym),
+      ${duckLpaRound(1, "l0")},
+      ${duckLpaRound(2, "r1")},
+      ${duckLpaRound(3, "r2")}
+      SELECT CAST(lbl AS BIGINT) AS community, count(*) AS n_members,
+        CAST(min(id) AS BIGINT) AS min_member,
+        CAST(sum(id) AS BIGINT) AS id_sum
+      FROM r3 GROUP BY 1 ORDER BY 1""",
     "q118_quantile_rollup" -> """
       WITH keyed AS (
         SELECT CAST(n.n_regionkey AS BIGINT) AS region,

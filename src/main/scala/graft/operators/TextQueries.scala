@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryModule
 import graft.engine.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines over `documents`:
@@ -438,8 +439,54 @@ object TextQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** q127 — PMI CO-OCCURRENCE statistics over a ±2 token window: the
+    * word2vec/SGNS preprocessing pass — for every unordered word pair
+    * within distance 2, pointwise mutual information
+    * ln(T·c_xy / (c_x·c_y)) over pair instances, where c_x counts each
+    * word's window slots. High-PMI pairs are collocations; the table is
+    * what negative-sampling trainers and phrase-mergers consume.
+    *
+    * Scale shape: each token emits its ≤ 2 forward pairs MAP-SIDE
+    * (`transform` over positions — no self-join of the token stream, which
+    * is the naive quadratic trap), the pair-count aggregation is the only
+    * token-volume exchange, and the unigram/total tables are
+    * vocabulary-sized broadcasts. Top-50 by support keeps the output
+    * stable; PMI in micro units (ln error ~1e-13 sits five orders under
+    * the rounding, q120's argument). Pairs are canonicalized
+    * least/greatest so both directions fold into one count. */
+  val q127PmiCooccurrence: Q = (s, dir) => {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val pairs = toks.select(explode(expr(
+      """flatten(transform(sequence(0, size(t)-1), i ->
+        |  filter(transform(array(1, 2), o ->
+        |    CASE WHEN i + o < size(t)
+        |         THEN struct(least(t[i], t[i+o]) AS w1,
+        |                     greatest(t[i], t[i+o]) AS w2) END),
+        |    p -> p IS NOT NULL)))""".stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cxy = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    // per-word window-slot mass: every pair instance credits both sides
+    val cx = pairs.select(explode(array(col("w1"), col("w2"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val total = pairs.agg(count(lit(1)).as("t_pairs"))
+    val w = Window.orderBy(col("c_xy").desc, col("w1"), col("w2"))
+    cxy
+      .join(broadcast(cx).select(col("w").as("w1"), col("c_w").as("c_x")), "w1")
+      .join(broadcast(cx).select(col("w").as("w2"), col("c_w").as("c_y")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 50)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        round(log(col("c_xy") * col("t_pairs") /
+          (col("c_x") * col("c_y"))) * 1e6, 0).cast("long").as("pmi_micro"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("rnk"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q120_bigram_lm" -> q120BigramLm,
+    "q127_pmi_cooccurrence" -> q127PmiCooccurrence,
     "q111_source_novelty" -> q111SourceNovelty,
     "q106_chunking"   -> q106Chunking,
     "q105_repetition" -> q105Repetition,
@@ -456,6 +503,27 @@ object TextQueries extends QueryModule {
   private val duckStop = "['the','a','an','and','of','is','to','in']"
 
   def oracles: Map[String, String] = Map(
+    "q127_pmi_cooccurrence" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      pr AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT unnest(flatten(
+          [[{'w1': least(t[i], t[i+o]), 'w2': greatest(t[i], t[i+o])}
+            for o in [1, 2] if i + o <= len(t)]
+           for i in range(1, len(t)+1)])) AS u
+        FROM toks)),
+      cxy AS (SELECT w1, w2, count(*) AS c_xy FROM pr GROUP BY 1, 2),
+      cx AS (SELECT w, count(*) AS c_w FROM (
+        SELECT unnest([w1, w2]) AS w FROM pr) GROUP BY 1),
+      t AS (SELECT count(*) AS t_pairs FROM pr),
+      ranked AS (
+        SELECT cxy.w1, cxy.w2, c_xy, a.c_w AS c_x, b.c_w AS c_y, t_pairs,
+          row_number() OVER (ORDER BY c_xy DESC, cxy.w1, cxy.w2) AS rnk
+        FROM cxy JOIN cx a ON cxy.w1 = a.w JOIN cx b ON cxy.w2 = b.w, t)
+      SELECT w1, w2, c_xy, c_x, c_y,
+        CAST(round(ln((c_xy * t_pairs) / CAST(c_x * c_y AS DOUBLE)) * 1000000, 0)
+          AS BIGINT) AS pmi_micro,
+        rnk
+      FROM ranked WHERE rnk <= 50 ORDER BY rnk""",
     "q120_bigram_lm" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       bg AS (

@@ -136,6 +136,46 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("q128 label propagation equals a plain-Scala synchronous 3-round recompute") {
+    import org.apache.spark.sql.functions._
+    val li = graft.engine.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairCount = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    li.groupBy(_._1).values.foreach { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length) {
+        val e = (parts(i), parts(j))
+        pairCount(e) = pairCount.getOrElse(e, 0) + 1
+      }
+    }
+    val nbrs = scala.collection.mutable.Map.empty[Long, List[Long]]
+    pairCount.foreach { case ((a, b), c) =>
+      if (c >= 2) {
+        nbrs(a) = b :: nbrs.getOrElse(a, Nil)
+        nbrs(b) = a :: nbrs.getOrElse(b, Nil)
+      }
+    }
+    var lbl: Map[Long, Long] = nbrs.keys.map(v => v -> v).toMap
+    (1 to 3).foreach { _ =>
+      val prev = lbl
+      lbl = nbrs.iterator.map { case (v, ns) =>
+        val votes = ns.map(prev).groupBy(identity)
+          .map { case (l, xs) => l -> xs.size }
+        v -> votes.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }.toMap
+    }
+    val want = lbl.groupBy(_._2).map { case (c, m) =>
+      c -> ((m.size.toLong, m.keys.min, m.keys.sum))
+    }
+    val got = graft.operators.AnalyticQueries.q128LabelPropagation(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    assert(got.size < lbl.size, "propagation must actually merge some communities")
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("every declared query runs at sf0.001 and matching oracle keys exist") {
     val qs = SparkEntry.queries
     val orc = SparkEntry.oracleSql

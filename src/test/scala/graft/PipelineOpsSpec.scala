@@ -98,6 +98,21 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q127 PMI: a three-token doc yields the three window pairs at ln(3/4) each") {
+    // "a b c" → pairs (a,b), (a,c), (b,c); every word fills 2 window slots,
+    // T=3 → PMI = ln(3·1/(2·2)) = ln(0.75) for all three
+    val dir = docsDir(Seq((1L, "a b c", "en", "s")))
+    val rows = graft.operators.TextQueries.q127PmiCooccurrence(spark, dir)
+      .collect()
+    assert(rows.length == 3)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b"), ("a", "c"), ("b", "c")))
+    rows.foreach { r =>
+      assert(r.getLong(2) == 1L && r.getLong(3) == 2L && r.getLong(4) == 2L)
+      assert(r.getLong(5) == -287682L, s"ln(3/4) micro, got ${r.getLong(5)}")
+    }
+  }
+
   test("q105 repetition: all-repeated doc flags at 750000 ppm, all-distinct doc at 0") {
     // "x x x x x x" → four 3-grams, all equal → 3 dup / 4 grams = 750000 ppm
     // "a b c d e f" → four distinct 3-grams → 0 ppm
