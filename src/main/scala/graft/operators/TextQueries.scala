@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryModule
 import graft.engine.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -484,9 +485,74 @@ object TextQueries extends QueryModule {
       .orderBy(col("rnk"))
   }
 
+  /** q129 — COMPOSITE QUALITY BLEND with sketch-based percentile
+    * normalization: the gate real pipelines ship — no single signal decides;
+    * each document's stopword-quality score (q61), inverted repetition
+    * fraction (q105), and bigram-LM typicality (q120) are normalized to
+    * corpus PERCENTILE ranks and averaged, keeping docs whose blended rank
+    * clears the median. Normalization is the scale-correct kind: per
+    * metric, a fixed-width histogram (domain/4096 bins — q118's sketch)
+    * gives every doc its strictly-below count in one broadcast join, so no
+    * metric ever needs a global sort or a full-corpus window — rank
+    * granularity is the bin, identical on any engine because every
+    * quantity is an integer. Three doc-keyed joins compose the metrics;
+    * the LM metric reuses q120's whole vocabulary-broadcast pipeline
+    * unchanged. Output: per-source keep accounting with the blended-rank
+    * extrema riding along. */
+  val q129QualityBlend: Q = (s, dir) => {
+    val W = 4096L
+    val docs = Tables.load(s, dir, "documents")
+    val base = docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+    val mq = base
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("n_stop",
+        size(expr(s"filter(t, x -> array_contains($stopSql, x))")).cast("long"))
+      .select(col("doc_id"), round((col("n_stop") / col("n_tok") * 0.5 +
+          least(col("n_tok").cast("double") / 200.0, lit(1.0)) * 0.5) * 1000000, 0)
+        .cast("long").as("v"))
+    val mr = base
+      .withColumn("ng",
+        when(size(col("t")) >= 3, size(col("t")) - 2).otherwise(0).cast("long"))
+      .withColumn("nd", when(size(col("t")) >= 3,
+        size(col("t")) - 2 - size(array_distinct(expr(
+          "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))))
+        .otherwise(0).cast("long"))
+      .select(col("doc_id"), (lit(1000000L) -
+        when(col("ng") > 0, expr("nd * 1000000 div ng")).otherwise(0L)).as("v"))
+    val ml = q120BigramLm(s, dir)
+      .select(col("doc_id"), (col("lp_micro") + lit(10000000L)).as("v"))
+    // histogram-rank: strictly-below count via bin cumsum, broadcast back
+    def rankPpm(m: DataFrame): DataFrame = {
+      val bins = m.groupBy(expr(s"v div $W").as("bin")).agg(count(lit(1)).as("c"))
+      val below = bins
+        .withColumn("below", coalesce(sum(col("c")).over(
+          Window.orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bin"), col("below"))
+      val n = m.agg(count(lit(1)).as("n"))
+      m.withColumn("bin", expr(s"v div $W"))
+        .join(broadcast(below), "bin")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), expr("below * 1000000 div n").as("r"))
+    }
+    val composite = rankPpm(mq).withColumnRenamed("r", "rq")
+      .join(rankPpm(mr).withColumnRenamed("r", "rr"), "doc_id")
+      .join(rankPpm(ml).withColumnRenamed("r", "rl"), "doc_id")
+      .select(col("doc_id"), expr("(rq + rr + rl) div 3").as("comp"))
+    docs.select(col("doc_id"), col("source")).join(composite, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("comp") >= 500000, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("comp") >= 500000, col("doc_id"))).as("kept_id_sum"),
+        min(col("comp")).as("min_comp"),
+        max(col("comp")).as("max_comp"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q120_bigram_lm" -> q120BigramLm,
     "q127_pmi_cooccurrence" -> q127PmiCooccurrence,
+    "q129_quality_blend" -> q129QualityBlend,
     "q111_source_novelty" -> q111SourceNovelty,
     "q106_chunking"   -> q106Chunking,
     "q105_repetition" -> q105Repetition,
@@ -503,6 +569,66 @@ object TextQueries extends QueryModule {
   private val duckStop = "['the','a','an','and','of','is','to','in']"
 
   def oracles: Map[String, String] = Map(
+    "q129_quality_blend" -> s"""
+      WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      mq AS (
+        SELECT doc_id, CAST(round((
+          CAST(len(list_filter(t, x -> list_contains($duckStop, x))) AS DOUBLE)
+            / len(t) * 0.5 +
+          least(CAST(len(t) AS DOUBLE) / 200.0, 1.0) * 0.5) * 1000000, 0)
+          AS BIGINT) AS v
+        FROM d),
+      mr AS (
+        SELECT doc_id, CAST(1000000 - CASE WHEN len(t) >= 3
+          THEN ((len(t) - 2) - len(list_distinct(
+                 [t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)])))
+               * 1000000 // (len(t) - 2)
+          ELSE 0 END AS BIGINT) AS v
+        FROM d),
+      bgx AS (
+        SELECT doc_id, u.w1, u.w2 FROM (
+          SELECT doc_id,
+            unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS u
+          FROM d)),
+      c2x AS (SELECT w1, w2, count(*) AS c2 FROM bgx GROUP BY 1, 2),
+      c1x AS (SELECT w1, count(*) AS c1
+              FROM (SELECT doc_id, unnest(t) AS w1 FROM d) GROUP BY 1),
+      vx AS (SELECT count(DISTINCT w1) AS v FROM c1x),
+      ml AS (
+        SELECT doc_id,
+          CAST(round(sum(ln((c2x.c2 + 1) / CAST(c1x.c1 + vx.v AS DOUBLE)))
+                     / count(*) * 1000000, 0) AS BIGINT) + 10000000 AS v
+        FROM bgx JOIN c2x USING (w1, w2) JOIN c1x USING (w1), vx
+        GROUP BY doc_id),
+      bq AS (SELECT v // 4096 AS bin, count(*) AS c FROM mq GROUP BY 1),
+      cq AS (SELECT bin, coalesce(sum(c) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+             FROM bq),
+      rq AS (SELECT doc_id, below * 1000000 // (SELECT count(*) FROM mq) AS r
+             FROM (SELECT doc_id, v // 4096 AS bin FROM mq) m JOIN cq USING (bin)),
+      br AS (SELECT v // 4096 AS bin, count(*) AS c FROM mr GROUP BY 1),
+      cr AS (SELECT bin, coalesce(sum(c) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+             FROM br),
+      rr AS (SELECT doc_id, below * 1000000 // (SELECT count(*) FROM mr) AS r
+             FROM (SELECT doc_id, v // 4096 AS bin FROM mr) m JOIN cr USING (bin)),
+      bl AS (SELECT v // 4096 AS bin, count(*) AS c FROM ml GROUP BY 1),
+      cl AS (SELECT bin, coalesce(sum(c) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+             FROM bl),
+      rl AS (SELECT doc_id, below * 1000000 // (SELECT count(*) FROM ml) AS r
+             FROM (SELECT doc_id, v // 4096 AS bin FROM ml) m JOIN cl USING (bin)),
+      comp AS (
+        SELECT doc_id, (rq.r + rr.r + rl.r) // 3 AS comp
+        FROM rq JOIN rr USING (doc_id) JOIN rl USING (doc_id))
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN comp >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN comp >= 500000 THEN d2.doc_id END) AS BIGINT)
+          AS kept_id_sum,
+        CAST(min(comp) AS BIGINT) AS min_comp,
+        CAST(max(comp) AS BIGINT) AS max_comp
+      FROM (SELECT doc_id, source FROM documents) d2 JOIN comp USING (doc_id)
+      GROUP BY source ORDER BY source""",
     "q127_pmi_cooccurrence" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       pr AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM (

@@ -98,6 +98,64 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q129 quality blend equals a plain-Scala recompute of metrics, ranks, and gate") {
+    val stop = Set("the", "a", "an", "and", "of", "is", "to", "in")
+    def halfUp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val docs = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.map { case (id, src, tx) => (id, src, tx.split(" ").toSeq) }
+    val mq = toks.map { case (id, _, t) =>
+      id -> halfUp((t.count(stop).toDouble / t.size * 0.5 +
+        math.min(t.size.toDouble / 200.0, 1.0) * 0.5) * 1000000)
+    }.toMap
+    val mr = toks.map { case (id, _, t) =>
+      val ng = if (t.size >= 3) t.size - 2 else 0
+      val nd = if (ng > 0) ng - t.sliding(3).map(_.mkString(" ")).toSeq.distinct.size else 0
+      id -> (1000000L - (if (ng > 0) nd.toLong * 1000000 / ng else 0L))
+    }.toMap
+    val bg = toks.flatMap { case (id, _, t) => t.sliding(2).collect {
+      case Seq(a, b) => (id, a, b) } }
+    val c2 = bg.groupBy(x => (x._2, x._3)).map { case (k, xs) => k -> xs.size }
+    val c1 = toks.flatMap(_._3).groupBy(identity).map { case (k, xs) => k -> xs.size }
+    val vocab = c1.size
+    val ml = bg.groupBy(_._1).map { case (id, xs) =>
+      val s = xs.map { case (_, a, b) =>
+        math.log((c2((a, b)) + 1).toDouble / (c1(a) + vocab)) }.sum
+      id -> (halfUp(s / xs.size * 1000000) + 10000000L)
+    }
+    def rank(m: Map[Long, Long]): Map[Long, Long] = {
+      val bins = m.values.groupBy(_ / 4096).map { case (b, xs) => b -> xs.size.toLong }
+      val sorted = bins.toSeq.sortBy(_._1)
+      // prefix sums pair each bin with the count of all strictly-lower bins
+      val cums = sorted.map(_._2).scanLeft(0L)(_ + _)
+      val belowMap = sorted.map(_._1).zip(cums).toMap
+      m.map { case (id, v) => id -> belowMap(v / 4096) * 1000000 / m.size }
+    }
+    val (rq, rr, rl) = (rank(mq), rank(mr), rank(ml))
+    val comp = rq.keys.filter(ml.contains)
+      .map(id => id -> (rq(id) + rr(id) + rl(id)) / 3).toMap
+    val srcOf = docs.map(d => d._1 -> d._2).toMap
+    val want = comp.groupBy { case (id, _) => srcOf(id) }.map { case (src, m) =>
+      val kept = m.filter(_._2 >= 500000).keys
+      src -> ((m.size.toLong, kept.size.toLong,
+        if (kept.isEmpty) None else Some(kept.sum),
+        m.values.min, m.values.max))
+    }
+    val got = graft.operators.TextQueries.q129QualityBlend(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want)
+    assert(got.values.map(_._2).sum > 0, "the gate must keep someone")
+    assert(got.values.map(_._1).sum > got.values.map(_._2).sum,
+      "the gate must drop someone")
+  }
+
   test("q127 PMI: a three-token doc yields the three window pairs at ln(3/4) each") {
     // "a b c" → pairs (a,b), (a,c), (b,c); every word fills 2 window slots,
     // T=3 → PMI = ln(3·1/(2·2)) = ln(0.75) for all three
