@@ -1012,7 +1012,64 @@ object AnalyticQueries extends QueryModule {
       .orderBy(col("community"))
   }
 
+  /** q130 — BOOTSTRAP CONFIDENCE INTERVALS via the POISSON bootstrap
+    * (the distributed resampling scheme — multinomial resampling needs the
+    * global row count per replica, Poisson(1) weights don't, which is why
+    * Poissonization is THE bootstrap that maps onto map-side execution):
+    * every row gets, for each of 32 replicas, a deterministic weight drawn
+    * from Poisson(1) by inverting the CDF on the q29 engine-portable hash
+    * of (row key, replica) — integer thresholds at the 1e-6-quantized CDF,
+    * so any engine deals identical replicas and the whole resampling study
+    * reruns bit-for-bit (debuggable bootstrap, the same property q29 gives
+    * samples). Replica means are exact integer divisions; the interval is
+    * the [2nd, 31st] order statistic of the 32 replica means (≈90% CI).
+    *
+    * Scale shape: the 32× weighted expansion happens INSIDE the aggregate
+    * (map-side partial sums per (group, replica)); the exchange carries
+    * group×32 rows, order statistics come from a 32-element sorted array
+    * per group. No global state, no second scan. */
+  val q130BootstrapCi: Q = (s, dir) => {
+    val reps = 32
+    // Poisson(1) CDF at 1e-6 grid: P(X<=k) for k = 0..6, then cap
+    val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L)
+    val h = "pmod(pmod(o_orderkey * (2 * r + 1), 999983) * 2654435761, 1000000)"
+    val wExpr = cdf.zipWithIndex.foldRight(s"${cdf.length}L") {
+      case ((t, k), elseB) => s"IF($h < $t, ${k}L, $elseB)"
+    }
+    val weighted = Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("grp"), col("o_orderkey"),
+        Num.cents(col("o_totalprice")).as("cents"))
+      .select(col("grp"), col("cents"),
+        explode(expr(s"transform(sequence(0, ${reps - 1}), r -> struct(r, $wExpr AS w))"))
+          .as("rw"))
+      .select(col("grp"), col("cents"),
+        col("rw.r").as("r"), col("rw.w").as("w"))
+    val replicas = weighted
+      .groupBy(col("grp"), col("r"))
+      .agg(sum(col("cents") * col("w")).as("rsum"), sum(col("w")).as("rn"))
+      .withColumn("rmean", expr("rsum div rn"))
+    val point = Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) div count(1)")
+          .as("mean_cents"))
+    replicas
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_reps"),
+        array_sort(collect_list(col("rmean"))).as("ms"))
+      .select(col("grp"), col("n_reps"),
+        element_at(col("ms"), 2).as("boot_lo"),
+        element_at(col("ms"), 31).as("boot_hi"))
+      .join(point, "grp")
+      .select(col("grp"), col("n_rows"), col("mean_cents"),
+        col("n_reps"), col("boot_lo"), col("boot_hi"),
+        (col("boot_lo") <= col("mean_cents") &&
+          col("mean_cents") <= col("boot_hi")).cast("long").as("point_in_ci"))
+      .orderBy(col("grp"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q130_bootstrap_ci" -> q130BootstrapCi,
     "q128_label_propagation" -> q128LabelPropagation,
     "q118_quantile_rollup" -> q118QuantileRollup,
     "q119_cms_estimate" -> q119CmsEstimate,
@@ -1049,6 +1106,40 @@ object AnalyticQueries extends QueryModule {
         FROM v$n) WHERE rn = 1)"""
 
   def oracles: Map[String, String] = Map(
+    "q130_bootstrap_ci" -> """
+      WITH w AS (
+        SELECT o_orderpriority AS grp,
+          CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, reps.r AS r,
+          CASE
+            WHEN ((o_orderkey * (2*reps.r+1)) % 999983) * 2654435761 % 1000000 < 367879 THEN 0
+            WHEN ((o_orderkey * (2*reps.r+1)) % 999983) * 2654435761 % 1000000 < 735759 THEN 1
+            WHEN ((o_orderkey * (2*reps.r+1)) % 999983) * 2654435761 % 1000000 < 919699 THEN 2
+            WHEN ((o_orderkey * (2*reps.r+1)) % 999983) * 2654435761 % 1000000 < 981012 THEN 3
+            WHEN ((o_orderkey * (2*reps.r+1)) % 999983) * 2654435761 % 1000000 < 996340 THEN 4
+            WHEN ((o_orderkey * (2*reps.r+1)) % 999983) * 2654435761 % 1000000 < 999406 THEN 5
+            WHEN ((o_orderkey * (2*reps.r+1)) % 999983) * 2654435761 % 1000000 < 999917 THEN 6
+            ELSE 7 END AS wt
+        FROM orders, (SELECT unnest(range(0, 32)) AS r) reps),
+      rep AS (
+        SELECT grp, r,
+          CAST(sum(cents * wt) AS BIGINT) // CAST(sum(wt) AS BIGINT) AS rmean
+        FROM w GROUP BY 1, 2),
+      ci AS (
+        SELECT grp, count(*) AS n_reps,
+          (list(rmean ORDER BY rmean))[2] AS boot_lo,
+          (list(rmean ORDER BY rmean))[31] AS boot_hi
+        FROM rep GROUP BY grp),
+      pt AS (
+        SELECT o_orderpriority AS grp, count(*) AS n_rows,
+          CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+            // count(*) AS mean_cents
+        FROM orders GROUP BY 1)
+      SELECT ci.grp AS grp, n_rows, CAST(mean_cents AS BIGINT) AS mean_cents,
+        n_reps, CAST(boot_lo AS BIGINT) AS boot_lo,
+        CAST(boot_hi AS BIGINT) AS boot_hi,
+        CAST(boot_lo <= mean_cents AND mean_cents <= boot_hi AS BIGINT)
+          AS point_in_ci
+      FROM ci JOIN pt ON ci.grp = pt.grp ORDER BY grp""",
     "q128_label_propagation" -> s"""
       WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
       e0 AS (SELECT x.p a, y.p b, count(*) supp FROM li x

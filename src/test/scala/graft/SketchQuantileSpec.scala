@@ -106,6 +106,36 @@ class SketchQuantileSpec extends SparkSpec {
       "AMS/CM inner product never underestimates (law)")
   }
 
+  test("q130 Poisson bootstrap: replica means and CI equal a plain-Scala resampling") {
+    val rows = graft.engine.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L)
+    def wt(k: Long, r: Int): Long = {
+      val h = ((k * (2 * r + 1)) % 999983L) * 2654435761L % 1000000L
+      val i = cdf.indexWhere(h < _); if (i < 0) 7L else i.toLong
+    }
+    val want = rows.groupBy(_._1).map { case (g, xs) =>
+      val means = (0 until 32).map { r =>
+        val (s, n) = xs.foldLeft((0L, 0L)) { case ((s, n), (_, k, c)) =>
+          val w = wt(k, r); (s + c * w, n + w)
+        }
+        s / n
+      }.sorted
+      val pt = xs.map(_._3).sum / xs.length
+      g -> ((xs.length.toLong, pt, means(1), means(30)))
+    }
+    val got = AnalyticQueries.q130BootstrapCi(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want)
+    val flags = AnalyticQueries.q130BootstrapCi(spark, sfDir).collect()
+      .map(_.getLong(6))
+    assert(flags.forall(_ == 1L),
+      "point estimate should sit inside its own 90% bootstrap interval here")
+  }
+
   test("q126 gram matrix: equals a plain-Scala outer-product sum; merge order is irrelevant") {
     // quantize through the engine's own expression (Spark round is
     // away-from-zero on negative halves; a JVM math.round recompute would
