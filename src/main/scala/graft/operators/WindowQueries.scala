@@ -243,11 +243,11 @@ object WindowQueries extends QueryModule {
     * Scale: ONE event-volume aggregation to daily counts (map-side
     * partial), then the window runs over type×day rows — thousands, not
     * billions; state per partition is the 7-row frame. */
-  val q125RollingAnomaly: Q = (s, dir) => {
-    val daily = Tables.load(s, dir, "events")
-      .groupBy(col("event_type"),
-        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_num"))
-      .agg(count(lit(1)).as("n_events"))
+  /** The z-test window over any (event_type, day_num, n_events) daily-count
+    * frame — shared by the batch query and the store-serving streaming twin
+    * ([[graft.streaming.StreamOps.anomalyStream]]). */
+  private[graft] def anomalyFlags(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
       .rangeBetween(-7, -1)
     daily
@@ -263,6 +263,41 @@ object WindowQueries extends QueryModule {
             col("win_sum") * col("win_sum")) * 9).cast("long"))
       .orderBy(col("event_type"), col("day_num"))
   }
+
+  /** Daily per-type counts of an events frame (ts already a timestamp). */
+  private[graft] def dailyCounts(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    events.groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_num"))
+      .agg(count(lit(1)).as("n_events"))
+
+  val q125RollingAnomaly: Q = (s, dir) =>
+    anomalyFlags(dailyCounts(Tables.load(s, dir, "events")))
+
+  /** One ingest step of the STREAMING anomaly monitor: append this batch's
+    * (event_type, day, count) rows to the daily-count store, keyed by
+    * ingest batch. Counts don't absorb replays the way HLL's register-max
+    * does (a re-appended batch would double-count), so idempotence comes
+    * from the q74 discipline instead: the batch id is a partition column
+    * and the write is a DYNAMIC partition overwrite — a replayed batch
+    * overwrites exactly its own partition. */
+  def anomalyBatchAppend(events: org.apache.spark.sql.DataFrame,
+      storePath: String, batchId: Long): Unit =
+    dailyCounts(events)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic").parquet(storePath)
+
+  /** Serve anomaly flags ENTIRELY from the daily-count store: per-batch
+    * partials sum to one count per (type, day) — count addition is the
+    * merge algebra, valid across any batch split — then the same z-test
+    * window as batch q125 runs over day-grain rows. Raw events are never
+    * revisited; the store holds one row per (type, day) per ingest batch. */
+  def anomalyFromStore(s: org.apache.spark.sql.SparkSession, storePath: String)
+      : org.apache.spark.sql.DataFrame =
+    anomalyFlags(s.read.parquet(storePath)
+      .groupBy(col("event_type"), col("day_num"))
+      .agg(sum(col("n_events")).as("n_events")))
 
   def queries: Map[String, Q] = Map(
     "q125_rolling_anomaly" -> q125RollingAnomaly,

@@ -243,6 +243,24 @@ object StreamOps {
         batchId)
     }.start()
 
+  /** STREAMING anomaly monitoring into the persisted daily-count store:
+    * each micro-batch of (ts, event_type) events appends its per-day counts
+    * via [[graft.operators.WindowQueries.anomalyBatchAppend]]; serving
+    * ([[graft.operators.WindowQueries.anomalyFromStore]]) sums the per-batch
+    * partials and runs batch q125's integer z-test window — events are
+    * never revisited. Unlike the DAU store's register-max sketches, counts
+    * double on replay, so idempotence is the batch-id dynamic-overwrite
+    * discipline (q74's): with a checkpoint, Structured Streaming continues
+    * batch ids and `batchIdBase` stays 0; checkpoint-free restarts must
+    * pass a base beyond every id already used. */
+  def anomalyStream(events: DataFrame, storePath: String,
+      batchIdBase: Long = 0L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.WindowQueries.anomalyBatchAppend(
+        batch, storePath, batchIdBase + batchId)
+    }.start()
+
   /** STREAMING rolling-DAU ingestion into the persisted daily-sketch store:
     * each micro-batch of (user_id, ts) events appends its per-day HLL
     * sketches via

@@ -328,6 +328,33 @@ class StatefulStreamingSpec extends SparkSpec {
     graft.engine.Sessions.releasePinned(spark)
   }
 
+  test("streaming anomaly store equals batch q125; a replayed batch cannot double-count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"))
+      .as[(java.sql.Timestamp, String)].collect().toSeq
+    val store = java.nio.file.Files.createTempDirectory("graft_anom").toString + "/daily"
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamOps.anomalyStream(stream.toDF().toDF("ts", "event_type"), store)
+    events.grouped((events.size + 2) / 3).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    def served = graft.operators.WindowQueries.anomalyFromStore(spark, store)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val want = graft.operators.WindowQueries.q125RollingAnomaly(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(served == want, "store-served flags equal the batch query")
+    // REPLAY batch 2 (dynamic overwrite of its own partition): nothing moves
+    val lastBatch = events.grouped((events.size + 2) / 3).toSeq.last
+    graft.operators.WindowQueries.anomalyBatchAppend(
+      spark.createDataset(lastBatch).toDF("ts", "event_type"), store, 2L)
+    assert(served == want, "replay must overwrite, not double-count")
+  }
+
   test("streaming DAU sketch store equals batch build; replayed merges cannot move estimates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
