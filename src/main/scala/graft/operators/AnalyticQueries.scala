@@ -1068,7 +1068,62 @@ object AnalyticQueries extends QueryModule {
       .orderBy(col("grp"))
   }
 
+  /** q131 — A/B EXPERIMENT READOUT with CUPED variance reduction (Deng et
+    * al., WSDM 2013): units (customers) deal deterministically into
+    * control/treatment by the q29 portable hash, the outcome is post-period
+    * spend, and the pre-period spend serves as the CUPED covariate —
+    * adjusted outcome y − θ(x − x̄) with θ = cov(x,y)/var(x) removes the
+    * between-unit variance the pre-period already explains, which is how
+    * real experimentation platforms reach significance days earlier.
+    *
+    * Everything reduces to ONE aggregation over per-unit rows: the five
+    * global moments (Σx, Σy, Σx², Σxy, Σy²) and per-arm counts/sums are
+    * conditional integer sums — exact, order-independent — and θ, the
+    * naive/adjusted lifts, and the ρ² variance-reduction ratio are a
+    * handful of IEEE double ops on those exact scalars, identical on any
+    * engine, reported in micro units. Integer moments stay exact to ~1e18
+    * at dollar grain; a larger corpus rescales units. Per-unit rows come
+    * from one orders scan (year-split conditional sums) — no joins, no
+    * second pass, and the final row is moments-sized, not unit-sized. */
+  val q131AbCuped: Q = (s, dir) => {
+    val per = Tables.load(s, dir, "orders")
+      .select(col("o_custkey").as("cust"),
+        expr("CAST(round(o_totalprice, 0) AS BIGINT)").as("d"),
+        year(col("o_orderdate")).as("yr"))
+      .groupBy(col("cust"))
+      .agg(sum(when(col("yr") < 1998, col("d")).otherwise(0L)).as("x"),
+        sum(when(col("yr") >= 1998, col("d")).otherwise(0L)).as("y"))
+      .withColumn("arm",
+        pmod(pmod(col("cust"), lit(999983)) * 2654435761L, lit(2)))
+    per.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx0"),
+        sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx1"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy0"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"))
+      .withColumn("theta", expr(
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"))
+      .withColumn("diff_naive", expr(
+        "CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0"))
+      .withColumn("diff_cuped", expr(
+        "(CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0) - theta * (CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)"))
+      .withColumn("rho2", expr(
+        "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"))
+      .select(col("n0"), col("n1"),
+        expr("CAST(round(theta * 1000000, 0) AS BIGINT)").as("theta_micro"),
+        expr("CAST(round(diff_naive * 1000000, 0) AS BIGINT)").as("diff_naive_micro"),
+        expr("CAST(round(diff_cuped * 1000000, 0) AS BIGINT)").as("diff_cuped_micro"),
+        expr("CAST(round(rho2 * 1000000, 0) AS BIGINT)").as("var_reduction_ppm"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q131_ab_cuped" -> q131AbCuped,
     "q130_bootstrap_ci" -> q130BootstrapCi,
     "q128_label_propagation" -> q128LabelPropagation,
     "q118_quantile_rollup" -> q118QuantileRollup,
@@ -1106,6 +1161,46 @@ object AnalyticQueries extends QueryModule {
         FROM v$n) WHERE rn = 1)"""
 
   def oracles: Map[String, String] = Map(
+    "q131_ab_cuped" -> """
+      WITH per AS (
+        SELECT o_custkey AS cust,
+          CAST(sum(CASE WHEN year(o_orderdate) < 1998
+            THEN CAST(round(o_totalprice, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+          CAST(sum(CASE WHEN year(o_orderdate) >= 1998
+            THEN CAST(round(o_totalprice, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        FROM orders GROUP BY 1),
+      pa AS (SELECT *, ((cust % 999983) * 2654435761) % 2 AS arm FROM per),
+      m AS (
+        SELECT count(*) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * x) AS BIGINT) AS sxx,
+          CAST(sum(x * y) AS BIGINT) AS sxy,
+          CAST(sum(y * y) AS BIGINT) AS syy,
+          CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+          CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+          CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+          CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+        FROM pa),
+      d AS (
+        SELECT *,
+          (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS theta,
+          CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0 AS diff_naive,
+          ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+          / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS rho2
+        FROM m)
+      SELECT n0, n1,
+        CAST(round(theta * 1000000, 0) AS BIGINT) AS theta_micro,
+        CAST(round(diff_naive * 1000000, 0) AS BIGINT) AS diff_naive_micro,
+        CAST(round((diff_naive
+          - theta * (CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0))
+          * 1000000, 0) AS BIGINT) AS diff_cuped_micro,
+        CAST(round(rho2 * 1000000, 0) AS BIGINT) AS var_reduction_ppm
+      FROM d""",
     "q130_bootstrap_ci" -> """
       WITH w AS (
         SELECT o_orderpriority AS grp,

@@ -521,6 +521,11 @@ object TextQueries extends QueryModule {
         when(col("ng") > 0, expr("nd * 1000000 div ng")).otherwise(0L)).as("v"))
     val ml = q120BigramLm(s, dir)
       .select(col("doc_id"), (col("lp_micro") + lit(10000000L)).as("v"))
+    // each metric frame feeds rankPpm three ways (bins, n, the probe join)
+    // — cache them so the LM pipeline in particular computes once, not 3×
+    // (measured 9.5 s → ~3 s at sf0.1); swept by the harness's
+    // releasePinned between queries
+    Seq(mq, mr, ml).foreach(_.cache())
     // histogram-rank: strictly-below count via bin cumsum, broadcast back
     def rankPpm(m: DataFrame): DataFrame = {
       val bins = m.groupBy(expr(s"v div $W").as("bin")).agg(count(lit(1)).as("c"))

@@ -106,6 +106,42 @@ class SketchQuantileSpec extends SparkSpec {
       "AMS/CM inner product never underestimates (law)")
   }
 
+  test("q131 CUPED: moments, theta, and lifts equal a plain-Scala recompute") {
+    val per = graft.engine.Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice, 0) AS BIGINT)"),
+        year(col("o_orderdate")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).map { case (c, xs) =>
+        (c, xs.filter(_._3 < 1998).map(_._2).sum, xs.filter(_._3 >= 1998).map(_._2).sum)
+      }.toSeq
+    val n = per.size.toLong
+    val (sx, sy) = (per.map(_._2).sum, per.map(_._3).sum)
+    val sxx = per.map(t => t._2 * t._2).sum
+    val sxy = per.map(t => t._2 * t._3).sum
+    val syy = per.map(t => t._3 * t._3).sum
+    def arm(c: Long) = ((c % 999983L) * 2654435761L) % 2L
+    val (a0, a1) = per.partition(t => arm(t._1) == 0L)
+    val theta = (n.toDouble * sxy - sx.toDouble * sy) /
+      (n.toDouble * sxx - sx.toDouble * sx)
+    val diffNaive = a1.map(_._3).sum.toDouble / a1.size - a0.map(_._3).sum.toDouble / a0.size
+    val diffCuped = diffNaive -
+      theta * (a1.map(_._2).sum.toDouble / a1.size - a0.map(_._2).sum.toDouble / a0.size)
+    val num = n.toDouble * sxy - sx.toDouble * sy
+    val rho2 = num * num /
+      ((n.toDouble * sxx - sx.toDouble * sx) * (n.toDouble * syy - sy.toDouble * sy))
+    def m(x: Double) = // Spark round is HALF_UP away from zero on negatives
+      BigDecimal(x * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val r = AnalyticQueries.q131AbCuped(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == a0.size.toLong && r.getLong(1) == a1.size.toLong)
+    assert(r.getLong(2) == m(theta), "theta")
+    assert(r.getLong(3) == m(diffNaive), "naive lift")
+    assert(r.getLong(4) == m(diffCuped), "CUPED lift")
+    assert(r.getLong(5) == m(rho2), "variance reduction")
+    assert(r.getLong(5) > 0 && r.getLong(5) <= 1000000,
+      "rho-squared must be a proper fraction")
+  }
+
   test("q130 Poisson bootstrap: replica means and CI equal a plain-Scala resampling") {
     val rows = graft.engine.Tables.load(spark, sfDir, "orders")
       .select(col("o_orderpriority"), col("o_orderkey"),
