@@ -1122,7 +1122,79 @@ object AnalyticQueries extends QueryModule {
         expr("CAST(round(rho2 * 1000000, 0) AS BIGINT)").as("var_reduction_ppm"))
   }
 
+  /** q132 — EQUI-DEPTH BUCKETIZER (quantile binning / feature
+    * discretization): assign every lineitem price to one of 8 equal-mass
+    * buckets whose boundaries come from the q118 histogram sketch — the
+    * feature-engineering step (and the range-partitioner's boundary
+    * computation) done without ever sorting the corpus. Boundary k is the
+    * lower edge of the bin holding rank ⌈k·n/8⌉; bucket(v) = 1 + #{k :
+    * v ≥ boundary_k} via one `filter` over the broadcast 7-element
+    * boundary array — so the corpus is scanned twice (bin counts, then
+    * bucket assignment), shuffles only sketch rows, and bucket masses are
+    * equal to within bin granularity. Per-bucket counts, extremes, and an
+    * id-weighted checksum pin exactly which rows land where. */
+  val q132EquiDepth: Q = (s, dir) => {
+    val W = 65536L
+    val vals = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Num.cents(col("l_extendedprice")).as("v"))
+    val bins = vals.groupBy(expr("v div 65536").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wcum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.withColumn("cum", sum(col("c")).over(wcum))
+      .crossJoin(broadcast(vals.agg(count(lit(1)).as("n"))))
+    val bcols = (1 to 7).map(k => min(when(
+      col("cum") >= expr(s"(n * $k + 7) div 8"), col("bin") * W)).as(s"b$k"))
+    val bounds = cum.groupBy().agg(bcols.head, bcols.tail: _*)
+      .select(array((1 to 7).map(k => col(s"b$k")): _*).as("bnds"))
+    vals.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        (lit(1) + expr("size(filter(bnds, b -> v >= b))")).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        sum(col("l_orderkey") * 7 + col("l_linenumber")).as("id_checksum"))
+      .orderBy(col("bucket"))
+  }
+
+  /** q133 — TWO-PROPORTION Z-TEST (binary-metric A/B readout, the
+    * companion to q131's continuous CUPED): users deal into arms by the
+    * portable hash, the metric is "converted = had ≥ 1 purchase event",
+    * and the readout is the pooled two-proportion z statistic — the
+    * decision number an experimentation platform prints next to every
+    * conversion metric. Counts are exact integers from one distinct-user
+    * aggregation (user-keyed, map-side partial); z is a handful of IEEE
+    * ops on four exact scalars, engine-identical, reported in micro units
+    * with the |z| > 1.96 call as a flag. */
+  val q133AbProportions: Q = (s, dir) => {
+    val users = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 180,
+        1L).otherwise(0L)).as("conv"))
+      .withColumn("arm",
+        pmod(pmod(col("user_id"), lit(999983)) * 2654435761L, lit(2)))
+    users.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"))
+      .withColumn("z", expr(
+        // degenerate designs (empty arm, 0% or 100% pooled rate) have no
+        // sampling variance — report z = 0, never divide by it
+        "CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0.0 ELSE (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) * (1.0 / n0 + 1.0 / n1)) END"))
+      .select(col("n0"), col("n1"), col("c0"), col("c1"),
+        expr("CAST(round((CAST(c0 AS DOUBLE) / n0) * 1000000, 0) AS BIGINT)")
+          .as("rate0_micro"),
+        expr("CAST(round((CAST(c1 AS DOUBLE) / n1) * 1000000, 0) AS BIGINT)")
+          .as("rate1_micro"),
+        expr("CAST(round(z * 1000000, 0) AS BIGINT)").as("z_micro"),
+        expr("CAST(abs(z) > 1.96 AS BIGINT)").as("significant"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q132_equi_depth" -> q132EquiDepth,
+    "q133_ab_proportions" -> q133AbProportions,
     "q131_ab_cuped" -> q131AbCuped,
     "q130_bootstrap_ci" -> q130BootstrapCi,
     "q128_label_propagation" -> q128LabelPropagation,
@@ -1161,6 +1233,60 @@ object AnalyticQueries extends QueryModule {
         FROM v$n) WHERE rn = 1)"""
 
   def oracles: Map[String, String] = Map(
+    "q132_equi_depth" -> """
+      WITH vals AS (
+        SELECT l_orderkey, l_linenumber,
+          CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+        FROM lineitem),
+      bins AS (SELECT v // 65536 AS bin, count(*) AS c FROM vals GROUP BY 1),
+      cum AS (
+        SELECT bin, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+          (SELECT count(*) FROM vals) AS n
+        FROM bins),
+      bounds AS (
+        SELECT [
+          min(CASE WHEN cum >= (n * 1 + 7) // 8 THEN bin * 65536 END),
+          min(CASE WHEN cum >= (n * 2 + 7) // 8 THEN bin * 65536 END),
+          min(CASE WHEN cum >= (n * 3 + 7) // 8 THEN bin * 65536 END),
+          min(CASE WHEN cum >= (n * 4 + 7) // 8 THEN bin * 65536 END),
+          min(CASE WHEN cum >= (n * 5 + 7) // 8 THEN bin * 65536 END),
+          min(CASE WHEN cum >= (n * 6 + 7) // 8 THEN bin * 65536 END),
+          min(CASE WHEN cum >= (n * 7 + 7) // 8 THEN bin * 65536 END)] AS bnds
+        FROM cum)
+      SELECT CAST(1 + len(list_filter(bnds, b -> v >= b)) AS BIGINT) AS bucket,
+        count(*) AS n_rows,
+        CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v,
+        CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS id_checksum
+      FROM vals, bounds GROUP BY 1 ORDER BY bucket""",
+    "q133_ab_proportions" -> """
+      WITH u AS (
+        SELECT user_id,
+          max(CASE WHEN event_type = 'purchase' AND value > 180
+              THEN 1 ELSE 0 END) AS conv,
+          ((user_id % 999983) * 2654435761) % 2 AS arm
+        FROM events GROUP BY user_id),
+      m AS (
+        SELECT
+          CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+          CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        FROM u),
+      d AS (
+        SELECT *,
+          CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1
+            THEN 0.0
+            ELSE (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+              / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                * (1.0 / n0 + 1.0 / n1)) END AS z
+        FROM m)
+      SELECT n0, n1, c0, c1,
+        CAST(round((CAST(c0 AS DOUBLE) / n0) * 1000000, 0) AS BIGINT) AS rate0_micro,
+        CAST(round((CAST(c1 AS DOUBLE) / n1) * 1000000, 0) AS BIGINT) AS rate1_micro,
+        CAST(round(z * 1000000, 0) AS BIGINT) AS z_micro,
+        CAST(abs(z) > 1.96 AS BIGINT) AS significant
+      FROM d""",
     "q131_ab_cuped" -> """
       WITH per AS (
         SELECT o_custkey AS cust,

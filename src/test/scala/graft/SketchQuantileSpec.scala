@@ -106,6 +106,47 @@ class SketchQuantileSpec extends SparkSpec {
       "AMS/CM inner product never underestimates (law)")
   }
 
+  test("q132 equi-depth buckets: disjoint ordered ranges, conserved mass, near-equal depth") {
+    val rows = AnalyticQueries.q132EquiDepth(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = graft.engine.Tables.load(spark, sfDir, "lineitem").count()
+    assert(rows.map(_._2).sum == total, "every row lands in exactly one bucket")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val ordered = rows.sortBy(_._1)
+    ordered.sliding(2).foreach {
+      case Array((_, _, _, hi), (_, _, lo, _)) =>
+        assert(hi < lo, "bucket value ranges must be disjoint and ordered")
+      case _ =>
+    }
+    assert(ordered.length >= 6 && ordered.length <= 8, "≈8 equal-mass buckets")
+    val sizes = ordered.map(_._2)
+    assert(sizes.max.toDouble / sizes.min <= 3.0,
+      s"equal depth to within bin granularity, got ${sizes.mkString(",")}")
+  }
+
+  test("q133 two-proportion z-test equals a plain-Scala recompute") {
+    val users = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (u, xs) =>
+        (u, if (xs.exists(x => x._2 == "purchase" && x._3 > 180)) 1L else 0L)
+      }.toSeq
+    def arm(u: Long) = ((u % 999983L) * 2654435761L) % 2L
+    val (a0, a1) = users.partition(t => arm(t._1) == 0L)
+    val (n0, n1) = (a0.size.toLong, a1.size.toLong)
+    val (c0, c1) = (a0.map(_._2).sum, a1.map(_._2).sum)
+    val p = (c0 + c1).toDouble / (n0 + n1)
+    val z = (c1.toDouble / n1 - c0.toDouble / n0) /
+      math.sqrt(p * (1.0 - p) * (1.0 / n0 + 1.0 / n1))
+    def m(x: Double) =
+      BigDecimal(x * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val r = AnalyticQueries.q133AbProportions(spark, sfDir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((n0, n1, c0, c1)))
+    assert(r.getLong(6) == m(z), "z statistic")
+    assert(r.getLong(7) == (if (math.abs(z) > 1.96) 1L else 0L))
+  }
+
   test("q131 CUPED: moments, theta, and lifts equal a plain-Scala recompute") {
     val per = graft.engine.Tables.load(spark, sfDir, "orders")
       .select(col("o_custkey"),
