@@ -864,7 +864,60 @@ object DedupQueries extends QueryModule {
       .orderBy(col("split"))
   }
 
+  /** q134 — INCREMENTAL CONNECTED COMPONENTS over a persisted LABEL store:
+    * the cluster-maintenance half of incremental dedup. q74 keeps the PAIR
+    * discovery |new|-proportional; this keeps the CLUSTER state
+    * |new|-proportional too — the old corpus' components persist as (id,
+    * label) rows, an arriving batch contributes only its new-involving
+    * verified pairs (q74's gated banding, old×old never materializes), and
+    * the merge runs CC over `stored-label edges ∪ new pairs`: a frame of
+    * component-count + batch-pair size, NOT corpus-pair size. Because old
+    * labels are already component minima, the merged labels equal the
+    * full-corpus q59 run EXACTLY (same survivors, same rollup) — the
+    * oracle is literally q59's, which is the whole claim: index once,
+    * ingest forever, never recluster from scratch.
+    *
+    * The label store round-trips parquet inside the checked path (a label
+    * that doesn't survive storage would hash-mismatch); at 100 TB it is
+    * the only cluster state that exists — component-count-sized, id-keyed,
+    * rewritten merge-by-merge. */
+  val q134CcIncremental: Q = (s, dir) => {
+    val isNew = col("doc_id") % 7 === 3
+    val docs = Tables.load(s, dir, "documents")
+    // bootstrap: old-only graph → labels → persisted store
+    val shOld = shingledDocs(docs.filter(!isNew)).cache()
+    val bandsOld = lshBands(shOld, "sh").cache()
+    val pairsOld = verifyPairs(bandPairs(bandsOld), shOld)
+      .select(col("i"), col("j"))
+    val labelStore = graft.engine.Scratch.dir(s, "cc_labels") + "/labels"
+    connectedComponentsAuto(pairsOld)
+      .write.mode("overwrite").parquet(labelStore)
+    shOld.unpersist(blocking = false)
+    bandsOld.unpersist(blocking = false)
+    // ingest: new-involving pairs only (q74's gated banding)
+    val sh = shingled(s, dir).cache()
+    val bands = bandRows(
+      minhashSigs(sh, "sh").withColumn("is_new", isNew),
+      meta = Seq("is_new"))
+    val pairsNew = verifyPairs(
+      bandPairs(bands, gate = Some(col("x.is_new") || col("y.is_new"))), sh)
+      .select(col("i"), col("j"))
+    // merge: stored labels as edges + the batch's pairs
+    val storedEdges = s.read.parquet(labelStore)
+      .select(col("id").as("i"), col("lbl").as("j"))
+    val labels = connectedComponentsAuto(storedEdges.union(pairsNew))
+    sh.unpersist(blocking = false)
+    labels
+      .groupBy(col("lbl").as("keep_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(col("id")).as("max_id"),
+        sum(col("id")).as("id_sum"))
+      .withColumn("n_dropped", col("n_members") - 1)
+      .orderBy(col("keep_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q134_cc_incremental" -> q134CcIncremental,
     "q115_span_dedup"     -> q115SpanDedup,
     "q116_leak_safe_split" -> q116LeakSafeSplit,
     "q121_span_dedup_incremental" -> q121SpanDedupIncremental,
@@ -1017,6 +1070,27 @@ object DedupQueries extends QueryModule {
         UNION ALL SELECT '3_decontam', count(*), CAST(sum(doc_id) AS BIGINT) FROM s3
         UNION ALL SELECT '4_sample', count(*), CAST(sum(doc_id) AS BIGINT) FROM s4)
       ORDER BY stage""",
+    // q134's whole claim is exact equality with the from-scratch clustering,
+    // so it shares q59's oracle verbatim
+    "q134_cc_incremental" -> s"""
+      WITH RECURSIVE $duckShingles,
+      pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.ss) > 0 AND len(b.ss) > 0
+          AND len(list_intersect(a.ss, b.ss)) >=
+              len(list_distinct(list_concat(a.ss, b.ss))) * 0.8),
+      edges AS (
+        SELECT i AS a, j AS b FROM pairs
+        UNION ALL SELECT j AS a, i AS b FROM pairs),
+      reach(id, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      comp AS (SELECT id, min(r) AS keep_id FROM reach GROUP BY id)
+      SELECT keep_id, count(*) AS n_members, max(id) AS max_id,
+        CAST(sum(id) AS BIGINT) AS id_sum, count(*) - 1 AS n_dropped
+      FROM comp GROUP BY keep_id ORDER BY keep_id""",
     "q59_dedup_clusters" -> s"""
       WITH RECURSIVE $duckShingles,
       pairs AS (

@@ -98,6 +98,17 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q134 incremental CC over the stored labels equals the from-scratch q59 clustering") {
+    val want = graft.operators.DedupQueries.q59DedupClusters(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = graft.operators.DedupQueries.q134CcIncremental(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq,
+      "persisted-label merge must reproduce the full reclustering exactly")
+    assert(want.nonEmpty)
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("q129 quality blend equals a plain-Scala recompute of metrics, ranks, and gate") {
     val stop = Set("the", "a", "an", "and", "of", "is", "to", "in")
     def halfUp(x: Double): Long =
