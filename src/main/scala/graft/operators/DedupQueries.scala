@@ -916,7 +916,53 @@ object DedupQueries extends QueryModule {
       .orderBy(col("keep_id"))
   }
 
+  /** q135 — CONTAINMENT (excerpt) detection: directed near-duplicate
+    * containment — is ≥ 80% of document A's shingle set inside document B?
+    * Jaccard dedup (q51/q53) misses exactly this case: a short document
+    * quoted whole inside a long one has tiny Jaccard but containment ≈ 1,
+    * and training pipelines drop the excerpt, not the host. Candidate
+    * generation is the df-capped postings self-join (the prefix-filter
+    * family of set-similarity joins): explode shingles, keep grams with
+    * document frequency ≤ 20 (a gram in half the corpus prunes nothing and
+    * fans out quadratically — the cap IS the scale control), equi-join the
+    * rare-gram postings, verify with the exact intersect. The declared
+    * blocking contract: pairs sharing ONLY ubiquitous grams are invisible
+    * — such text is corpus boilerplate, q115's department — and the oracle
+    * replicates the cap, so the contract itself is what's checked. Both
+    * directions emit independently (A-in-B and B-in-A are different
+    * facts); precision of the emitted rows is exact. */
+  val q135Containment: Q = (s, dir) => {
+    val sh = shingled(s, dir).cache()
+    val grams = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20).select(col("g"))
+    val keyed = grams.join(rare, "g")
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j")).distinct()
+    val verified = cand
+      .join(sh.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
+      .select(col("i"), col("j"),
+        size(array_intersect(col("sh_i"), col("sh_j"))).cast("long").as("inter"),
+        size(col("sh_i")).cast("long").as("n_i"),
+        size(col("sh_j")).cast("long").as("n_j"))
+    val out = verified.select(explode(array(
+        struct(col("i").as("contained"), col("j").as("container"),
+          col("inter"), col("n_i").as("n_contained")),
+        struct(col("j").as("contained"), col("i").as("container"),
+          col("inter"), col("n_j").as("n_contained")))).as("d"))
+      .select(col("d.contained").as("contained"), col("d.container").as("container"),
+        col("d.inter").as("inter"), col("d.n_contained").as("n_contained"))
+      .withColumn("cont_ppm", expr("inter * 1000000 div n_contained"))
+      .filter(col("cont_ppm") >= 800000)
+      .orderBy(col("contained"), col("container"))
+    sh.unpersist(blocking = false)
+    out
+  }
+
   def queries: Map[String, Q] = Map(
+    "q135_containment" -> q135Containment,
     "q134_cc_incremental" -> q134CcIncremental,
     "q115_span_dedup"     -> q115SpanDedup,
     "q116_leak_safe_split" -> q116LeakSafeSplit,
@@ -951,6 +997,27 @@ object DedupQueries extends QueryModule {
       ORDER BY i, j"""
 
   def oracles: Map[String, String] = Map(
+    "q135_containment" -> s"""
+      WITH $duckShingles,
+      g AS (SELECT doc_id, unnest(ss) AS g FROM sh),
+      df AS (SELECT g, count(*) AS df FROM g GROUP BY 1),
+      rare AS (SELECT g.doc_id, g.g FROM g JOIN df USING (g) WHERE df.df <= 20),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id),
+      v AS (
+        SELECT i, j,
+          CAST(len(list_intersect(x.ss, y.ss)) AS BIGINT) AS inter,
+          CAST(len(x.ss) AS BIGINT) AS n_i, CAST(len(y.ss) AS BIGINT) AS n_j
+        FROM cand JOIN sh x ON x.doc_id = cand.i JOIN sh y ON y.doc_id = cand.j),
+      d AS (
+        SELECT i AS contained, j AS container, inter, n_i AS n_contained FROM v
+        UNION ALL
+        SELECT j AS contained, i AS container, inter, n_j AS n_contained FROM v)
+      SELECT contained, container, inter, n_contained,
+        CAST(inter * 1000000 // n_contained AS BIGINT) AS cont_ppm
+      FROM d WHERE inter * 1000000 // n_contained >= 800000
+      ORDER BY contained, container""",
     "q115_span_dedup" -> """
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       b AS (SELECT doc_id, u.bidx, u.btext FROM (

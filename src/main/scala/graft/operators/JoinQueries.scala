@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Num, QueryModule}
 import graft.engine.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join operators (SURVEY.md §2.4).
@@ -633,7 +634,55 @@ object JoinQueries extends QueryModule {
       .orderBy(col("status"))
   }
 
+  /** q136 — INTERVAL OVERLAP JOIN via GRID BUCKETING: which user sessions
+    * overlap which campaign windows — the temporal join behind ad
+    * attribution, maintenance-window impact, and on-call overlap queries.
+    * The naive plan is a non-equi theta join (cartesian at scale); the
+    * scale shape is the standard grid trick: every interval explodes
+    * map-side to the 6-hour cells it covers, overlapping intervals must
+    * share a cell, so candidates come from a plain EQUI-join on the cell
+    * id and the exact overlap predicate only verifies candidates. Session
+    * intervals are q24's (600 s gap); campaigns are 40 deterministic
+    * 18-hour windows stepped every 17 hours. Per campaign: overlapping
+    * session/user counts, a session checksum, and total overlap seconds —
+    * all integers. PlansSpec-style guarantee rides in the shape itself:
+    * the only join key is `cell`. Cell width trades fan-out (intervals ×
+    * cells) against candidate precision; 6 h ≈ session-length-friendly. */
+  val q136IntervalJoin: Q = (s, dir) => {
+    val C = 21600L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables.load(s, dir, "events")
+      .withColumn("gap_s",
+        col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long"))
+      .withColumn("is_new",
+        when(col("gap_s").isNull || col("gap_s") > 600, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts").cast("long")).as("a_start"),
+        max(col("ts").cast("long")).as("a_end"))
+    val camps = s.range(0, 40).select(col("id").as("camp"),
+      (lit(1704067200L) + col("id") * 61200L).as("b_start"),
+      (lit(1704067200L) + col("id") * 61200L + 64800L).as("b_end"))
+    val aCells = sess.withColumn("cell",
+      explode(expr(s"sequence(a_start div $C, a_end div $C)")))
+    val bCells = camps.withColumn("cell",
+      explode(expr(s"sequence(b_start div $C, b_end div $C)")))
+    aCells.join(bCells, "cell")
+      .select(col("user_id"), col("session_id"), col("a_start"), col("a_end"),
+        col("camp"), col("b_start"), col("b_end"))
+      .distinct()
+      .filter(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .groupBy(col("camp"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("user_id") * 100 + col("session_id")).as("sess_checksum"),
+        sum(least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("overlap_seconds"))
+      .orderBy(col("camp"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q136_interval_join" -> q136IntervalJoin,
     "q124_snapshot_diff" -> q124SnapshotDiff,
     "q107_bloom_join"    -> q107BloomJoin,
     "q92_record_linkage" -> q92RecordLinkage,
@@ -653,6 +702,41 @@ object JoinQueries extends QueryModule {
     "q18_range_join"     -> q18RangeJoin)
 
   def oracles: Map[String, String] = Map(
+    // brute non-equi overlap join — the quadratic plan the grid bucketing
+    // avoids; results must match exactly (blocking is complete: overlap
+    // implies a shared cell)
+    "q136_interval_join" -> """
+      WITH gaps AS (
+        SELECT user_id, event_id, ts,
+          epoch(date_trunc('second', ts)) - epoch(date_trunc('second', lag(ts,1)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS gap_s
+        FROM events),
+      marked AS (
+        SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 600 THEN 1 ELSE 0 END AS is_new
+        FROM gaps),
+      se AS (
+        SELECT user_id, ts,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked),
+      sess AS (
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+          CAST(min(epoch(date_trunc('second', ts))) AS BIGINT) AS a_start,
+          CAST(max(epoch(date_trunc('second', ts))) AS BIGINT) AS a_end
+        FROM se GROUP BY 1, 2),
+      camps AS (
+        SELECT r AS camp, 1704067200 + r * 61200 AS b_start,
+          1704067200 + r * 61200 + 64800 AS b_end
+        FROM (SELECT unnest(range(0, 40)) AS r)),
+      ov AS (
+        SELECT * FROM sess, camps
+        WHERE a_start <= b_end AND b_start <= a_end)
+      SELECT CAST(camp AS BIGINT) AS camp, count(*) AS n_sessions,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        CAST(sum(user_id * 100 + session_id) AS BIGINT) AS sess_checksum,
+        CAST(sum(least(a_end, b_end) - greatest(a_start, b_start)) AS BIGINT)
+          AS overlap_seconds
+      FROM ov GROUP BY 1 ORDER BY camp""",
     "q124_snapshot_diff" -> """
       WITH a AS (
         SELECT c_custkey AS k,

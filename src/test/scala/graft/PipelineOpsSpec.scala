@@ -98,6 +98,64 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q135 containment: catches a full excerpt that Jaccard dedup misses; q51 pairs are covered") {
+    // A's 10 tokens open B verbatim → every A-shingle is in B, containment 1.0;
+    // Jaccard is ~8/48 — far under the q51 threshold
+    val a = (1 to 10).map("w" + _).mkString(" ")
+    val b = a + " " + (11 to 50).map("w" + _).mkString(" ")
+    val dir = docsDir(Seq((1L, a, "en", "s"), (2L, b, "en", "s")))
+    val rows = graft.operators.DedupQueries.q135Containment(spark, dir).collect()
+    val dirs = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(dirs.exists { case (c, h, ppm) => c == 1L && h == 2L && ppm == 1000000L },
+      "A-in-B must be reported at containment 1.0")
+    assert(!dirs.exists { case (c, h, _) => c == 2L && h == 1L },
+      "B is not contained in A")
+    // on the fixture: every symmetric near-dup pair implies both containments
+    val jac = graft.operators.DedupQueries.q51MinHashLsh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cont = graft.operators.DedupQueries.q135Containment(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    jac.foreach { case (i, j) =>
+      assert(cont((i, j)) && cont((j, i)),
+        s"jaccard>=0.8 pair ($i,$j) must be contained both ways")
+    }
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
+  test("q136 interval join equals a plain-Scala brute overlap of sessions x campaigns") {
+    val evs = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("ts").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sess = evs.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      val sorted = xs.sortBy(e => (e._3, e._2))
+      val splits = scala.collection.mutable.Buffer[scala.collection.mutable.Buffer[Long]]()
+      var last = Long.MinValue
+      sorted.foreach { e =>
+        if (last == Long.MinValue || e._3 - last > 600)
+          splits += scala.collection.mutable.Buffer(e._3)
+        else splits.last += e._3
+        last = e._3
+      }
+      splits.zipWithIndex.map { case (ts, i) => (u, (i + 1).toLong, ts.min, ts.max) }
+    }
+    val camps = (0 until 40).map(k =>
+      (k.toLong, 1704067200L + k * 61200L, 1704067200L + k * 61200L + 64800L))
+    val want = camps.map { case (c, bs, be) =>
+      val ov = sess.filter { case (_, _, as_, ae) => as_ <= be && bs <= ae }
+      c -> ((ov.size.toLong,
+        ov.map(_._1).distinct.size.toLong,
+        ov.map { case (u, sid, _, _) => u * 100 + sid }.sum,
+        ov.map { case (_, _, as_, ae) => math.min(ae, be) - math.max(as_, bs) }.sum))
+    }.filter(_._2._1 > 0).toMap
+    val got = graft.operators.JoinQueries.q136IntervalJoin(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+    assert(got.nonEmpty && got.values.exists(_._1 > 0))
+  }
+
   test("q134 incremental CC over the stored labels equals the from-scratch q59 clustering") {
     val want = graft.operators.DedupQueries.q59DedupClusters(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
