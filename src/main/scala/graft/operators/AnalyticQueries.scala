@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Num, QueryModule}
 import graft.engine.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1192,7 +1193,109 @@ object AnalyticQueries extends QueryModule {
         expr("CAST(abs(z) > 1.96 AS BIGINT)").as("significant"))
   }
 
+  /** q139 — CDC LOG COMPACTION (latest-wins upsert + tombstones): collapse
+    * an ordered change stream into final per-key state — the Delta/Hudi
+    * "apply the changelog" primitive, with the events table read as a CDC
+    * feed (key = user_id, 'error' = delete tombstone, anything else =
+    * upsert of `value`, order = (ts, event_id) with event_id breaking
+    * same-microsecond ties deterministically).
+    *
+    * ONE aggregation does it all: latest op per key via
+    * max(struct(ts, event_id, op, value)) — lexicographic struct max IS
+    * argmax-by-(ts,id) — with op/delete counters riding the same partial
+    * agg. No window sort of the log (the rank-1-per-key window q112's
+    * oracle uses would sort event volume per key; the agg keeps ONE struct
+    * per key map-side — at 100 TB the exchange carries keys, not the
+    * log). Keys whose final op is a tombstone vanish from the output, the
+    * delete semantics a snapshot compaction must honor. */
+  val q139CdcApply: Q = (s, dir) => {
+    val last = max(struct(col("ts"), col("event_id"),
+      col("event_type").as("op"), Num.cents(col("value")).as("v_cents")))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id").cast("long").as("event_id"),
+        col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ops"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_deletes"),
+        last.as("last"))
+      .filter(col("last.op") =!= "error")
+      .select(col("user_id"), col("n_ops"), col("n_deletes"),
+        col("last.ts").as("last_ts"), col("last.op").as("last_op"),
+        col("last.v_cents").as("last_value_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q140 — K-CORE DECOMPOSITION (k=3) of the q100 co-purchase graph:
+    * iteratively peel every node of degree < k until none remain — the
+    * maximal subgraph with min-degree ≥ k. The standard graph-cleaning
+    * gate before community/centrality work (spam and tail nodes fall out;
+    * the 3-core is where cohesive structure starts). SYNCHRONOUS peeling
+    * (all sub-k nodes drop together each round) makes the round sequence
+    * deterministic, and the k-core itself is order-invariant, so a
+    * bounded-unroll SQL oracle agrees with the engine's
+    * peel-to-checked-fixpoint loop whenever the data converges within the
+    * unroll (spec'd; the fixtures converge in ≤ 3 peels).
+    *
+    * Per round: one degree aggregation over the live edge set + one
+    * semi-join keeping edges with BOTH endpoints alive — no node-set
+    * window, no collect. Pin discipline as in connected components: each
+    * round's edge set persists, its predecessor freed on materialization,
+    * O(1) storage over any round count; the convergence probe is a count
+    * on the node-sized degree frame. Rounds are O(peel depth) ≤ O(max
+    * degeneracy), small on real graphs; each is shuffle-bounded by the
+    * live edge set, which only shrinks. */
+  /** Peel-to-fixpoint k-core over an undirected (a, b) edge frame: each
+    * round drops ALL nodes of current degree < k (synchronous), restricts
+    * the edge set by two anti-joins, and re-checks; terminates when no node
+    * is sub-k (checked on the node-sized degree frame, never assumed).
+    * Pin discipline: round N+1's edge set persists before round N's blocks
+    * free — O(1) storage over the peel depth. */
+  private[graft] def kCoreEdges(e0: DataFrame, k: Int): DataFrame = {
+    import graft.engine.Pin.pin
+    var (edges, edgesPin) = pin(e0)
+    var dropped = 1L
+    while (dropped > 0) {
+      val deg = edges.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val weak = deg.filter(col("d") < k).select(col("n"))
+      dropped = weak.count()
+      if (dropped > 0) {
+        val (next, nextPin) = pin(edges
+          .join(weak.withColumnRenamed("n", "a"), Seq("a"), "left_anti")
+          .join(weak.withColumnRenamed("n", "b"), Seq("b"), "left_anti")
+          .select(col("a"), col("b")))
+        edgesPin.unpersist(blocking = false)
+        edges = next
+        edgesPin = nextPin
+      }
+    }
+    edges
+  }
+
+  val q140KCore: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e0 = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
+      .select(col("a"), col("b"))
+    val edges = kCoreEdges(e0, k = 3)
+    val coreDeg = edges.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val nstats = coreDeg.agg(count(lit(1)).as("n_core_nodes"),
+      sum(col("n")).as("node_id_sum"), sum(col("d")).as("degree_sum"),
+      min(col("d")).as("min_degree"))
+    val estats = edges.agg(count(lit(1)).as("n_core_edges"))
+    nstats.crossJoin(estats)
+      .select(col("n_core_nodes"), col("n_core_edges"), col("node_id_sum"),
+        col("degree_sum"), col("min_degree"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q139_cdc_apply" -> q139CdcApply,
+    "q140_kcore" -> q140KCore,
     "q132_equi_depth" -> q132EquiDepth,
     "q133_ab_proportions" -> q133AbProportions,
     "q131_ab_cuped" -> q131AbCuped,
@@ -1223,6 +1326,40 @@ object AnalyticQueries extends QueryModule {
     "q35_time_bucket"   -> q35TimeBucket,
     "q36_case_agg"      -> q36CaseAgg)
 
+  /** Bounded-unroll k-core oracle: `rounds` synchronous peel layers (degree
+    * count → keep ≥ k → edge restriction). Peeling is monotone and the
+    * k-core is its unique fixpoint, so extra layers past convergence are
+    * no-ops — the unroll only needs to be ≥ the data's peel depth (spec'd;
+    * fixtures converge in ≤ 3). */
+  private def duckKCore(rounds: Int, k: Int = 3): String = {
+    // every CTE layer is MATERIALIZED: DuckDB inlines plain CTEs at each
+    // reference, and e_i references e_{i-1} three times — 10 inlined layers
+    // would expand the plan (and its parquet opens) exponentially
+    val layers = (1 to rounds).map { i =>
+      val prev = s"e${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT n, count(*) AS d FROM
+        (SELECT a AS n FROM $prev UNION ALL SELECT b FROM $prev) GROUP BY n),
+      k$i AS MATERIALIZED (SELECT n FROM d$i WHERE d >= $k),
+      e$i AS MATERIALIZED (SELECT a, b FROM $prev
+        WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i))"""
+    }.mkString(",\n      ")
+    s"""
+      WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+      es AS MATERIALIZED (SELECT x.p a, y.p b, count(*) supp FROM li x
+             JOIN li y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+      e0 AS MATERIALIZED (SELECT a, b FROM es WHERE supp >= 2),
+      $layers,
+      df AS (SELECT n, count(*) AS d FROM
+        (SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+        GROUP BY n)
+      SELECT (SELECT count(*) FROM df) AS n_core_nodes,
+        (SELECT count(*) FROM e$rounds) AS n_core_edges,
+        (SELECT CAST(sum(n) AS BIGINT) FROM df) AS node_id_sum,
+        (SELECT CAST(sum(d) AS BIGINT) FROM df) AS degree_sum,
+        (SELECT min(d) FROM df) AS min_degree"""
+  }
+
   /** One unrolled LPA round as CTEs: labels `$from` → `r$n` (vote count,
     * then mode with min-label tie-break). */
   private def duckLpaRound(n: Int, from: String): String = s"""
@@ -1233,6 +1370,24 @@ object AnalyticQueries extends QueryModule {
         FROM v$n) WHERE rn = 1)"""
 
   def oracles: Map[String, String] = Map(
+    "q139_cdc_apply" -> """
+      WITH ranked AS (
+        SELECT user_id, ts, event_id, event_type, value,
+          row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      cnt AS (
+        SELECT user_id, count(*) AS n_ops,
+          CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_deletes
+        FROM events GROUP BY user_id)
+      SELECT c.user_id, c.n_ops, c.n_deletes, r.ts AS last_ts,
+        r.event_type AS last_op,
+        CAST(round(r.value * 100, 0) AS BIGINT) AS last_value_cents
+      FROM cnt c JOIN ranked r ON c.user_id = r.user_id AND r.rn = 1
+      WHERE r.event_type <> 'error'
+      ORDER BY c.user_id""",
+    "q140_kcore" -> duckKCore(rounds = 10),
     "q132_equi_depth" -> """
       WITH vals AS (
         SELECT l_orderkey, l_linenumber,

@@ -961,7 +961,89 @@ object DedupQueries extends QueryModule {
     out
   }
 
+  /** q137 — SURVIVOR SELECTION over the near-dup cluster graph: the step
+    * that turns q59's clusters into a deduplicated CORPUS. Each cluster
+    * keeps exactly one document — the argmax by (n_chars, then min doc_id),
+    * i.e. the longest member with a deterministic tie-break — and every
+    * other member drops; documents in no verified pair are their own
+    * singleton cluster and always survive. Reported per source: docs seen,
+    * docs kept, kept-id checksum, and the character mass dropped — the
+    * ledger a pipeline owner reads to see WHICH feeds lose volume to
+    * dedup.
+    *
+    * Shuffle shape at 100 TB: the label frame is pair-graph-sized (only
+    * docs incident to a verified pair), so the corpus joins it on doc_id
+    * once; the survivor argmax folds into ONE cluster-keyed aggregation
+    * via max(struct(quality, -id)) — no per-cluster window sort — and the
+    * cluster-keyed survivor join reuses the aggregation's partitioning.
+    * Oracle: recursive-CTE transitive closure (q59's) + a per-cluster
+    * rank-1 window. */
+  val q137DedupSurvivors: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val sh = shingled(s, dir).cache()
+    val bands = lshBands(sh, "sh").cache()
+    val pairs = verifyPairs(bandPairs(bands), sh).select(col("i"), col("j"))
+    val labels = connectedComponentsAuto(pairs)
+    sh.unpersist(blocking = false)
+    bands.unpersist(blocking = false)
+    val clustered = docs
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("lbl"), col("doc_id")))
+    val survivors = clustered.groupBy(col("cluster"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster"), (-col("best.neg_id")).as("keep_id"))
+    clustered.join(survivors, "cluster")
+      .withColumn("kept", (col("doc_id") === col("keep_id")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        sum(when(col("kept") === 1L, col("doc_id")).otherwise(0L))
+          .as("kept_id_sum"),
+        sum(when(col("kept") === 0L, col("n_chars")).otherwise(0L))
+          .as("dropped_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** q138 — EXACT set-similarity self-join via PREFIX FILTERING (the
+    * AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
+    * WWW'08): every pair at token-3-shingle Jaccard ≥ 0.8, with a
+    * COMPLETENESS GUARANTEE q51's LSH cannot give (banding misses a pair
+    * at threshold with prob (1−s⁴)⁸ > 0; prefix filtering misses none).
+    * Pigeonhole: J(a,b) ≥ τ forces |a∩b| ≥ ⌈τ·|a|⌉, so under ANY global
+    * token order the first |a| − ⌈τ·|a|⌉ + 1 tokens of a (its PREFIX)
+    * must hit a∩b — two qualifying docs always share a prefix token. The
+    * global order is ascending document frequency (ties by token), so
+    * prefixes hold each doc's RAREST grams and posting lists stay short —
+    * df-ordering IS the skew control, where q135 needed a df cap.
+    *
+    * Plan: df from one gram-keyed aggregation; per-doc prefix via a rank
+    * window partitioned by doc (the token stream shuffles once by doc_id,
+    * q64's discipline); candidates from the prefix-postings equi-join on
+    * the gram, with the 5·min ≥ 4·max length gate folded into the join;
+    * exact-Jaccard verify unchanged from q51. Oracle: the brute-force
+    * pair set — q138 must reproduce it EXACTLY, not approximately. */
+  val q138AllPairsJaccard: Q = (s, dir) => {
+    val sh = shingled(s, dir).cache()
+    val grams = sh.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("g"))
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // prefix length |s| − ⌈0.8|s|⌉ + 1, integer-exact: ⌈4n/5⌉ = (4n+4) div 5
+    val rankW = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val prefix = grams.join(df, "g")
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= col("n") - expr("(4*n + 4) div 5") + 1)
+      .select(col("g"), col("doc_id"), col("n"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n"), col("y.n")) * 5 >= greatest(col("x.n"), col("y.n")) * 4)
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j")).distinct()
+    verifyPairs(cand, sh)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q137_dedup_survivors" -> q137DedupSurvivors,
+    "q138_allpairs_jaccard" -> q138AllPairsJaccard,
     "q135_containment" -> q135Containment,
     "q134_cc_incremental" -> q134CcIncremental,
     "q115_span_dedup"     -> q115SpanDedup,
@@ -997,6 +1079,40 @@ object DedupQueries extends QueryModule {
       ORDER BY i, j"""
 
   def oracles: Map[String, String] = Map(
+    "q137_dedup_survivors" -> s"""
+      WITH RECURSIVE $duckShingles,
+      pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.ss) > 0 AND len(b.ss) > 0
+          AND len(list_intersect(a.ss, b.ss)) >=
+              len(list_distinct(list_concat(a.ss, b.ss))) * 0.8),
+      edges AS (
+        SELECT i AS a, j AS b FROM pairs
+        UNION ALL SELECT j AS a, i AS b FROM pairs),
+      reach(id, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      comp AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
+      cl AS (
+        SELECT d.doc_id, d.source, d.n_chars,
+          coalesce(c.lbl, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM cl)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN rn = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+          AS kept_id_sum,
+        CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE n_chars END) AS BIGINT)
+          AS dropped_chars
+      FROM ranked GROUP BY source ORDER BY source""",
+    // exact join ⇒ the oracle is the brute-force pair set verbatim (q51's
+    // oracle is the SAME SQL but checks an approximate engine path)
+    "q138_allpairs_jaccard" -> duckPairJaccard,
     "q135_containment" -> s"""
       WITH $duckShingles,
       g AS (SELECT doc_id, unnest(ss) AS g FROM sh),

@@ -199,4 +199,47 @@ class DedupSpec extends SparkSpec {
     assert(nDocs == nDistinct + nDropped)
     assert(nDocs == graft.engine.Tables.load(spark, sfDir01, "documents").count())
   }
+
+  test("q138 prefix-filter join reproduces the brute-force pair set EXACTLY") {
+    // the completeness claim LSH can't make: AllPairs prefix filtering is
+    // provably lossless, so its verified pairs must EQUAL brute force —
+    // not approximate it — on the same shingles and threshold
+    val got = DedupQueries.q138AllPairsJaccard(spark, sfDir01)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brutePairs)
+    assert(got.nonEmpty)
+  }
+
+  test("q137 survivor selection equals a plain-Scala union-find recompute") {
+    // independent recompute: union-find over the brute pair graph, argmax
+    // survivor by (n_chars desc, doc_id asc), per-source rollup
+    val docs = graft.engine.Tables.load(spark, sfDir01, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    brutePairs.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val byCluster = docs.groupBy { case (id, _, _) => find(id) }
+    val keepIds = byCluster.values.map(ms =>
+      ms.minBy { case (id, _, nc) => (-nc, id) }._1).toSet
+    val expected = docs.groupBy(_._2).map { case (src, ms) =>
+      (src, ms.length.toLong,
+        ms.count(m => keepIds(m._1)).toLong,
+        ms.filter(m => keepIds(m._1)).map(_._1).sum,
+        ms.filterNot(m => keepIds(m._1)).map(_._3).sum)
+    }.toSet
+    val got = DedupQueries.q137DedupSurvivors(spark, sfDir01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    // dedup must actually drop something at sf0.01 (planted near-dups)
+    assert(got.exists { case (_, nDocs, nKept, _, _) => nKept < nDocs })
+    graft.engine.Sessions.releasePinned(spark)
+  }
 }

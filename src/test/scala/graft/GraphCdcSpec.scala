@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.AnalyticQueries
+import org.apache.spark.sql.functions._
+
+/** q139 CDC log compaction and q140 k-core: plain-Scala recomputes plus the
+  * crafted multi-round peel case the bounded-unroll oracle relies on. */
+class GraphCdcSpec extends SparkSpec {
+
+  test("q139 CDC compaction equals a plain-Scala latest-wins-with-tombstones recompute") {
+    val evs = graft.engine.Tables.load(spark, sfDir01, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsus"), col("event_id"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val expected = evs.groupBy(_._1).flatMap { case (uid, ops) =>
+      val last = ops.maxBy(o => (o._2, o._3))
+      if (last._4 == "error") None
+      else Some((uid, ops.length.toLong, ops.count(_._4 == "error").toLong,
+        last._2, last._4, math.round(last._5 * 100)))
+    }.toSet
+    val got = AnalyticQueries.q139CdcApply(spark, sfDir01)
+      .select(col("user_id"), col("n_ops"), col("n_deletes"),
+        expr("unix_micros(last_ts)"), col("last_op"), col("last_value_cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toSet
+    assert(got == expected)
+    // tombstone semantics must actually fire on the fixture: some users'
+    // final event is an 'error', and they must be absent from the output
+    val tombstoned = evs.groupBy(_._1).count { case (_, ops) =>
+      ops.maxBy(o => (o._2, o._3))._4 == "error"
+    }
+    assert(tombstoned > 0 && got.size + tombstoned == evs.map(_._1).distinct.length)
+  }
+
+  test("q140 k-core peels a pendant path over multiple synchronous rounds") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} is a 3-core fixpoint; the pendant path 4-5-6-7 needs
+    // THREE peel rounds (7 drops, then 6, then 5) — a single-pass degree
+    // filter would leave 5 and 6 behind. Extra node 8 hangs off the clique
+    // with degree 1 and drops in round 1.
+    val e0 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (1L, 8L)).toDF("a", "b")
+    val core = AnalyticQueries.kCoreEdges(e0, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
+  test("q140 sub-3-core graph peels to empty without throwing") {
+    import spark.implicits._
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b") // triangle = 2-core
+    assert(AnalyticQueries.kCoreEdges(e0, k = 3).count() == 0)
+    val r = AnalyticQueries.kCoreEdges(e0, k = 3)
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("s")).collect().head
+    assert(r.getLong(0) == 0 && r.isNullAt(1))
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
+  test("q140 sf0.01 peel depth stays within the oracle's 10-round unroll") {
+    // the bounded-unroll oracle is only valid if the data converges within
+    // its layers: recompute the peel depth in plain Scala on the same
+    // co-purchase edges
+    val li = graft.engine.Tables.load(spark, sfDir01, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var live = edges.toSet
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val deg = live.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => (n, xs.size) }
+      val weak = deg.filter(_._2 < 3).keySet
+      if (weak.isEmpty) done = true
+      else {
+        rounds += 1
+        live = live.filter(e => !weak(e._1) && !weak(e._2))
+        assert(rounds <= 10, "peel depth exceeds the oracle unroll")
+      }
+    }
+    assert(rounds <= 10)
+  }
+}
