@@ -162,6 +162,32 @@ object Dev {
         println(f"[scaling] $qn sf=${sf.split('/').last} best=$best%.2fs rows=${times.head._2}")
       }
       spark.stop()
+    } else if (name == "q135prof") {
+      // stage timings for the containment pipeline
+      import org.apache.spark.sql.functions._
+      val docs = graft.engine.Tables.load(spark, sfDir, "documents")
+      val sh = graft.operators.DedupQueries.shingledDocs(docs).cache()
+      var t0 = System.nanoTime()
+      println(s"[dev] sh rows=${sh.count()} ${(System.nanoTime()-t0)/1e9}s")
+      val grams = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      t0 = System.nanoTime()
+      val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select(col("g")).cache()
+      println(s"[dev] rare=${rare.count()} ${(System.nanoTime()-t0)/1e9}s")
+      val keyed = grams.join(rare, "g")
+      t0 = System.nanoTime()
+      val cand = keyed.as("x").join(keyed.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j")).distinct().cache()
+      println(s"[dev] cand=${cand.count()} ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      val verified = cand
+        .join(broadcast(sh.select(col("doc_id").as("i"), col("sh").as("sh_i"))), "i")
+        .join(broadcast(sh.select(col("doc_id").as("j"), col("sh").as("sh_j"))), "j")
+        .select(col("i"), col("j"),
+          size(array_intersect(col("sh_i"), col("sh_j"))).cast("long").as("inter"))
+      println(s"[dev] verified=${verified.count()} ${(System.nanoTime()-t0)/1e9}s")
+      spark.stop()
     } else if (name == "all") {
       (1 to reps).foreach { i =>
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (qn, f) =>

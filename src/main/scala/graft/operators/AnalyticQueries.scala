@@ -1293,7 +1293,53 @@ object AnalyticQueries extends QueryModule {
         col("degree_sum"), col("min_degree"))
   }
 
+  /** q143 — SKETCH SET ALGEBRA (audience overlap): |clickers|,
+    * |purchasers|, their union from merged HLL sketches, and the
+    * intersection by inclusion–exclusion (|A∩B| = |A|+|B|−|A∪B|) — the
+    * "how many users did BOTH" question answered from three ~1.5 KB
+    * per-segment sketches instead of a user-level join. At 100 TB the
+    * point is the q98/q102 reuse story: per-segment sketches persist
+    * once, and ANY pairwise overlap/union query is a driver-side merge —
+    * no re-scan, no distinct-join per question. Exact counts ride along
+    * (one distinct pass over the user×segment frame) to pin the union
+    * estimate to HLL's ±3σ contract and the intersection to the
+    * compounded inclusion–exclusion bound (3σ of each term — the
+    * estimator's real error model, which is RELATIVE TO THE SETS, not to
+    * the overlap; a tiny overlap of two huge sets is where
+    * inclusion–exclusion degrades, and the bound says so honestly). */
+  val q143SketchOverlap: Q = (s, dir) => {
+    val du = Tables.load(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type")).distinct()
+    val per = du.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+        count(lit(1)).as("exact_n"))
+    val merged = per.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_union"),
+      sum(col("exact_n")).as("sum_sizes"),
+      max(when(col("event_type") === "click", col("exact_n"))).as("exact_a"),
+      max(when(col("event_type") === "purchase", col("exact_n"))).as("exact_b"),
+      max(when(col("event_type") === "click",
+        expr("hll_sketch_estimate(sk)"))).as("est_a"),
+      max(when(col("event_type") === "purchase",
+        expr("hll_sketch_estimate(sk)"))).as("est_b"))
+    val exactU = du.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("exact_union"))
+    merged.crossJoin(exactU)
+      .withColumn("exact_inter", col("sum_sizes") - col("exact_union"))
+      .withColumn("est_inter",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0)))
+      .select(col("exact_a"), col("exact_b"), col("exact_union"),
+        col("exact_inter"),
+        (abs(col("est_union") - col("exact_union"))
+          <= col("exact_union") * 0.05).cast("long").as("union_within_3sd"),
+        (abs(col("est_inter") - col("exact_inter")) <=
+          (col("exact_a") + col("exact_b") + col("exact_union")) * 0.05)
+          .cast("long").as("inter_within_bound"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q143_sketch_overlap" -> q143SketchOverlap,
     "q139_cdc_apply" -> q139CdcApply,
     "q140_kcore" -> q140KCore,
     "q132_equi_depth" -> q132EquiDepth,
@@ -1370,6 +1416,21 @@ object AnalyticQueries extends QueryModule {
         FROM v$n) WHERE rn = 1)"""
 
   def oracles: Map[String, String] = Map(
+    // sketch estimates reduce to contract flags (q98 discipline): the
+    // oracle computes the exact set sizes and pins the flags at 1
+    "q143_sketch_overlap" -> """
+      WITH du AS (
+        SELECT DISTINCT user_id, event_type FROM events
+        WHERE event_type IN ('click', 'purchase'))
+      SELECT
+        (SELECT count(*) FROM du WHERE event_type = 'click') AS exact_a,
+        (SELECT count(*) FROM du WHERE event_type = 'purchase') AS exact_b,
+        (SELECT count(DISTINCT user_id) FROM du) AS exact_union,
+        (SELECT count(*) FROM du WHERE event_type = 'click')
+          + (SELECT count(*) FROM du WHERE event_type = 'purchase')
+          - (SELECT count(DISTINCT user_id) FROM du) AS exact_inter,
+        CAST(1 AS BIGINT) AS union_within_3sd,
+        CAST(1 AS BIGINT) AS inter_within_bound""",
     "q139_cdc_apply" -> """
       WITH ranked AS (
         SELECT user_id, ts, event_id, event_type, value,

@@ -299,7 +299,81 @@ object WindowQueries extends QueryModule {
       .groupBy(col("event_type"), col("day_num"))
       .agg(sum(col("n_events")).as("n_events")))
 
+  /** q141 — EXPONENTIALLY-WEIGHTED trailing smoothing of daily per-type
+    * event volumes: each report day's smoothed rate halves the weight per
+    * day of age over a 7-day horizon (w = 2^(6−lag)) — the monitoring
+    * smoother that damps weekday noise faster than a flat 7-day mean while
+    * still forgetting spikes geometrically. INTEGER-EXACT end to end:
+    * weights are powers of two (shiftleft), numerator/denominator are
+    * BIGINT sums, and the smoothed value is ONE integer division to micro
+    * units — no IEEE pow/avg whose partial-sum order an engine could
+    * reorder. Days absent from the data contribute neither weight nor
+    * mass (self-describing denominator).
+    *
+    * Scale: q96's shape — ONE event-volume aggregation to daily counts,
+    * then each (type, day) row fans map-side to the ≤ 7 report days it
+    * serves (an equi-join on the report day, never a window over event
+    * rows); the exchange carries type×day rows. */
+  val q141EwmSmoothing: Q = (s, dir) => {
+    val daily = dailyCounts(Tables.load(s, dir, "events"))
+    val days = daily.select(col("day_num").as("d")).distinct()
+    daily
+      .select(col("event_type"), col("n_events"),
+        explode(expr("sequence(day_num, day_num + 6)")).as("report_day"),
+        col("day_num"))
+      .withColumn("w", expr("cast(shiftleft(1, 6 - cast(report_day - day_num as int)) as long)"))
+      .drop("day_num")
+      .join(broadcast(days), col("report_day") === col("d"), "left_semi")
+      .groupBy(col("event_type"), col("report_day"))
+      .agg(sum(col("n_events") * col("w")).as("ewm_num"),
+        sum(col("w")).as("ewm_den"))
+      .withColumn("ewm_micro", expr("ewm_num * 1000000 div ewm_den"))
+      .orderBy(col("event_type"), col("report_day"))
+  }
+
+  /** q142 — ROBUST (median/MAD) rolling anomaly flags: q125's z-score
+    * twin with the breakdown point the mean lacks — one poisoned day in
+    * the trailing week corrupts a mean/σ baseline (masking the very
+    * anomaly it should catch), while the median and the median absolute
+    * deviation ignore it. Trailing 7-day window per (type, day): med =
+    * 4th order statistic, MAD = median of |xᵢ − med|, flag when
+    * |x − med| · 10⁴ > 44478 · MAD — the 3·1.4826·MAD rule
+    * cross-multiplied to exact integers (1.4826 ≈ Φ⁻¹-consistency for
+    * the normal). Flags only on full windows; MAD = 0 (constant week)
+    * flags any deviation, the degenerate case handled identically in
+    * both engines by the same integer comparison.
+    *
+    * Scale: the window's collect_list runs over the TYPE×DAY frame (7
+    * small integers per row), not events — the only event-volume work is
+    * the daily-count aggregation q125 already bounded. */
+  /** The median/MAD window over any (event_type, day_num, n_events) daily
+    * frame — separated from the fixture binding so specs can drive crafted
+    * series (a poisoned baseline) through the exact production logic. */
+  private[graft] def madFlags(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-7, -1)
+    daily
+      .withColumn("win", collect_list(col("n_events")).over(w))
+      .withColumn("med", when(size(col("win")) === 7,
+        element_at(array_sort(col("win")), 4)))
+      .withColumn("mad", when(size(col("win")) === 7,
+        element_at(array_sort(expr("transform(win, v -> abs(v - med))")), 4)))
+      .withColumn("is_anomaly",
+        (size(col("win")) === 7 &&
+          abs(col("n_events") - col("med")) * 10000 > col("mad") * 44478)
+          .cast("long"))
+      .select(col("event_type"), col("day_num"), col("n_events"),
+        col("med"), col("mad"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("day_num"))
+  }
+
+  val q142MadAnomaly: Q = (s, dir) =>
+    madFlags(dailyCounts(Tables.load(s, dir, "events")))
+
   def queries: Map[String, Q] = Map(
+    "q141_ewm_smoothing" -> q141EwmSmoothing,
+    "q142_mad_anomaly" -> q142MadAnomaly,
     "q125_rolling_anomaly" -> q125RollingAnomaly,
     "q26_asof_join"     -> q26AsofJoin,
     "q27_gapfill"       -> q27GapFill,
@@ -314,6 +388,51 @@ object WindowQueries extends QueryModule {
     "q25_window_ntile"  -> q25Ntile)
 
   def oracles: Map[String, String] = Map(
+    "q141_ewm_smoothing" -> """
+      WITH daily AS (
+        SELECT event_type,
+          CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+            AS day_num,
+          count(*) AS n
+        FROM events GROUP BY 1, 2),
+      days AS (SELECT DISTINCT day_num FROM daily),
+      fan AS (
+        SELECT event_type, day_num + o AS report_day,
+          n * (1::BIGINT << (6 - o)) AS wn, (1::BIGINT << (6 - o)) AS w
+        FROM daily CROSS JOIN (SELECT unnest(range(0, 7)) AS o)
+        WHERE day_num + o IN (SELECT day_num FROM days))
+      SELECT event_type, report_day,
+        CAST(sum(wn) AS BIGINT) AS ewm_num,
+        CAST(sum(w) AS BIGINT) AS ewm_den,
+        CAST(sum(wn) * 1000000 // sum(w) AS BIGINT) AS ewm_micro
+      FROM fan GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q142_mad_anomaly" -> """
+      WITH daily AS (
+        SELECT event_type,
+          CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+            AS day_num,
+          count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      win AS (
+        SELECT event_type, day_num, n_events,
+          list(n_events) OVER (PARTITION BY event_type ORDER BY day_num
+            RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS w
+        FROM daily),
+      med AS (
+        SELECT *,
+          CASE WHEN len(w) = 7 THEN list_sort(w)[4] END AS med
+        FROM win),
+      mad AS (
+        SELECT *,
+          CASE WHEN len(w) = 7 THEN
+            list_sort([abs(v - med) for v in w])[4] END AS mad
+        FROM med)
+      SELECT event_type, day_num, CAST(n_events AS BIGINT) AS n_events,
+        CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+        CAST(coalesce(len(w) = 7 AND
+          abs(n_events - med) * 10000 > mad * 44478, false) AS BIGINT)
+          AS is_anomaly
+      FROM mad ORDER BY event_type, day_num""",
     "q125_rolling_anomaly" -> """
       WITH daily AS (
         SELECT event_type,

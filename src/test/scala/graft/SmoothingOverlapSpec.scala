@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{AnalyticQueries, WindowQueries}
+import org.apache.spark.sql.functions._
+
+/** q141 EWM smoothing, q142 median/MAD anomaly flags, q143 sketch overlap:
+  * plain-Scala recomputes plus the robustness law that motivates MAD. */
+class SmoothingOverlapSpec extends SparkSpec {
+
+  test("q141 EWM equals a plain-Scala recompute with power-of-two weights") {
+    val daily = graft.engine.Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val days = daily.map(_._2).toSet
+    val expected = (for {
+      (et, d, n) <- daily
+      o <- 0 to 6
+      r = d + o if days(r)
+    } yield ((et, r), (n << (6 - o), 1L << (6 - o))))
+      .groupBy(_._1)
+      .map { case (k, vs) =>
+        val num = vs.map(_._2._1).sum; val den = vs.map(_._2._2).sum
+        (k._1, k._2, num, den, num * 1000000L / den)
+      }.toSet
+    val got = WindowQueries.q141EwmSmoothing(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q142 MAD flags survive a poisoned baseline that corrupts the mean/sigma flags") {
+    import spark.implicits._
+    // 14 days of flat volume 100 with ONE poisoned day (10000) in the
+    // middle; day 13's trailing week contains the poison. A mean/sigma
+    // baseline (q125's logic) is corrupted by the poison: its sigma
+    // explodes, so a real 3x spike on day 13 goes UNFLAGGED (masking).
+    // The median/MAD baseline ignores the poison: med=100, mad=0, and the
+    // spike flags.
+    val counts = (0L to 12L).map(d => ("click", d, if (d == 8L) 10000L else 100L)) :+
+      (("click", 13L, 300L))
+    val daily = counts.toDF("event_type", "day_num", "n_events")
+    val mad = WindowQueries.madFlags(daily).collect()
+      .map(r => (r.getLong(1), (r.getLong(2), r.getLong(5)))).toMap
+    assert(mad(13L)._2 == 1L, "MAD must flag the real spike despite the poison")
+    val z = WindowQueries.anomalyFlags(daily).collect()
+      .map(r => (r.getLong(1), r.getLong(6))).toMap
+    assert(z(13L) == 0L, "the z-score baseline is masked by the poison (the contrast)")
+    // and the poisoned day itself flags under MAD (clean preceding week)
+    assert(mad(8L)._2 == 1L)
+  }
+
+  test("q142 equals a plain-Scala trailing median/MAD recompute at sf0.001") {
+    val daily = graft.engine.Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    val expected = byType.toSeq.flatMap { case (et, rows) =>
+      val m = rows.map(r => (r._2, r._3)).toMap
+      rows.toSeq.map { case (_, d, n) =>
+        val win = ((d - 7) to (d - 1)).flatMap(m.get).sorted
+        if (win.length == 7) {
+          val med = win(3)
+          val mad = win.map(v => math.abs(v - med)).sorted.apply(3)
+          (et, d, n, Some(med), Some(mad),
+            if (math.abs(n - med) * 10000 > mad * 44478) 1L else 0L)
+        } else (et, d, n, None, None, 0L)
+      }
+    }.toSet
+    val got = WindowQueries.q142MadAnomaly(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5))).toSet
+    assert(got == expected)
+  }
+
+  test("q143 exact set algebra is right and the sketch estimates stay in bound") {
+    val du = graft.engine.Tables.load(spark, sfDir01, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val a = du.filter(_._2 == "click").map(_._1).toSet
+    val b = du.filter(_._2 == "purchase").map(_._1).toSet
+    val r = AnalyticQueries.q143SketchOverlap(spark, sfDir01).collect().head
+    assert(r.getLong(0) == a.size && r.getLong(1) == b.size)
+    assert(r.getLong(2) == (a ++ b).size && r.getLong(3) == (a & b).size)
+    assert(r.getLong(4) == 1L && r.getLong(5) == 1L)
+  }
+}
