@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Num, QueryModule}
 import graft.engine.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1208,23 +1208,59 @@ object AnalyticQueries extends QueryModule {
     * per key map-side — at 100 TB the exchange carries keys, not the
     * log). Keys whose final op is a tombstone vanish from the output, the
     * delete semantics a snapshot compaction must honor. */
-  val q139CdcApply: Q = (s, dir) => {
-    val last = max(struct(col("ts"), col("event_id"),
-      col("event_type").as("op"), Num.cents(col("value")).as("v_cents")))
-    Tables.load(s, dir, "events")
+  /** Per-key CDC partial of one event slice: op/delete counters + the
+    * latest op as a struct whose field ORDER (ts, event_id, op, v_cents)
+    * IS the merge algebra — max over these structs is argmax-by-(ts, id),
+    * which is associative, commutative, and IDEMPOTENT. Counters merge by
+    * sum (not idempotent — the streaming store handles that with batch-id
+    * partition overwrite). Tombstones are NOT filtered here: a later
+    * slice may supersede a delete, so the filter belongs to the collapse. */
+  private[graft] def cdcPartials(events: DataFrame): DataFrame =
+    events
       .select(col("user_id"), col("ts"), col("event_id").cast("long").as("event_id"),
         col("event_type"), col("value"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_ops"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L))
           .as("n_deletes"),
-        last.as("last"))
+        max(struct(col("ts"), col("event_id"), col("event_type").as("op"),
+          Num.cents(col("value")).as("v_cents"))).as("last"))
+
+  /** Merge per-key partials (from any slicing of the log) to final state:
+    * counters sum, latest-op structs max, and only here do tombstoned keys
+    * vanish. partials-of-the-whole collapse to themselves, so the batch
+    * query IS collapse∘partials — the streaming store serves the identical
+    * plan over its stored partials. Both aggregations key on user_id, so
+    * the second reuses the first's partitioning: still one exchange. */
+  private[graft] def cdcCollapse(partials: DataFrame): DataFrame =
+    partials.groupBy(col("user_id"))
+      .agg(sum(col("n_ops")).as("n_ops"),
+        sum(col("n_deletes")).as("n_deletes"),
+        max(col("last")).as("last"))
       .filter(col("last.op") =!= "error")
       .select(col("user_id"), col("n_ops"), col("n_deletes"),
         col("last.ts").as("last_ts"), col("last.op").as("last_op"),
         col("last.v_cents").as("last_value_cents"))
       .orderBy(col("user_id"))
-  }
+
+  val q139CdcApply: Q = (s, dir) =>
+    cdcCollapse(cdcPartials(Tables.load(s, dir, "events")))
+
+  /** One STREAMING CDC ingest step: append this batch's per-key partials,
+    * keyed by ingest batch with dynamic partition overwrite — counter sums
+    * don't absorb replays (unlike the struct max), so idempotence is the
+    * q74/anomaly discipline: a replayed batch overwrites exactly its own
+    * partition. */
+  def cdcBatchAppend(events: DataFrame, storePath: String, batchId: Long): Unit =
+    cdcPartials(events)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic").parquet(storePath)
+
+  /** Serve final CDC state ENTIRELY from the partial store: the log is
+    * never revisited; the store holds one row per (key, ingest batch). */
+  def cdcFromStore(s: SparkSession, storePath: String): DataFrame =
+    cdcCollapse(s.read.parquet(storePath).drop("ingest_batch"))
 
   /** q140 — K-CORE DECOMPOSITION (k=3) of the q100 co-purchase graph:
     * iteratively peel every node of degree < k until none remain — the

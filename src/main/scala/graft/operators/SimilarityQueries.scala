@@ -748,7 +748,32 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("i"), col("j"))
   }
 
+  /** q144 — LABEL-CENTROID SIMILARITY MATRIX: pairwise cosine between the
+    * per-label centroids — the class-confusion readout that tells a
+    * metric-learning pipeline WHICH label pairs crowd each other (where
+    * q113/q114's hard negatives will concentrate, and which IVF cells
+    * multi-probe must pair). The corpus collapses to k centroids in one
+    * aggregation (q57's exact floor-averaged integers), and the k×k matrix
+    * is arithmetic on a LABEL-CARDINALITY frame — the cross product here
+    * is k², never corpus², which is the entire point of centroid
+    * summaries: at 100 TB, k stays human-sized while the corpus doesn't.
+    * Micro-unit cosine from exact integer dots (correctly-rounded IEEE
+    * sqrt/division on exact BIGINTs — engine-identical). */
+  val q144CentroidSimilarity: Q = (s, dir) => {
+    val cents = ivfCentroids(quantized(s, dir))
+    val a = cents.select(col("clabel").cast("long").as("label_a"),
+      col("cvec").as("va"), col("cn2").as("na"))
+    val b = cents.select(col("clabel").cast("long").as("label_b"),
+      col("cvec").as("vb"), col("cn2").as("nb"))
+    a.crossJoin(broadcast(b)).filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        expr("CAST(round(dot_long(va, vb) / (sqrt(na) * sqrt(nb)) * 1000000, 0) AS BIGINT)")
+          .as("cos_micro"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q144_centroid_similarity" -> q144CentroidSimilarity,
     "q117_knn_sq8" -> q117KnnSq8,
     "q123_knn_ivf_sq8" -> q123KnnIvfSq8,
     "q126_gram_matrix" -> q126GramMatrix,
@@ -801,6 +826,25 @@ object SimilarityQueries extends QueryModule {
         CAST(list_sum([x * x for x in qv]) AS BIGINT) AS n2 FROM q)"""
 
   def oracles: Map[String, String] = Map(
+    "q144_centroid_similarity" -> s"""
+      WITH $duckQuant,
+      comp AS (
+        SELECT label, pos, CAST(floor(avg(v)) AS BIGINT) AS cv
+        FROM (SELECT label, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v
+              FROM n)
+        GROUP BY label, pos),
+      cents AS (
+        SELECT CAST(label AS BIGINT) AS label, list(cv ORDER BY pos) AS cvec,
+          CAST(list_sum([c2 * c2 for c2 in list(cv ORDER BY pos)]) AS BIGINT)
+            AS cn2
+        FROM comp GROUP BY label)
+      SELECT a.label AS label_a, b.label AS label_b,
+        CAST(round(
+          CAST(list_sum([a.cvec[k] * b.cvec[k]
+                         for k in range(1, len(a.cvec)+1)]) AS BIGINT)
+            / (sqrt(a.cn2) * sqrt(b.cn2)) * 1000000, 0) AS BIGINT) AS cos_micro
+      FROM cents a, cents b WHERE a.label < b.label
+      ORDER BY label_a, label_b""",
     "q126_gram_matrix" -> """
       WITH q AS (
         SELECT vec_id,

@@ -371,7 +371,34 @@ object WindowQueries extends QueryModule {
   val q142MadAnomaly: Q = (s, dir) =>
     madFlags(dailyCounts(Tables.load(s, dir, "events")))
 
+  /** q145 — MARKOV TRANSITION MATRIX over per-user event streams: counts
+    * and first-order probabilities of consecutive event-type transitions —
+    * the aggregate complement of q94's literal top paths (q94 surfaces
+    * whole sequences; this estimates the chain that generates them, the
+    * input to next-event prediction and to spotting broken flows — a
+    * view→error rate jump pages someone). One user-keyed window pass (lag
+    * by (ts, event_id) — q112's deterministic order) emits transition
+    * pairs map-side; the count aggregation is the only event-volume
+    * exchange and its output is ≤ |types|² rows, over which the row-total
+    * window and the micro-unit division are free. Probabilities are
+    * integer micro units (count·10⁶ div row-total — exact). */
+  val q145MarkovTransitions: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wPrev = Window.partitionBy(col("prev"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(wPrev))
+      .withColumn("p_micro", expr("n * 1000000 div row_total"))
+      .orderBy(col("prev"), col("next"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q145_markov_transitions" -> q145MarkovTransitions,
     "q141_ewm_smoothing" -> q141EwmSmoothing,
     "q142_mad_anomaly" -> q142MadAnomaly,
     "q125_rolling_anomaly" -> q125RollingAnomaly,
@@ -388,6 +415,20 @@ object WindowQueries extends QueryModule {
     "q25_window_ntile"  -> q25Ntile)
 
   def oracles: Map[String, String] = Map(
+    "q145_markov_transitions" -> """
+      WITH tr AS (
+        SELECT lag(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+          event_type AS next
+        FROM events),
+      cnt AS (
+        SELECT prev, next, count(*) AS n
+        FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2)
+      SELECT prev, next, n,
+        CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT) AS row_total,
+        CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev) AS BIGINT)
+          AS p_micro
+      FROM cnt ORDER BY prev, next""",
     "q141_ewm_smoothing" -> """
       WITH daily AS (
         SELECT event_type,

@@ -274,6 +274,24 @@ object StreamOps {
     * idempotent. Restarts need no bookkeeping for the same reason; the
     * spec pins streamed-store == batch-store estimates and replay
     * invariance. */
+  /** STREAMING CDC ingestion into the persisted per-key partial store:
+    * each micro-batch of change events appends its per-key partials via
+    * [[graft.operators.AnalyticQueries.cdcBatchAppend]] (batch-id dynamic
+    * partition overwrite — the counter sums need it; the latest-op struct
+    * max alone would absorb replays); serving
+    * ([[graft.operators.AnalyticQueries.cdcFromStore]]) collapses stored
+    * partials with the SAME code path the batch query uses, so
+    * store-served state == q139 on the union of batches by construction
+    * of the merge algebra (max associative/commutative, sums partitioned
+    * by batch). The log is never revisited. */
+  def cdcApplyStream(events: DataFrame, storePath: String,
+      batchIdBase: Long = 0L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.AnalyticQueries.cdcBatchAppend(
+        batch, storePath, batchIdBase + batchId)
+    }.start()
+
   def rollingDauStream(events: DataFrame, storePath: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>

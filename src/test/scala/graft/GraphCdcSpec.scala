@@ -58,6 +58,39 @@ class GraphCdcSpec extends SparkSpec {
     graft.engine.Sessions.releasePinned(spark)
   }
 
+  test("streaming CDC store equals batch q139 on a 3-way split; replay cannot double-count") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("ts"), col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[(java.sql.Timestamp, Long, Long, String, Double)].collect().toSeq
+    val store = java.nio.file.Files.createTempDirectory("graft_cdc").toString + "/partials"
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Long, String, Double)]
+    val q = graft.streaming.StreamOps.cdcApplyStream(
+      stream.toDF().toDF("ts", "event_id", "user_id", "event_type", "value"), store)
+    val batches = events.grouped((events.size + 2) / 3).toSeq
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("n_ops"), col("n_deletes"),
+        expr("unix_micros(last_ts)"), col("last_op"), col("last_value_cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toSet
+    val want = canon(AnalyticQueries.q139CdcApply(spark, sfDir))
+    assert(canon(AnalyticQueries.cdcFromStore(spark, store)) == want,
+      "store-served state equals the batch query")
+    // REPLAY batch 2 under its original id: dynamic overwrite of its own
+    // partition — nothing may move (the counter sums would double otherwise)
+    AnalyticQueries.cdcBatchAppend(
+      spark.createDataset(batches(1))
+        .toDF("ts", "event_id", "user_id", "event_type", "value"), store, 1L)
+    assert(canon(AnalyticQueries.cdcFromStore(spark, store)) == want,
+      "replayed batch overwrites its own partition, never double-counts")
+  }
+
   test("q140 sf0.01 peel depth stays within the oracle's 10-round unroll") {
     // the bounded-unroll oracle is only valid if the data converges within
     // its layers: recompute the peel depth in plain Scala on the same

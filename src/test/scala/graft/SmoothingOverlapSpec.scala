@@ -79,6 +79,59 @@ class SmoothingOverlapSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q145 transition matrix equals a plain-Scala per-user lag recompute") {
+    val evs = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = evs.groupBy(_._1).toSeq.flatMap { case (_, ops) =>
+      val ordered = ops.sortBy(o => (o._2, o._3)).map(_._4)
+      ordered.zip(ordered.drop(1))
+    }
+    val cnt = trans.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val totals = cnt.groupBy(_._1._1).map { case (p, m) => (p, m.values.sum) }
+    val expected = cnt.map { case ((p, nx), n) =>
+      (p, nx, n, totals(p), n * 1000000L / totals(p))
+    }.toSet
+    val got = WindowQueries.q145MarkovTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // probabilities per prev row-normalize (up to integer-floor loss < |row|)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val s = rows.toSeq.map(_._5).sum
+      assert(s <= 1000000L && s > 1000000L - rows.size)
+    }
+  }
+
+  test("q144 centroid matrix equals a plain-Scala floor-mean + cosine recompute") {
+    val vecs = graft.engine.Tables.load(spark, sfDir01, "embeddings")
+      .select(col("label").cast("long"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def halfUp(d: Double): Long =
+      BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val cents = vecs.groupBy(_._1).map { case (lbl, vs) =>
+      val qs = vs.map(_._2.map(x => halfUp(x.toDouble * 1000000)))
+      val dim = qs.head.length
+      (lbl, Array.tabulate(dim) { i =>
+        math.floor(qs.map(_(i)).sum.toDouble / qs.length).toLong
+      })
+    }
+    val expected = (for {
+      (la, va) <- cents.toSeq; (lb, vb) <- cents.toSeq if la < lb
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      na = va.map(x => x * x).sum; nb = vb.map(x => x * x).sum
+    } yield (la, lb,
+      halfUp(dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)) * 1000000)
+    )).toSet
+    val got = graft.operators.SimilarityQueries
+      .q144CentroidSimilarity(spark, sfDir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("q143 exact set algebra is right and the sketch estimates stay in bound") {
     val du = graft.engine.Tables.load(spark, sfDir01, "events")
       .filter(col("event_type").isin("click", "purchase"))
