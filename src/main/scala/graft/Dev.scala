@@ -148,7 +148,8 @@ object Dev {
         "q59_dedup_clusters", "q80_semantic_dedup", "q100_triangles",
         "q51_dedup_minhash", "q73_pipeline", "q111_source_novelty",
         "q115_span_dedup", "q116_leak_safe_split", "q120_bigram_lm",
-        "q121_span_dedup_incremental")
+        "q121_span_dedup_incremental", "q135_containment",
+        "q137_dedup_survivors", "q138_allpairs_jaccard", "q140_kcore")
       for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1");
            qn <- heavy) {
         val fn = SparkEntry.queries(qn)

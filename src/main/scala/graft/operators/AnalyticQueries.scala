@@ -1411,8 +1411,9 @@ object AnalyticQueries extends QueryModule {
   /** Bounded-unroll k-core oracle: `rounds` synchronous peel layers (degree
     * count → keep ≥ k → edge restriction). Peeling is monotone and the
     * k-core is its unique fixpoint, so extra layers past convergence are
-    * no-ops — the unroll only needs to be ≥ the data's peel depth (spec'd;
-    * fixtures converge in ≤ 3). */
+    * no-ops — the unroll only needs to be ≥ the data's peel depth
+    * (measured: 10 at sf0.01, 2 at sf0.1 — 16 leaves headroom, and the
+    * spec re-measures the depth against the unroll every run). */
   private def duckKCore(rounds: Int, k: Int = 3): String = {
     // every CTE layer is MATERIALIZED: DuckDB inlines plain CTEs at each
     // reference, and e_i references e_{i-1} three times — 10 inlined layers
@@ -1484,7 +1485,7 @@ object AnalyticQueries extends QueryModule {
       FROM cnt c JOIN ranked r ON c.user_id = r.user_id AND r.rn = 1
       WHERE r.event_type <> 'error'
       ORDER BY c.user_id""",
-    "q140_kcore" -> duckKCore(rounds = 10),
+    "q140_kcore" -> duckKCore(rounds = 16),
     "q132_equi_depth" -> """
       WITH vals AS (
         SELECT l_orderkey, l_linenumber,

@@ -91,7 +91,7 @@ class GraphCdcSpec extends SparkSpec {
       "replayed batch overwrites its own partition, never double-counts")
   }
 
-  test("q140 sf0.01 peel depth stays within the oracle's 10-round unroll") {
+  test("q140 sf0.01 peel depth stays within the oracle 16-round unroll") {
     // the bounded-unroll oracle is only valid if the data converges within
     // its layers: recompute the peel depth in plain Scala on the same
     // co-purchase edges
@@ -114,9 +114,9 @@ class GraphCdcSpec extends SparkSpec {
       else {
         rounds += 1
         live = live.filter(e => !weak(e._1) && !weak(e._2))
-        assert(rounds <= 10, "peel depth exceeds the oracle unroll")
+        assert(rounds <= 16, "peel depth exceeds the oracle unroll")
       }
     }
-    assert(rounds <= 10)
+    assert(rounds <= 16)
   }
 }

@@ -43,6 +43,19 @@ class PlansSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"))
   }
 
+  test("q138 prefix-filter join and q145 transition matrix keep scale-safe shapes") {
+    // q138: candidate generation is an equi-join on the prefix gram (the
+    // length gate rides the join condition, never widens it to a theta
+    // join) — no cartesian, no BNL anywhere in the exact-join pipeline
+    val p138 = planString(graft.operators.DedupQueries.q138AllPairsJaccard(spark, sfDir))
+    assert(!p138.contains("CartesianProduct") && !p138.contains("BroadcastNestedLoop"))
+    // q145: one user-keyed window then aggregates — no self-join of the
+    // event stream (the naive transitions-by-join shape)
+    val p145 = planString(graft.operators.WindowQueries.q145MarkovTransitions(spark, sfDir))
+    assert(!p145.contains("Join"), "transitions must come from a lag window, not a self-join")
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("round-9 span/LPA/gram plans keep scale-safe shapes") {
     // q115: block arbitration + reassembly — equi-shuffles only, never a
     // cartesian, and at most the two declared exchanges (btext window,
