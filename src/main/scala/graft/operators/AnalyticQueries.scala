@@ -1374,7 +1374,90 @@ object AnalyticQueries extends QueryModule {
           .cast("long").as("inter_within_bound"))
   }
 
+  /** q146 — ASSOCIATION RULES (market-basket): confidence and lift for
+    * every co-purchase pair at support ≥ 2 — the classic a→b readout
+    * ("baskets with a also hold b conf% of the time, lift× over chance")
+    * that q100's edge build stops short of. Pair supports come from the
+    * one order-keyed self-join (the same Σ|order|² work q100 bounds),
+    * item supports from one distinct-count aggregation, and the order
+    * total is a 1-row broadcast — both directions of each pair emit as
+    * rules with INTEGER micro-unit confidence (supp_ab·10⁶ div supp_a)
+    * and lift (supp_ab·n_orders·10⁶ div supp_a·supp_b): exact integer
+    * division, engine-identical, no IEEE ratio whose rounding could
+    * boundary-flip a rule. Output is rule-count-sized (2·|pairs|). */
+  val q146AssociationRules: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .cache() // read 3×: pair supports, item supports, order total
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("supp_ab")).filter(col("supp_ab") >= 2)
+    val item = li.groupBy(col("p")).agg(count(lit(1)).as("supp"))
+    val total = li.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
+    val rules = pairs.select(explode(array(
+        struct(col("a").as("lhs"), col("b").as("rhs"), col("supp_ab")),
+        struct(col("b").as("lhs"), col("a").as("rhs"), col("supp_ab")))).as("r"))
+      .select(col("r.lhs").as("lhs"), col("r.rhs").as("rhs"),
+        col("r.supp_ab").as("supp_ab"))
+    rules
+      .join(item.select(col("p").as("lhs"), col("supp").as("supp_lhs")), "lhs")
+      .join(item.select(col("p").as("rhs"), col("supp").as("supp_rhs")), "rhs")
+      .crossJoin(broadcast(total))
+      .select(col("lhs"), col("rhs"), col("supp_ab"), col("supp_lhs"),
+        col("supp_rhs"),
+        expr("supp_ab * 1000000 div supp_lhs").as("conf_micro"),
+        expr("supp_ab * n_orders * 1000000 div (supp_lhs * supp_rhs)")
+          .as("lift_micro"))
+      .orderBy(col("lhs"), col("rhs"))
+  }
+
+  /** q147 — LINEAR MULTI-TOUCH ATTRIBUTION: each purchase splits its
+    * revenue EQUALLY across every click/view touch in its 72 h lookback —
+    * the fairness complement of q112's last-touch (which hands the whole
+    * credit to one event). The touch set comes from a per-user RANGE
+    * window (collect_list of touches over the trailing 72 h frame) — no
+    * purchases×touches self-join, which at 100 TB re-shuffles event
+    * volume quadratically on hot users; the frame is bounded by one
+    * user's 72 h activity, the same bound q112 argues. Credit is integer
+    * micro-cents with the floor loss DECLARED: each of the k touches gets
+    * v_cents·10⁶ div k, so a purchase under-credits by < k µ¢ — the
+    * conservation law the spec pins (Σcredit ≤ total, gap < k per
+    * purchase). Purchases with no touch in window credit 'none' whole. */
+  val q147LinearAttribution: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("unix_micros(ts)"))
+      .rangeBetween(-259200000000L, -1L)
+    val touch = when(col("event_type").isin("click", "view"), col("event_type"))
+    val credited = Tables.load(s, dir, "events")
+      .select(col("event_id").cast("long").as("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .withColumn("touches",
+        collect_list(touch).over(w)) // nulls (non-touch events) drop out
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), Num.cents(col("value")).as("v_cents"),
+        col("touches"), size(col("touches")).cast("long").as("k"))
+    val some = credited.filter(col("k") > 0)
+      .select(col("event_id"), col("v_cents"), col("k"),
+        explode(col("touches")).as("touch"))
+      .withColumn("credit_micro_cents",
+        expr("v_cents * 1000000 div k"))
+    val none = credited.filter(col("k") === 0)
+      .select(col("event_id"), col("v_cents"), lit(1L).as("k"),
+        lit("none").as("touch"),
+        (col("v_cents") * 1000000L).as("credit_micro_cents"))
+    some.unionByName(none)
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_credits"),
+        countDistinct(col("event_id")).as("n_purchases"),
+        sum(col("credit_micro_cents")).as("credited_micro_cents"),
+        sum(col("event_id")).as("id_checksum"))
+      .orderBy(col("touch"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q146_association_rules" -> q146AssociationRules,
+    "q147_linear_attribution" -> q147LinearAttribution,
     "q143_sketch_overlap" -> q143SketchOverlap,
     "q139_cdc_apply" -> q139CdcApply,
     "q140_kcore" -> q140KCore,
@@ -1453,6 +1536,53 @@ object AnalyticQueries extends QueryModule {
         FROM v$n) WHERE rn = 1)"""
 
   def oracles: Map[String, String] = Map(
+    "q146_association_rules" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+      pr AS (
+        SELECT x.p a, y.p b, count(*) AS supp_ab FROM li x
+        JOIN li y ON x.o = y.o AND x.p < y.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      item AS (SELECT p, count(*) AS supp FROM li GROUP BY p),
+      tot AS (SELECT count(DISTINCT o) AS n_orders FROM li),
+      rules AS (
+        SELECT a AS lhs, b AS rhs, supp_ab FROM pr
+        UNION ALL SELECT b, a, supp_ab FROM pr)
+      SELECT lhs, rhs, supp_ab, il.supp AS supp_lhs, ir.supp AS supp_rhs,
+        CAST(supp_ab * 1000000 // il.supp AS BIGINT) AS conf_micro,
+        CAST(supp_ab * n_orders * 1000000 // (il.supp * ir.supp) AS BIGINT)
+          AS lift_micro
+      FROM rules JOIN item il ON lhs = il.p JOIN item ir ON rhs = ir.p
+      CROSS JOIN tot
+      ORDER BY lhs, rhs""",
+    "q147_linear_attribution" -> """
+      WITH ev AS (
+        SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, user_id,
+          event_type, value
+        FROM events),
+      win AS (
+        SELECT event_id, event_type, value,
+          count(CASE WHEN event_type IN ('click', 'view') THEN 1 END)
+            OVER w AS k,
+          count(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS c_click,
+          count(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS c_view
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+                     RANGE BETWEEN 259200000000 PRECEDING AND 1 PRECEDING)),
+      p AS (
+        SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS v,
+          k, c_click, c_view
+        FROM win WHERE event_type = 'purchase'),
+      cr AS (
+        SELECT 'click' AS touch, c_click AS c, event_id, v, k FROM p
+        WHERE c_click > 0
+        UNION ALL SELECT 'view', c_view, event_id, v, k FROM p
+        WHERE c_view > 0
+        UNION ALL SELECT 'none', 1, event_id, v, 1 FROM p WHERE k = 0)
+      SELECT touch, CAST(sum(c) AS BIGINT) AS n_credits,
+        count(*) AS n_purchases,
+        CAST(sum(c * (v * 1000000 // k)) AS BIGINT) AS credited_micro_cents,
+        CAST(sum(c * event_id) AS BIGINT) AS id_checksum
+      FROM cr GROUP BY touch ORDER BY touch""",
     // sketch estimates reduce to contract flags (q98 discipline): the
     // oracle computes the exact set sizes and pins the flags at 1
     "q143_sketch_overlap" -> """

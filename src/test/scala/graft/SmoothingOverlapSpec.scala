@@ -132,6 +132,69 @@ class SmoothingOverlapSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q146 association rules equal a plain-Scala basket recompute") {
+    val li = graft.engine.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pairSupp = scala.collection.mutable.Map[(Long, Long), Long]()
+    byOrder.values.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        pairSupp((ps(i), ps(j))) = pairSupp.getOrElse((ps(i), ps(j)), 0L) + 1
+    }
+    val itemSupp = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nOrders = byOrder.size.toLong
+    val expected = pairSupp.toSeq.filter(_._2 >= 2).flatMap { case ((a, b), s) =>
+      Seq((a, b, s), (b, a, s))
+    }.map { case (l, r, s) =>
+      (l, r, s, itemSupp(l), itemSupp(r), s * 1000000L / itemSupp(l),
+        s * nOrders * 1000000L / (itemSupp(l) * itemSupp(r)))
+    }.toSet
+    val got = graft.operators.AnalyticQueries
+      .q146AssociationRules(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // confidence is a probability; both rule directions share a lift
+    got.foreach { case (_, _, _, _, _, conf, _) => assert(conf <= 1000000L) }
+    val lifts = got.map { case (l, r, _, _, _, _, lift) =>
+      ((math.min(l, r), math.max(l, r)), lift) }
+    assert(lifts.groupBy(_._1).forall(_._2.map(_._2).size == 1),
+      "lift is symmetric in lhs/rhs")
+  }
+
+  test("q147 linear attribution conserves revenue up to the declared floor loss") {
+    val rows = graft.operators.AnalyticQueries
+      .q147LinearAttribution(spark, sfDir01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSet == Set("click", "view", "none"))
+    // independent recompute of total credited micro-cents from raw events
+    val evs = graft.engine.Tables.load(spark, sfDir01, "events")
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_id"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    var expectedTotal = 0L
+    var floorLossBound = 0L
+    evs.groupBy(_._1).values.foreach { ops =>
+      val sorted = ops.sortBy(_._2)
+      sorted.filter(_._4 == "purchase").foreach { p =>
+        val touches = sorted.filter(o => (o._4 == "click" || o._4 == "view") &&
+          o._2 >= p._2 - 259200000000L && o._2 <= p._2 - 1L)
+        val v = math.round(p._5 * 100)
+        val k = touches.length.toLong
+        if (k == 0) expectedTotal += v * 1000000L
+        else { expectedTotal += k * (v * 1000000L / k); floorLossBound += k - 1 }
+      }
+    }
+    assert(rows.map(_._4).sum == expectedTotal)
+    // credited never exceeds raw revenue; the gap is bounded by Σ(k−1) µ¢
+    val rawMicro = evs.filter(_._4 == "purchase")
+      .map(e => math.round(e._5 * 100) * 1000000L).sum
+    assert(expectedTotal <= rawMicro && rawMicro - expectedTotal <= floorLossBound)
+  }
+
   test("q143 exact set algebra is right and the sketch estimates stay in bound") {
     val du = graft.engine.Tables.load(spark, sfDir01, "events")
       .filter(col("event_type").isin("click", "purchase"))
