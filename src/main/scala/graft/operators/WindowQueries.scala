@@ -397,7 +397,35 @@ object WindowQueries extends QueryModule {
       .orderBy(col("prev"), col("next"))
   }
 
+  /** q148 — the SAME as-of join as q26, executed by the engine's custom
+    * Catalyst operator ([[graft.plans.AsOfJoinExec]]) instead of the
+    * union-tag window composition: a custom LogicalPlan planned by an
+    * injected SparkStrategy into a hash-clustered, (key, time)-sorted
+    * single-pass partition merge — the §7.3(c) whole-operator tier,
+    * exercised end-to-end through the driver's oracle gate (DuckDB's
+    * native ASOF LEFT JOIN, the identical SQL q26 checks against).
+    * Output/column contract identical to q26 by construction; the spec
+    * additionally pins row-for-row equality between the two engines'
+    * paths and that the executed plan contains AsOfJoinExec. */
+  val q148AsofNative: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"),
+        col("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    graft.plans.AsOf.join(errors, clicks, Seq("user_id" -> "c_user"),
+        "ts_us", "c_ts")
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        (col("ts_us") - col("c_ts")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q148_asof_native" -> q148AsofNative,
     "q145_markov_transitions" -> q145MarkovTransitions,
     "q141_ewm_smoothing" -> q141EwmSmoothing,
     "q142_mad_anomaly" -> q142MadAnomaly,
@@ -414,7 +442,24 @@ object WindowQueries extends QueryModule {
     "q94_path_analysis" -> q94PathAnalysis,
     "q25_window_ntile"  -> q25Ntile)
 
+  /** DuckDB's native ASOF LEFT JOIN — shared verbatim by q26 (window
+    * composition) and q148 (custom Catalyst operator): one semantics, two
+    * physical engines, one oracle. */
+  private val duckAsof = """
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
+      clicks AS (
+        SELECT user_id, ts_us, max(event_id) AS click_id
+        FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+      errors AS (
+        SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'error')
+      SELECT e.event_id, e.user_id, c.click_id, e.ts_us - c.ts_us AS gap_us
+      FROM errors e
+      ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts_us > c.ts_us
+      ORDER BY e.event_id"""
+
   def oracles: Map[String, String] = Map(
+    "q148_asof_native" -> duckAsof,
     "q145_markov_transitions" -> """
       WITH tr AS (
         SELECT lag(event_type) OVER (

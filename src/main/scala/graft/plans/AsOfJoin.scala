@@ -1,0 +1,222 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute,
+  BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering,
+  SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** Whole-operator AS-OF JOIN as a first-class Catalyst citizen — the (c)
+  * tier of the engine's custom-operator preference order (SURVEY.md §7.3):
+  * a custom [[LogicalPlan]] node, a [[SparkStrategy]] planning it, and a
+  * [[SparkPlan]] that executes a single-pass partition-merge. The composed
+  * alternative (q26's union-tag + `last` window) is semantically identical
+  * and spec-pinned equal; this operator exists because as-of is a JOIN and
+  * deserves a join's physical shape:
+  *
+  *  - `requiredChildDistribution` = [[ClusteredDistribution]] on the keys —
+  *    Catalyst's EnsureRequirements inserts compatible hash exchanges on
+  *    both sides (or none, if bucketing/AQE already satisfies them), the
+  *    exact mechanism sort-merge join rides;
+  *  - `requiredChildOrdering` = (keys, time) ascending — the sorts are
+  *    planned, spillable, and visible in EXPLAIN, not hidden inside a
+  *    window buffer;
+  *  - `doExecute` is a two-pointer merge per co-partition: the right
+  *    pointer only moves FORWARD (left times are non-decreasing within a
+  *    key), so each side streams once with O(1) carried state (the last
+  *    qualifying right row) — no per-key right-side buffering, no
+  *    union-row materialization, no tag columns.
+  *
+  * Semantics: for each left row, the right row with the LARGEST time
+  * strictly below the left time within the same key (null-extended when
+  * none) — DuckDB's `ASOF LEFT JOIN ... ON l.k = r.k AND l.t > r.t`,
+  * which is exactly the oracle q148 runs against. Times are LongType
+  * (epoch micros); a null right time never matches, a null left time
+  * matches nothing.
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    strict: Boolean = true, tolerance: Option[Long] = None)
+  extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical as-of join: hash-clustered, (key, time)-sorted children merged
+  * in one forward pass per partition.
+  *
+  * `strict = true` matches `r.t < l.t` (DuckDB `l.t > r.t`); `strict =
+  * false` matches `r.t <= l.t` (DuckDB `l.t >= r.t` — the point-in-time /
+  * SCD2 convention where a version effective AT the fact time applies).
+  * `tolerance` (same unit as the time columns) null-extends a match whose
+  * gap `l.t - r.t` exceeds it; because the candidate is already the
+  * LARGEST qualifying right time, every other same-key right row is
+  * farther away, so the in-merge check equals a post-join null-out. */
+case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    strict: Boolean, tolerance: Option[Long],
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val isStrict = strict
+    val tol = tolerance
+    val keyTypes = leftKeys.map(_.dataType)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTimeEval = BindReferences.bindReference(lTimeExpr, lOut)
+      val rTimeEval = BindReferences.bindReference(rTimeExpr, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.length)
+
+      new Iterator[InternalRow] {
+        // right-side cursor: the NEXT unconsumed right row (+ its key/time),
+        // and the last right row that qualified for the current key
+        private var rRow: InternalRow = _
+        private var rKey: UnsafeRow = _
+        private var rTime: java.lang.Long = _
+        private var candidate: InternalRow = _
+        private var candidateKey: UnsafeRow = _
+        private var candidateTime: Long = _
+        advanceRight()
+
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            rRow = rIter.next()
+            rKey = rKeyProj(rRow).copy()
+            val t = rTimeEval.eval(rRow)
+            rTime = if (t == null) null else t.asInstanceOf[Long]
+          } else { rRow = null; rKey = null; rTime = null }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l)
+          val lt = lTimeEval.eval(l)
+          // discard right rows for keys already passed
+          while (rRow != null && keyOrd.compare(rKey, lk) < 0) advanceRight()
+          // fold forward: every same-key right row strictly before lt
+          // becomes the new candidate (they arrive time-ascending)
+          if (lt != null) {
+            val ltv = lt.asInstanceOf[Long]
+            while (rRow != null && keyOrd.compare(rKey, lk) == 0 &&
+                rTime != null &&
+                (if (isStrict) rTime < ltv else rTime <= ltv)) {
+              candidate = rRow.asInstanceOf[UnsafeRow].copy()
+              candidateKey = rKey
+              candidateTime = rTime
+              advanceRight()
+            }
+          }
+          val matched = lt != null && candidate != null &&
+            candidateKey != null && keyOrd.compare(candidateKey, lk) == 0 &&
+            tol.forall(lt.asInstanceOf[Long] - candidateTime <= _)
+          joined(l, if (matched) candidate else nullRight)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]; a no-op on every other node. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, strict, tol, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public API: `AsOf.join(errors, clicks, Seq("user_id" -> "c_user"),
+  * "ts_us", "c_ts")`. Key/time columns are named on each side (as-of
+  * output keeps BOTH schemas, so the caller disambiguates by renaming up
+  * front — the same contract DuckDB's ASOF JOIN has). */
+object AsOf {
+  /** Idempotently make the strategy available on sessions not built with
+    * the GraftExtensions config (tests, foreign sessions). */
+  def ensureStrategy(spark: SparkSession): Unit = {
+    val em = spark.sessionState.experimentalMethods
+    if (!em.extraStrategies.contains(AsOfJoinStrategy))
+      em.extraStrategies = AsOfJoinStrategy +: em.extraStrategies
+  }
+
+  def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftTimeCol: String, rightTimeCol: String,
+      strict: Boolean = true, tolerance: Option[Long] = None): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lPlan = left.queryExecution.analyzed
+    // re-alias the right side so a self-join (both sides derived from one
+    // relation) cannot carry duplicate attribute ids into the node
+    val rPlan = Project(
+      right.queryExecution.analyzed.output.map(a => Alias(a, a.name)()),
+      right.queryExecution.analyzed)
+    def resolve(out: Seq[Attribute], name: String): Attribute =
+      out.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name' in ${out.map(_.name)}"))
+    val lk = keys.map(k => resolve(lPlan.output, k._1))
+    val rk = keys.map(k => resolve(rPlan.output, k._2))
+    val lt = resolve(lPlan.output, leftTimeCol)
+    val rt = resolve(rPlan.output, rightTimeCol)
+    require(lt.dataType == LongType && rt.dataType == LongType,
+      "as-of time columns must be LongType (epoch micros)")
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, strict, tolerance))
+  }
+
+  /** Forward as-of: for each left row, the right row with the SMALLEST time
+    * strictly above (strict) / at-or-above (non-strict) the left time —
+    * DuckDB's `ASOF LEFT JOIN ... ON l.k = r.k AND l.t < r.t` (resp. `<=`).
+    *
+    * Implemented by the identity forward(t) = backward(-t): both time
+    * columns are negated in a pre-projection, the ordinary backward merge
+    * runs (its (key, -t)-ascending sort IS (key, t)-descending), and the
+    * helper columns are dropped on the way out. One exchange per side,
+    * same as the backward operator; tolerance bounds `r.t - l.t`. */
+  def joinForward(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftTimeCol: String, rightTimeCol: String,
+      strict: Boolean = true, tolerance: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val lNeg = "__asof_l_neg"
+    val rNeg = "__asof_r_neg"
+    val l2 = left.withColumn(lNeg, expr(s"-`$leftTimeCol`"))
+    val r2 = right.withColumn(rNeg, expr(s"-`$rightTimeCol`"))
+    join(l2, r2, keys, lNeg, rNeg, strict, tolerance)
+      .drop(lNeg, rNeg)
+  }
+}

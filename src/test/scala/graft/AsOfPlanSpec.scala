@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The custom Catalyst as-of operator (AsOfJoinPlan/Exec/Strategy): crafted
+  * strictness/null semantics, equality with the q26 window composition, and
+  * the physical plan actually running through AsOfJoinExec. */
+class AsOfPlanSpec extends SparkSpec {
+
+  test("as-of exec: strictly-before semantics, null extension, key isolation") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"),
+      (3L, 7L, "l4")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (2L, 99L, "r99"))
+      .toDF("rk", "rt", "rtag")
+    val got = graft.plans.AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt")
+      .select(col("tag"), col("rtag")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSet
+    assert(got == Set(
+      ("l1", null),  // rt=10 is NOT strictly before t=10
+      ("l2", "r15"), // the largest rt < 20 wins, not the first
+      ("l3", null),  // key 2's only right row is in the future
+      ("l4", null))) // key 3 absent from the right side entirely
+  }
+
+  test("as-of exec: right pointer folds forward through many candidates") {
+    import spark.implicits._
+    // one key, many rights before each left: candidate must be the LATEST
+    val left = (1 to 5).map(i => (7L, i * 100L, i)).toDF("k", "t", "i")
+    val right = (1 to 400).map(j => (7L, j.toLong, j)).toDF("rk", "rt", "j")
+    val got = graft.plans.AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt")
+      .select(col("i"), col("j")).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(got == Map(1 -> 99, 2 -> 199, 3 -> 299, 4 -> 399, 5 -> 400))
+  }
+
+  test("q148 equals q26 row for row, and its executed plan contains AsOfJoinExec") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    val native = graft.operators.WindowQueries.q148AsofNative(spark, sfDir01)
+    val composed = graft.operators.WindowQueries.q26AsofJoin(spark, sfDir01)
+    assert(rows(native) == rows(composed),
+      "custom operator and window composition must agree exactly")
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"),
+      s"expected the custom exec in the plan:\n$plan")
+  }
+}
