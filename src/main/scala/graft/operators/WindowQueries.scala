@@ -424,8 +424,92 @@ object WindowQueries extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** q149 — point-in-time (SCD2) dimension lookup: every lineitem resolves
+    * the customer's order-version effective AT its ship day, via the native
+    * as-of operator in NON-STRICT mode (`r.t <= l.t` — the SCD2 convention
+    * where a version starting on the fact's day applies; 278 fixture rows
+    * land exactly on a version boundary, so strict/non-strict genuinely
+    * diverge here). The dimension is q87's version chain collapsed to one
+    * row per (custkey, effective-day) with `max_by` picking the winning
+    * version. Two shuffles total at any scale: the fact-side orderkey
+    * equi-join, then the operator's own custkey exchange — the version
+    * chain is ~orders-sized but the as-of merge streams both sides once,
+    * no per-key buffering, so a 100 TB fact table rides the same plan. */
+  val q149PitJoin: Q = (s, dir) => {
+    val epoch = to_date(lit("1970-01-01"))
+    val versions = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey").as("v_custkey"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("from_day"))
+      .agg(max(col("o_orderkey")).as("version_key"),
+        max_by(Num.cents(col("o_totalprice")), col("o_orderkey"))
+          .as("ver_value_cents"))
+    val facts = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("o_custkey").as("custkey"),
+        datediff(col("l_shipdate"), epoch).cast("long").as("ship_day"))
+    graft.plans.AsOf.join(facts, versions, Seq("custkey" -> "v_custkey"),
+        "ship_day", "from_day", strict = false)
+      .select(col("l_orderkey"), col("l_linenumber"), col("custkey"),
+        col("ship_day"), col("version_key"), col("ver_value_cents"),
+        (col("ship_day") - col("from_day")).as("age_days"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q150 — q148's as-of with a TOLERANCE: an error only attributes to the
+    * last preceding click if the gap is within 48 h (median fixture gap is
+    * ~34 h, so ~half the matches null out — the bound genuinely bites).
+    * Tolerance is enforced inside the merge: the candidate is already the
+    * nearest preceding click, so one comparison per left row decides —
+    * identical result to a post-join null-out, without re-projecting. */
+  val q150AsofTolerance: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"),
+        col("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    graft.plans.AsOf.join(errors, clicks, Seq("user_id" -> "c_user"),
+        "ts_us", "c_ts", strict = true, tolerance = Some(172800000000L))
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        (col("ts_us") - col("c_ts")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q151 — FORWARD as-of: each error matched to the NEXT click strictly
+    * after it (time-to-recovery attribution). Runs through
+    * [[graft.plans.AsOf.joinForward]] — forward(t) = backward(-t), so the
+    * identical merge exec serves both directions; DuckDB expresses it
+    * natively as `ASOF LEFT JOIN ... ON l.t < r.t`. */
+  val q151AsofForward: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"),
+        col("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    graft.plans.AsOf.joinForward(errors, clicks, Seq("user_id" -> "c_user"),
+        "ts_us", "c_ts")
+      .select(col("event_id"), col("user_id"),
+        col("click_id").as("next_click_id"),
+        (col("c_ts") - col("ts_us")).as("lead_us"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q148_asof_native" -> q148AsofNative,
+    "q149_pit_join" -> q149PitJoin,
+    "q150_asof_tolerance" -> q150AsofTolerance,
+    "q151_asof_forward" -> q151AsofForward,
     "q145_markov_transitions" -> q145MarkovTransitions,
     "q141_ewm_smoothing" -> q141EwmSmoothing,
     "q142_mad_anomaly" -> q142MadAnomaly,
@@ -460,6 +544,53 @@ object WindowQueries extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "q148_asof_native" -> duckAsof,
+    "q149_pit_join" -> """
+      WITH versions AS (
+        SELECT o_custkey AS v_custkey,
+               CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS from_day,
+               max(o_orderkey) AS version_key,
+               arg_max(CAST(round(o_totalprice*100,0) AS BIGINT), o_orderkey) AS ver_value_cents
+        FROM orders GROUP BY 1, 2),
+      facts AS (
+        SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+               o.o_custkey AS custkey,
+               CAST(datediff('day', DATE '1970-01-01', l.l_shipdate) AS BIGINT) AS ship_day
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      SELECT f.l_orderkey, f.l_linenumber, f.custkey, f.ship_day,
+             v.version_key, v.ver_value_cents,
+             f.ship_day - v.from_day AS age_days
+      FROM facts f ASOF LEFT JOIN versions v
+        ON f.custkey = v.v_custkey AND f.ship_day >= v.from_day
+      ORDER BY f.l_orderkey, f.l_linenumber""",
+    "q150_asof_tolerance" -> """
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
+      clicks AS (
+        SELECT user_id, ts_us, max(event_id) AS click_id
+        FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+      errors AS (
+        SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'error'),
+      base AS (
+        SELECT e.event_id, e.user_id, c.click_id, e.ts_us - c.ts_us AS gap_us
+        FROM errors e
+        ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts_us > c.ts_us)
+      SELECT event_id, user_id,
+        CASE WHEN gap_us <= 172800000000 THEN click_id END AS click_id,
+        CASE WHEN gap_us <= 172800000000 THEN gap_us END AS gap_us
+      FROM base ORDER BY event_id""",
+    "q151_asof_forward" -> """
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
+      clicks AS (
+        SELECT user_id, ts_us, max(event_id) AS click_id
+        FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+      errors AS (
+        SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'error')
+      SELECT e.event_id, e.user_id, c.click_id AS next_click_id,
+             c.ts_us - e.ts_us AS lead_us
+      FROM errors e
+      ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts_us < c.ts_us
+      ORDER BY e.event_id""",
     "q145_markov_transitions" -> """
       WITH tr AS (
         SELECT lag(event_type) OVER (

@@ -35,6 +35,53 @@ class AsOfPlanSpec extends SparkSpec {
     assert(got == Map(1 -> 99, 2 -> 199, 3 -> 299, 4 -> 399, 5 -> 400))
   }
 
+  test("as-of exec: non-strict mode admits ties; tolerance nulls far matches") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (1L, 500L, "l3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15")).toDF("rk", "rt", "rtag")
+    def run(strict: Boolean, tol: Option[Long]) =
+      graft.plans.AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt", strict, tol)
+        .select(col("tag"), col("rtag")).collect()
+        .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+        .toSet
+    // inclusive: the tie row rt=10 now matches l1
+    assert(run(strict = false, None) ==
+      Set(("l1", "r10"), ("l2", "r15"), ("l3", "r15")))
+    // tolerance 100: l3's nearest candidate (rt=15, gap 485) nulls out —
+    // and since it is the NEAREST, no other right row could qualify
+    assert(run(strict = true, Some(100L)) ==
+      Set(("l1", null), ("l2", "r15"), ("l3", null)))
+  }
+
+  test("as-of forward: smallest strictly-later right row, per key, tolerant") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "l1"), (1L, 15L, "l2"), (1L, 400L, "l3"),
+      (2L, 1L, "l4")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (1L, 300L, "r300"),
+      (3L, 2L, "r2")).toDF("rk", "rt", "rtag")
+    val got = graft.plans.AsOf.joinForward(left, right, Seq("k" -> "rk"), "t", "rt")
+      .select(col("tag"), col("rtag")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSet
+    assert(got == Set(
+      ("l1", "r15"),  // rt=10 is not strictly later; nearest later is 15
+      ("l2", "r300"), // skips the tie at 15
+      ("l3", null),   // nothing later within key 1
+      ("l4", null)))  // key 2 absent on the right
+    // forward tolerance bounds rt - t
+    val tol = graft.plans.AsOf.joinForward(left, right, Seq("k" -> "rk"),
+        "t", "rt", strict = true, tolerance = Some(10L))
+      .select(col("tag"), col("rtag")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSet
+    assert(tol == Set(("l1", "r15"), ("l2", null), ("l3", null), ("l4", null)))
+    // helper columns do not leak into the caller-visible schema
+    val cols = graft.plans.AsOf.joinForward(left, right, Seq("k" -> "rk"), "t", "rt")
+      .columns.toSet
+    assert(cols == Set("k", "t", "tag", "rk", "rt", "rtag"))
+  }
+
   test("q148 equals q26 row for row, and its executed plan contains AsOfJoinExec") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1),
