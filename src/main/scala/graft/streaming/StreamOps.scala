@@ -18,6 +18,18 @@ case class SessEventW(
     user_id: Long, event_id: Long, ts_s: Long, value_cents: Long,
     ets: java.sql.Timestamp)
 
+/** One mixed click/error event for the streaming as-of enrich twin. */
+case class AsofEvent(user_id: Long, event_id: Long, ts_us: Long,
+    event_type: String)
+
+/** Streaming as-of state: the single latest click per user — O(users)
+  * state, like [[OpenSession]]. */
+case class LastClick(c_ts: Long, click_id: Long)
+
+/** One enriched error — batch q26/q148's exact output row shape. */
+case class AsofHit(event_id: Long, user_id: Long,
+    click_id: Option[Long], gap_us: Option[Long])
+
 /** Structured Streaming operators (SURVEY.md §2.7: absent from the reference,
   * declared engine-first).
   *
@@ -317,6 +329,56 @@ object StreamOps {
       onHits(graft.operators.TextQueries.decontaminateAgainstIndex(
         batch, indexPath), batchId)
     }.start()
+
+  /** STREAMING as-of enrich — the stateful twin of the batch as-of join
+    * (q26 window composition / q148 native operator): every error event
+    * emits immediately with the latest strictly-preceding click of the same
+    * user, null-extended when none exists yet.
+    *
+    * Where the stream-stream interval join ([[clickErrorJoin]]) needs BOTH
+    * sides buffered inside a watermark-bounded range, as-of needs exactly
+    * ONE struct per user — the latest click — because "largest click time
+    * below the error time" over an in-order stream is a running maximum.
+    * That is the whole scale story: state O(users) forever, no range
+    * buffer, no watermark-sized click retention.
+    *
+    * In-order contract (same as [[sessionizeStream]]): each batch's group
+    * is sorted by (ts_us, event_id); across batches the caller feeds
+    * event-time order. A tie click (c_ts == error ts) never matches —
+    * strict semantics — and concurrent ties among clicks keep the max
+    * event_id, exactly the batch twin's per-(user, ts) collapse. Non-click
+    * non-error types flow through untouched, so the caller can feed the
+    * raw event stream unfiltered. */
+  def asofEnrichStream(events: Dataset[AsofEvent]): Dataset[AsofHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastClick, AsofHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[AsofEvent], state: GroupState[LastClick]) =>
+          val sorted = it.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+          val out = Seq.newBuilder[AsofHit]
+          var last = state.getOption
+          for (e <- sorted) {
+            if (e.event_type == "error") {
+              last match {
+                case Some(c) if c.c_ts < e.ts_us =>
+                  out += AsofHit(e.event_id, uid,
+                    Some(c.click_id), Some(e.ts_us - c.c_ts))
+                case _ => out += AsofHit(e.event_id, uid, None, None)
+              }
+            } else if (e.event_type == "click") {
+              last = last match {
+                case Some(c) if c.c_ts > e.ts_us => Some(c)
+                case Some(c) if c.c_ts == e.ts_us =>
+                  Some(LastClick(c.c_ts, math.max(c.click_id, e.event_id)))
+                case _ => Some(LastClick(e.ts_us, e.event_id))
+              }
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
 
   /** Gap between events that closes a session, and the session gap horizon
     * used for the event-time timeout (shared with the batch q24/q66). */

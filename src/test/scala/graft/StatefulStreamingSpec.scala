@@ -551,4 +551,37 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(cells.select(col("ingest_batch")).distinct().count() == 4)
     graft.engine.Sessions.releasePinned(spark)
   }
+
+  test("streaming as-of enrich equals batch q26/q148 across a batch boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the raw fixture stream, unfiltered, in event-time order
+    val all = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[graft.streaming.AsofEvent].collect().toSeq
+      .sortBy(e => (e.ts_us, e.event_id))
+    // split mid-timeline: the second half's matches depend on click state
+    // carried across the micro-batch boundary
+    val (b1, b2) = all.splitAt(all.size / 2)
+    val stream = MemoryStream[graft.streaming.AsofEvent]
+    val q = StreamOps.asofEnrichStream(stream.toDS())
+      .writeStream.format("memory").queryName("asofenrich")
+      .outputMode("append").start()
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    def norm(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3))
+    val got = spark.table("asofenrich")
+      .select(col("event_id"), col("user_id"), col("click_id"), col("gap_us"))
+      .collect().map(norm).toSet
+    val want = graft.operators.WindowQueries.q26AsofJoin(spark, sfDir)
+      .collect().map(norm).toSet
+    assert(got == want)
+    assert(got.exists(_._3 >= 0) && got.exists(_._3 == -1L),
+      "fixture must exercise both matched and null-extended errors")
+    graft.engine.Sessions.releasePinned(spark)
+  }
 }
