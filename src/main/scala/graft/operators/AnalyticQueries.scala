@@ -1013,6 +1013,68 @@ object AnalyticQueries extends QueryModule {
       .orderBy(col("community"))
   }
 
+  /** q152 — multi-source BFS hop distances over the q128 co-purchase graph
+    * (seeds = parts of p_size 1): the reachability/radius primitive the
+    * graph tier still lacked beside CC (q59), PageRank (q91), communities
+    * (q128), k-core (q140) and triangles (q100). Frontier expansion, 4
+    * synchronous rounds: each round joins EDGES against the FRONTIER only —
+    * work is O(edges incident to the frontier), never graph-sized — then
+    * anti-joins the visited set so a node's hop is fixed the round it is
+    * first reached (= its true shortest distance, since rounds ARE hop
+    * counts). Pin discipline as every iterative driver: round N+1 pinned,
+    * round N freed, O(1) storage at any depth. Unreached nodes report
+    * hop −1 — reachability and distance in one output. Oracle: 4 unrolled
+    * MATERIALIZED CTE layers (q140's exponential-re-inline fix). */
+  val q152BfsHops: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
+      .select(col("a"), col("b"))
+    val (sym, symPin) = graft.engine.Pin.pin(
+      e.select(col("a").as("v"), col("b").as("u"))
+        .union(e.select(col("b").as("v"), col("a").as("u"))))
+    val (nodes, nodesPin) = graft.engine.Pin.pin(sym.select(col("v")).distinct())
+    val seeds = nodes.join(broadcast(Tables.load(s, dir, "part")
+        .filter(col("p_size") === 1).select(col("p_partkey"))),
+      col("v") === col("p_partkey")).select(col("v"))
+    val (out, visPin) = bfsHops(sym, nodes, seeds, rounds = 4)
+    val materialized = out.cache()
+    materialized.count()
+    Seq(symPin, nodesPin, visPin).foreach(_.unpersist(blocking = false))
+    materialized
+  }
+
+  /** Frontier-expansion BFS core (spec-driven on crafted graphs, fixture-
+    * driven by q152). `sym` is the symmetric edge list (v, u); returns every
+    * node of `nodes` with its shortest hop distance from `seeds` (−1 when
+    * unreached within `rounds`), plus the final pinned-visited handle the
+    * caller frees after materializing. */
+  private[graft] def bfsHops(sym: DataFrame, nodes: DataFrame,
+      seeds: DataFrame, rounds: Int)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    var (visited, visPin) = graft.engine.Pin.pin(
+      seeds.select(col("v"), lit(0L).as("hop")))
+    var frontier = visited.select(col("v"))
+    (1 to rounds).foreach { k =>
+      val next = sym.as("e").join(frontier.as("f"), col("e.v") === col("f.v"))
+        .select(col("e.u").as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+      val (nextVis, nextVisPin) = graft.engine.Pin.pin(
+        visited.union(next.select(col("v"), lit(k.toLong).as("hop"))))
+      visPin.unpersist(blocking = false)
+      visited = nextVis
+      visPin = nextVisPin
+      frontier = visited.filter(col("hop") === k).select(col("v"))
+    }
+    val out = nodes.join(visited, Seq("v"), "left")
+      .select(col("v"), coalesce(col("hop"), lit(-1L)).as("hop"))
+      .orderBy(col("v"))
+    (out, visPin)
+  }
+
   /** q130 — BOOTSTRAP CONFIDENCE INTERVALS via the POISSON bootstrap
     * (the distributed resampling scheme — multinomial resampling needs the
     * global row count per replica, Poisson(1) weights don't, which is why
@@ -1466,6 +1528,7 @@ object AnalyticQueries extends QueryModule {
     "q131_ab_cuped" -> q131AbCuped,
     "q130_bootstrap_ci" -> q130BootstrapCi,
     "q128_label_propagation" -> q128LabelPropagation,
+    "q152_bfs_hops" -> q152BfsHops,
     "q118_quantile_rollup" -> q118QuantileRollup,
     "q119_cms_estimate" -> q119CmsEstimate,
     "q122_join_size_estimate" -> q122JoinSizeEstimate,
@@ -1744,6 +1807,31 @@ object AnalyticQueries extends QueryModule {
         CAST(boot_lo <= mean_cents AND mean_cents <= boot_hi AS BIGINT)
           AS point_in_ci
       FROM ci JOIN pt ON ci.grp = pt.grp ORDER BY grp""",
+    "q152_bfs_hops" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+      e0 AS (SELECT x.p a, y.p b FROM li x JOIN li y
+        ON x.o = y.o AND x.p < y.p GROUP BY 1, 2 HAVING count(*) >= 2),
+      edges AS MATERIALIZED (
+        SELECT a v, b u FROM e0 UNION ALL SELECT b v, a u FROM e0),
+      nodes AS MATERIALIZED (SELECT DISTINCT v FROM edges),
+      r0 AS MATERIALIZED (SELECT n.v FROM nodes n
+        JOIN part p ON n.v = p.p_partkey WHERE p.p_size = 1),
+      r1 AS MATERIALIZED (SELECT DISTINCT e.u AS v FROM edges e
+        WHERE e.v IN (SELECT v FROM r0) UNION SELECT v FROM r0),
+      r2 AS MATERIALIZED (SELECT DISTINCT e.u AS v FROM edges e
+        WHERE e.v IN (SELECT v FROM r1) UNION SELECT v FROM r1),
+      r3 AS MATERIALIZED (SELECT DISTINCT e.u AS v FROM edges e
+        WHERE e.v IN (SELECT v FROM r2) UNION SELECT v FROM r2),
+      r4 AS MATERIALIZED (SELECT DISTINCT e.u AS v FROM edges e
+        WHERE e.v IN (SELECT v FROM r3) UNION SELECT v FROM r3)
+      SELECT n.v, CAST(CASE
+          WHEN n.v IN (SELECT v FROM r0) THEN 0
+          WHEN n.v IN (SELECT v FROM r1) THEN 1
+          WHEN n.v IN (SELECT v FROM r2) THEN 2
+          WHEN n.v IN (SELECT v FROM r3) THEN 3
+          WHEN n.v IN (SELECT v FROM r4) THEN 4
+          ELSE -1 END AS BIGINT) AS hop
+      FROM nodes n ORDER BY n.v""",
     "q128_label_propagation" -> s"""
       WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
       e0 AS (SELECT x.p a, y.p b, count(*) supp FROM li x

@@ -91,6 +91,25 @@ class GraphCdcSpec extends SparkSpec {
       "replayed batch overwrites its own partition, never double-counts")
   }
 
+  test("q152 BFS assigns true shortest hops on a crafted two-component graph") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 with a shortcut 2-4: node 4 must take hop 2 via the
+    // shortcut, not hop 3 along the path; 6 (hop 4) lies beyond rounds=3 →
+    // hop -1; {10,11} is a separate unseeded component → hop -1.
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (2L, 4L),
+      (10L, 11L)).toDF("a", "b")
+    val sym = e0.select(col("a").as("v"), col("b").as("u"))
+      .union(e0.select(col("b").as("v"), col("a").as("u")))
+    val nodes = sym.select(col("v")).distinct()
+    val seeds = Seq(1L).toDF("v")
+    val (out, pin) = AnalyticQueries.bfsHops(sym, nodes, seeds, rounds = 3)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    pin.unpersist(blocking = false)
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L,
+      6L -> -1L, 10L -> -1L, 11L -> -1L))
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("q140 sf0.01 peel depth stays within the oracle 16-round unroll") {
     // the bounded-unroll oracle is only valid if the data converges within
     // its layers: recompute the peel depth in plain Scala on the same
