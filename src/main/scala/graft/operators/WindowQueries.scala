@@ -299,6 +299,92 @@ object WindowQueries extends QueryModule {
       .groupBy(col("event_type"), col("day_num"))
       .agg(sum(col("n_events")).as("n_events")))
 
+  /** CUSUM core over a (event_type, day_num, n_events) daily frame —
+    * spec-driven on crafted shifted series, fixture-driven by q153.
+    *
+    * The page test S_i = max(0, S_{i-1} + dev_i) is a per-row recursion no
+    * window function expresses directly; the engine uses the exact
+    * prefix-sum identity S_i = P_i − least(0, min_{j≤i} P_j) (P = running
+    * sum of deviations), turning the recursion into TWO stacked windows
+    * over one exchange + one sort (Catalyst collapses same-spec windows).
+    * Integer-exact: dev is scaled by 10·D (D = baseline days), so
+    * dev_num = 10·D·x − 11·B encodes x − μ − μ/10 (slack k = 10% of the
+    * baseline mean μ = B/D) and the h = 4μ alarm threshold cross-multiplies
+    * to cusum_num > 40·B — no IEEE accumulation anywhere. */
+  private[graft] def cusumStats(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val d0 = daily.agg(min(col("day_num")).as("d0"))
+    val base = daily.crossJoin(broadcast(d0))
+      .filter(col("day_num") < col("d0") + 10)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("b"), count(lit(1)).as("dd"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(base), "event_type")
+      .withColumn("dev_num",
+        lit(10L) * col("dd") * col("n_events") - lit(11L) * col("b"))
+      .withColumn("p", sum(col("dev_num")).over(w))
+      .withColumn("cusum_num",
+        col("p") - least(lit(0L), min(col("p")).over(w)))
+      .select(col("event_type"), col("day_num"), col("n_events"),
+        col("cusum_num"),
+        (col("cusum_num") > lit(40L) * col("b")).cast("long").as("flag"))
+  }
+
+  /** q153 — CUSUM changepoint detection on daily per-type event volumes:
+    * the sequential level-shift detector (Page's test) completing the
+    * monitoring tier — q125 flags single outlier days against a trailing
+    * z-score, q142 robustifies it, but a persistent SMALL shift (say
+    * +15% forever) never trips a per-day threshold: CUSUM accumulates
+    * drift above a slack and alarms when the accumulated excess crosses
+    * h, detecting sustained shifts fast in proportion to their size.
+    * Baseline μ from the first 10 days; see [[cusumStats]] for the
+    * window-identity and integer-exact scaling. On the uniform fixture
+    * the flags stay 0 (no shift exists — the statistic itself is what the
+    * oracle pins); the spec plants a +60% shift and watches it alarm. */
+  val q153Cusum: Q = (s, dir) =>
+    cusumStats(dailyCounts(Tables.load(s, dir, "events")))
+      .orderBy(col("event_type"), col("day_num"))
+
+  /** q154 — classical seasonal decomposition of the same daily series:
+    * x = trend + seasonal + residual, with trend the centered 7-day moving
+    * average (NULL where the frame is incomplete — honest edges), seasonal
+    * the day-of-week mean minus the overall mean (the weekly profile), and
+    * the residual what monitoring should actually alarm on: q125/q142/q153
+    * all read raw daily counts, so a true weekday dip reads as anomaly;
+    * deseasonalizing first is the standard fix. Micro-unit integer
+    * divisions on non-negative numerators only (q141's discipline —
+    * truncating `div` and floor `//` agree on non-negatives), weekday from
+    * day_num arithmetic ((day_num + 4) % 7 — engine-neutral, no locale or
+    * WEEK_START dependence). One exchange on event_type serves the DOW
+    * aggregation, the window, and the per-type totals alike. */
+  val q154SeasonalDecompose: Q = (s, dir) => {
+    val daily = dailyCounts(Tables.load(s, dir, "events"))
+    val dow = daily
+      .withColumn("weekday", (col("day_num") + 4) % 7)
+    val dowStats = dow.groupBy(col("event_type"), col("weekday"))
+      .agg(sum(col("n_events")).as("dow_sum"), count(lit(1)).as("m"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("tot"), count(lit(1)).as("nd"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rowsBetween(-3, 3)
+    dow
+      .withColumn("sum7", sum(col("n_events")).over(w7))
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .join(broadcast(dowStats), Seq("event_type", "weekday"))
+      .join(broadcast(tot), Seq("event_type"))
+      .withColumn("dow_mean_micro", expr("dow_sum * 1000000 div m"))
+      .withColumn("overall_micro", expr("tot * 1000000 div nd"))
+      .withColumn("trend_micro",
+        when(col("cnt7") === 7, expr("sum7 * 1000000 div 7")))
+      .withColumn("seasonal_micro", col("dow_mean_micro") - col("overall_micro"))
+      .withColumn("resid_micro",
+        col("n_events") * 1000000L - col("trend_micro") - col("seasonal_micro"))
+      .select(col("event_type"), col("day_num"), col("n_events"),
+        col("trend_micro"), col("seasonal_micro"), col("resid_micro"))
+      .orderBy(col("event_type"), col("day_num"))
+  }
+
   /** q141 — EXPONENTIALLY-WEIGHTED trailing smoothing of daily per-type
     * event volumes: each report day's smoothed rate halves the weight per
     * day of age over a 7-day horizon (w = 2^(6−lag)) — the monitoring
@@ -511,6 +597,8 @@ object WindowQueries extends QueryModule {
     "q150_asof_tolerance" -> q150AsofTolerance,
     "q151_asof_forward" -> q151AsofForward,
     "q145_markov_transitions" -> q145MarkovTransitions,
+    "q153_cusum" -> q153Cusum,
+    "q154_seasonal_decompose" -> q154SeasonalDecompose,
     "q141_ewm_smoothing" -> q141EwmSmoothing,
     "q142_mad_anomaly" -> q142MadAnomaly,
     "q125_rolling_anomaly" -> q125RollingAnomaly,
@@ -543,6 +631,65 @@ object WindowQueries extends QueryModule {
       ORDER BY e.event_id"""
 
   def oracles: Map[String, String] = Map(
+    "q153_cusum" -> """
+      WITH daily AS (
+        SELECT event_type,
+          CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num,
+          count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      d0 AS (SELECT min(day_num) AS d0 FROM daily),
+      base AS (
+        SELECT event_type, CAST(sum(n_events) AS BIGINT) AS b, count(*) AS dd
+        FROM daily, d0 WHERE day_num < d0 + 10 GROUP BY 1),
+      st AS (
+        SELECT d.event_type, d.day_num, d.n_events, base.b,
+          10 * base.dd * d.n_events - 11 * base.b AS dev_num
+        FROM daily d JOIN base USING (event_type)),
+      ps AS (
+        SELECT *, CAST(sum(dev_num) OVER (PARTITION BY event_type ORDER BY day_num
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+        FROM st),
+      cs AS (
+        SELECT event_type, day_num, n_events, b,
+          p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY day_num
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum_num
+        FROM ps)
+      SELECT event_type, day_num, n_events, cusum_num,
+        CAST(cusum_num > 40 * b AS BIGINT) AS flag
+      FROM cs ORDER BY event_type, day_num""",
+    "q154_seasonal_decompose" -> """
+      WITH daily AS (
+        SELECT event_type,
+          CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num,
+          count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      dow AS (SELECT *, (day_num + 4) % 7 AS weekday FROM daily),
+      dowstats AS (
+        SELECT event_type, weekday, CAST(sum(n_events) AS BIGINT) AS dow_sum, count(*) AS m
+        FROM dow GROUP BY 1, 2),
+      tot AS (
+        SELECT event_type, CAST(sum(n_events) AS BIGINT) AS tot, count(*) AS nd
+        FROM daily GROUP BY 1),
+      win AS (
+        SELECT d.*,
+          CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day_num
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS sum7,
+          count(*) OVER (PARTITION BY event_type ORDER BY day_num
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+        FROM dow d),
+      j AS (
+        SELECT w.event_type, w.day_num, w.n_events,
+          ds.dow_sum * 1000000 // ds.m AS dow_mean_micro,
+          t.tot * 1000000 // t.nd AS overall_micro,
+          CASE WHEN w.cnt7 = 7 THEN w.sum7 * 1000000 // 7 END AS trend_micro
+        FROM win w
+        JOIN dowstats ds ON w.event_type = ds.event_type AND w.weekday = ds.weekday
+        JOIN tot t ON w.event_type = t.event_type)
+      SELECT event_type, day_num, n_events, trend_micro,
+        dow_mean_micro - overall_micro AS seasonal_micro,
+        n_events * 1000000 - trend_micro - (dow_mean_micro - overall_micro)
+          AS resid_micro
+      FROM j ORDER BY event_type, day_num""",
     "q148_asof_native" -> duckAsof,
     "q149_pit_join" -> """
       WITH versions AS (

@@ -195,6 +195,77 @@ class SmoothingOverlapSpec extends SparkSpec {
     assert(expectedTotal <= rawMicro && rawMicro - expectedTotal <= floorLossBound)
   }
 
+  test("q153 CUSUM window identity equals the recursive page test; a planted shift alarms") {
+    import spark.implicits._
+    // 10 baseline days at 50/day, 10 quiet days, then a +60% sustained
+    // shift: CUSUM must stay unflagged through the quiet stretch and alarm
+    // within the shifted regime
+    val series = ((0L until 20L).map(d => ("a", d, 50L)) ++
+      (20L until 30L).map(d => ("a", d, 80L)))
+    val daily = series.toDF("event_type", "day_num", "n_events")
+    val got = WindowQueries.cusumStats(daily)
+      .orderBy(col("day_num")).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+    // recursive reference: S_i = max(0, S_{i-1} + dev_i), same integer scale
+    val b = 500L; val dd = 10L
+    var sRec = 0L
+    val rec = series.map { case (_, d, x) =>
+      sRec = math.max(0L, sRec + (10L * dd * x - 11L * b))
+      (d, sRec, if (sRec > 40L * b) 1L else 0L)
+    }
+    assert(got.toSeq == rec)
+    assert(got.takeWhile(_._1 < 20L).forall(_._3 == 0L), "no false alarm pre-shift")
+    assert(got.exists(_._3 == 1L), "sustained shift must alarm")
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
+  test("q154 residual vanishes on a purely weekly series except the planted spike") {
+    // x = 100 + 10*weekday repeated over 4 full weeks, one +70 spike on
+    // day 10: trend/seasonal absorb the periodic structure mid-series, so
+    // every full-frame residual is ~0 except the spike's neighbourhood
+    val series = (0L until 28L).map { d =>
+      val base = 100L + 10L * ((d + 4) % 7)
+      ("a", d, if (d == 10L) base + 70L else base)
+    }
+    // route through the same engine path on a temp view-free frame:
+    // replicate q154's body over a crafted daily frame via SQL on the spot
+    import spark.implicits._
+    val daily = series.toDF("event_type", "day_num", "n_events")
+    daily.createOrReplaceTempView("crafted_daily")
+    val out = spark.sql("""
+      WITH dow AS (SELECT *, (day_num + 4) % 7 AS weekday FROM crafted_daily),
+      dowstats AS (SELECT event_type, weekday, sum(n_events) AS dow_sum,
+        count(*) AS m FROM dow GROUP BY 1, 2),
+      tot AS (SELECT event_type, sum(n_events) AS tot, count(*) AS nd
+        FROM crafted_daily GROUP BY 1),
+      win AS (SELECT d.*, sum(n_events) OVER (PARTITION BY event_type
+          ORDER BY day_num ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+        count(*) OVER (PARTITION BY event_type ORDER BY day_num
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7 FROM dow d)
+      SELECT w.day_num, w.n_events * 1000000 -
+        (CASE WHEN w.cnt7 = 7 THEN w.sum7 * 1000000 div 7 END) -
+        (ds.dow_sum * 1000000 div ds.m - t.tot * 1000000 div t.nd) AS resid
+      FROM win w
+      JOIN dowstats ds ON w.event_type = ds.event_type AND w.weekday = ds.weekday
+      JOIN tot t ON w.event_type = t.event_type
+      ORDER BY w.day_num""").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val mid = out.filter { case (d, _) => d >= 3 && d <= 24 }
+    // spike day and the 7-day frames containing it carry the spike mass,
+    // and days sharing its weekday carry the dow-mean share (70/4); every
+    // OTHER quiet day carries exactly the global-mean bias of one spike
+    // spread over nd=28 days — +70e6/28 = 2.5e6 — a bias the decomposition
+    // cannot avoid and the assertion therefore pins rather than hides
+    val farFromSpike = mid.filter { case (d, _) =>
+      (d < 7 || d > 13) && (d % 7 != 10 % 7) }
+    assert(farFromSpike.forall { case (_, r) =>
+      r.exists(v => math.abs(v - 2500000L) <= 10L) },
+      s"quiet residuals must equal the 2.5e6 global-mean bias: ${farFromSpike.mkString(",")}")
+    val spike = out.find(_._1 == 10L).get._2.get
+    assert(spike > 40000000L, s"spike residual must dominate, got $spike")
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("q143 exact set algebra is right and the sketch estimates stay in bound") {
     val du = graft.engine.Tables.load(spark, sfDir01, "events")
       .filter(col("event_type").isin("click", "purchase"))
