@@ -166,6 +166,62 @@ object WindowQueries extends QueryModule {
       .limit(15)
   }
 
+  /** q156 — window NAVIGATION family: percent_rank / cume_dist /
+    * nth_value / last_value over the segment-balance ordering — the §2.7
+    * window surface q20 (ranks) and q25 (ntile/first) leave uncovered.
+    * The relative-position functions emit as FLOORED micro-unit integers:
+    * both engines compute the identical IEEE double ((r−1)/(n−1), r/n)
+    * and floor is deterministic on it, so the oracle compare stays exact
+    * without shipping raw doubles. nth/last run over the explicit
+    * full-partition frame (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING)
+    * — the default frame would make last_value mean "current row", the
+    * classic window gotcha, declared away here. */
+  val q156WindowNav: Q = (s, dir) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(Num.cents(col("c_acctbal")), col("c_custkey"))
+    val wf = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(Num.cents(col("c_acctbal")), col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        floor(percent_rank().over(w) * 1000000d).cast("long").as("pr_micro"),
+        floor(cume_dist().over(w) * 1000000d).cast("long").as("cd_micro"),
+        nth_value(col("c_custkey"), 3).over(wf).as("third_poorest"),
+        last(col("c_custkey")).over(wf).as("richest"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  /** q157 — SEQUENCE PATTERN MATCH over session paths (MATCH_RECOGNIZE-
+    * lite): how many sessions/users exhibit each behavioural regex —
+    * "viewed then eventually purchased", "began with signup", "ended in
+    * error", "double-click" — the declarative funnel q89 hard-codes and
+    * q94 only surfaces when the exact sequence is frequent enough for its
+    * top-k. Paths are q94's deterministic per-session fold; each session
+    * row fans map-side to the 4 patterns (literal array explode — pattern
+    * count is the fan factor, never a join), regex evaluates in the scan,
+    * and the count agg carries ≤ |patterns| groups. Patterns stay in the
+    * RE2 ∩ java.util.regex common dialect (literals, `.*`, anchors) so
+    * engine and oracle agree by construction. */
+  val q157SequenceMatch: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pats = Seq("view->.*purchase", "^signup", "error$", "click->click")
+    events(s, dir)
+      .withColumn("gap_s",
+        col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long"))
+      .withColumn("is_new", when(col("gap_s").isNull || col("gap_s") > 600, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(expr("array_join(transform(sort_array(collect_list(" +
+        "struct(ts, event_id, event_type))), x -> x.event_type), '->')").as("path"))
+      .select(col("user_id"), col("path"),
+        explode(array(pats.map(lit): _*)).as("pattern"))
+      .filter(expr("path rlike pattern"))
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("pattern"))
+  }
+
   /** q25 — ntile + percent_rank: account-balance quartiles per market segment. */
   val q25Ntile: Q = (s, dir) => {
     val w = Window.partitionBy(col("c_mktsegment"))
@@ -298,6 +354,36 @@ object WindowQueries extends QueryModule {
     anomalyFlags(s.read.parquet(storePath)
       .groupBy(col("event_type"), col("day_num"))
       .agg(sum(col("n_events")).as("n_events")))
+
+  /** q155 — TIME-weighted average value per user (TWAP): each event's value
+    * holds until the user's next event (step-function semantics), so the
+    * average weights every observation by how LONG it was in force —
+    * the tick-data aggregate where q141's EWM weights by recency and a
+    * plain avg() weights every tick equally (a burst of cheap ticks then
+    * drags the mean even if it lasted seconds). One lead() per user gives
+    * each interval's duration; the weighted sum collapses in the same
+    * user-keyed exchange the window planned — no second shuffle. Integer-
+    * exact: cents × whole-second durations summed in BIGINT, one micro-unit
+    * division at the end; the final open-ended observation carries no
+    * duration (excluded by the lead null), zero-length intervals (same-
+    * second ticks) contribute no weight, and all-simultaneous users
+    * (span 0) are reported with a NULL twap rather than a division blowup. */
+  val q155Twap: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("ts_s"), Num.cents(col("value")).as("cents"))
+      .withColumn("next_ts", lead(col("ts_s"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("next_ts") - col("ts_s")).as("span_s"),
+        sum(col("cents") * (col("next_ts") - col("ts_s"))).as("wsum"))
+      .select(col("user_id"), col("n_intervals"), col("span_s"),
+        when(col("span_s") > 0, expr("wsum * 1000000 div span_s"))
+          .as("twap_micro_cents"))
+      .orderBy(col("user_id"))
+  }
 
   /** CUSUM core over a (event_type, day_num, n_events) daily frame —
     * spec-driven on crafted shifted series, fixture-driven by q153.
@@ -599,6 +685,9 @@ object WindowQueries extends QueryModule {
     "q145_markov_transitions" -> q145MarkovTransitions,
     "q153_cusum" -> q153Cusum,
     "q154_seasonal_decompose" -> q154SeasonalDecompose,
+    "q155_twap" -> q155Twap,
+    "q156_window_nav" -> q156WindowNav,
+    "q157_sequence_match" -> q157SequenceMatch,
     "q141_ewm_smoothing" -> q141EwmSmoothing,
     "q142_mad_anomaly" -> q142MadAnomaly,
     "q125_rolling_anomaly" -> q125RollingAnomaly,
@@ -631,6 +720,64 @@ object WindowQueries extends QueryModule {
       ORDER BY e.event_id"""
 
   def oracles: Map[String, String] = Map(
+    "q156_window_nav" -> """
+      WITH c AS (
+        SELECT c_mktsegment, c_custkey,
+          CAST(round(c_acctbal*100,0) AS BIGINT) AS cents
+        FROM customer)
+      SELECT c_mktsegment, c_custkey,
+        CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_micro,
+        CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_micro,
+        nth_value(c_custkey, 3) OVER wf AS third_poorest,
+        last_value(c_custkey) OVER wf AS richest
+      FROM c
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY cents, c_custkey),
+        wf AS (PARTITION BY c_mktsegment ORDER BY cents, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY c_mktsegment, c_custkey""",
+    "q157_sequence_match" -> """
+      WITH gaps AS (
+        SELECT user_id, event_id, ts, event_type,
+          epoch(date_trunc('second', ts)) - epoch(date_trunc('second', lag(ts,1)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS gap_s
+        FROM events),
+      marked AS (
+        SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 600 THEN 1 ELSE 0 END AS is_new
+        FROM gaps),
+      sess AS (
+        SELECT user_id, event_id, ts, event_type,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked),
+      paths AS (
+        SELECT user_id, session_id,
+          string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+        FROM sess GROUP BY 1, 2),
+      pats AS (SELECT * FROM (VALUES ('view->.*purchase'), ('^signup'),
+        ('error$'), ('click->click')) AS t(pattern))
+      SELECT pattern, count(*) AS n_sessions,
+        count(DISTINCT user_id) AS n_users
+      FROM paths, pats WHERE regexp_matches(path, pattern)
+      GROUP BY pattern ORDER BY pattern""",
+    "q155_twap" -> """
+      WITH e AS (
+        SELECT user_id, event_id,
+          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+          CAST(round(value*100,0) AS BIGINT) AS cents
+        FROM events),
+      iv AS (
+        SELECT user_id, cents, ts_s,
+          lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS next_ts
+        FROM e),
+      agg AS (
+        SELECT user_id, count(*) AS n_intervals,
+          CAST(sum(next_ts - ts_s) AS BIGINT) AS span_s,
+          CAST(sum(cents * (next_ts - ts_s)) AS BIGINT) AS wsum
+        FROM iv WHERE next_ts IS NOT NULL GROUP BY 1)
+      SELECT user_id, n_intervals, span_s,
+        CASE WHEN span_s > 0 THEN wsum * 1000000 // span_s END
+          AS twap_micro_cents
+      FROM agg ORDER BY user_id""",
     "q153_cusum" -> """
       WITH daily AS (
         SELECT event_type,
