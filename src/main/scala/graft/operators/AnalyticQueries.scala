@@ -1047,6 +1047,51 @@ object AnalyticQueries extends QueryModule {
     materialized
   }
 
+  /** q159 — LINK PREDICTION by neighbourhood Jaccard: score every
+    * non-adjacent 2-hop pair (u, v) with |N(u)∩N(v)| / |N(u)∪N(v)| and
+    * surface the top 20 — the classic graph-ML recommender primitive
+    * ("parts bought together with YOUR parts, but never with each other")
+    * beside q100's triangle closure and q152's reachability. Candidates
+    * come from WEDGE enumeration (two hops through a shared centre), so
+    * the declared cost is Σ_w deg(w)² exactly like q135's candidate bound
+    * — never all pairs; at a 100× graph the hot-centre fix is q100's
+    * degree cap (enumerate wedges only through centres of deg ≤ √m, which
+    * cannot miss a pair sharing ANY low-degree neighbour and bounds the
+    * loss to hub-only co-neighbourhoods — the standard mitigation,
+    * declared not silent). Existing edges leave via one anti-join, the
+    * union size is deg(u)+deg(v)−common (no second intersection pass),
+    * micro-unit integer division, total order (score desc, a, b) so the
+    * top-20 boundary is deterministic. */
+  val q159LinkPrediction: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
+      .select(col("a"), col("b"))
+    val (sym, symPin) = graft.engine.Pin.pin(
+      e.select(col("a").as("v"), col("b").as("u"))
+        .union(e.select(col("b").as("v"), col("a").as("u"))))
+    val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val wedges = sym.as("s1").join(sym.as("s2"),
+        col("s1.v") === col("s2.v") && col("s1.u") < col("s2.u"))
+      .groupBy(col("s1.u").as("a"), col("s2.u").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    val out = wedges
+      .join(e, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        expr("cn * 1000000 div (da + db - cn)").as("jaccard_micro"))
+      .orderBy(col("jaccard_micro").desc, col("a"), col("b"))
+      .limit(20)
+    val materialized = out.cache()
+    materialized.count()
+    symPin.unpersist(blocking = false)
+    materialized
+  }
+
   /** Frontier-expansion BFS core (spec-driven on crafted graphs, fixture-
     * driven by q152). `sym` is the symmetric edge list (v, u); returns every
     * node of `nodes` with its shortest hop distance from `seeds` (−1 when
@@ -1529,6 +1574,7 @@ object AnalyticQueries extends QueryModule {
     "q130_bootstrap_ci" -> q130BootstrapCi,
     "q128_label_propagation" -> q128LabelPropagation,
     "q152_bfs_hops" -> q152BfsHops,
+    "q159_link_prediction" -> q159LinkPrediction,
     "q118_quantile_rollup" -> q118QuantileRollup,
     "q119_cms_estimate" -> q119CmsEstimate,
     "q122_join_size_estimate" -> q122JoinSizeEstimate,
@@ -1807,6 +1853,24 @@ object AnalyticQueries extends QueryModule {
         CAST(boot_lo <= mean_cents AND mean_cents <= boot_hi AS BIGINT)
           AS point_in_ci
       FROM ci JOIN pt ON ci.grp = pt.grp ORDER BY grp""",
+    "q159_link_prediction" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+      e0 AS (SELECT x.p a, y.p b FROM li x JOIN li y
+        ON x.o = y.o AND x.p < y.p GROUP BY 1, 2 HAVING count(*) >= 2),
+      edges AS MATERIALIZED (
+        SELECT a v, b u FROM e0 UNION ALL SELECT b v, a u FROM e0),
+      deg AS (SELECT v, count(*) AS d FROM edges GROUP BY 1),
+      wedges AS (
+        SELECT s1.u AS a, s2.u AS b, count(*) AS cn
+        FROM edges s1 JOIN edges s2 ON s1.v = s2.v AND s1.u < s2.u
+        GROUP BY 1, 2),
+      cand AS (
+        SELECT w.* FROM wedges w ANTI JOIN e0 ON w.a = e0.a AND w.b = e0.b)
+      SELECT c.a, c.b, c.cn,
+        c.cn * 1000000 // (da.d + db.d - c.cn) AS jaccard_micro
+      FROM cand c
+      JOIN deg da ON c.a = da.v JOIN deg db ON c.b = db.v
+      ORDER BY jaccard_micro DESC, c.a, c.b LIMIT 20""",
     "q152_bfs_hops" -> """
       WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
       e0 AS (SELECT x.p a, y.p b FROM li x JOIN li y

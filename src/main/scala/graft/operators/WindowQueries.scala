@@ -385,6 +385,38 @@ object WindowQueries extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  /** q158 — OLS TREND LINE per event type over the daily series: slope and
+    * intercept of the least-squares fit y = a + b·x (x = day offset from
+    * the global first day) — the "is this metric growing and how fast"
+    * readout that completes the monitoring tier's descriptive side (q141
+    * smooths, q153 alarms on shifts, this quantifies drift). ONE
+    * aggregation collects the five moments (n, Σx, Σy, Σxy, Σx²) per type
+    * — the same single-pass moment shape as q131's CUPED — then both
+    * closed forms are integer micro-unit divisions of cross-multiplied
+    * BIGINTs: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept =
+    * (ΣyΣx² − ΣxΣxy)/same-denominator (its own closed form, NOT chained
+    * through the rounded slope). Both engines truncate integer division
+    * toward zero (`div` / `//`), so signs are safe. A type with every
+    * observation on one day (zero denominator) reports NULLs. */
+  val q158TrendSlope: Q = (s, dir) => {
+    val daily = dailyCounts(Tables.load(s, dir, "events"))
+    val d0 = daily.agg(min(col("day_num")).as("d0"))
+    daily.crossJoin(broadcast(d0))
+      .withColumn("x", col("day_num") - col("d0"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("n_events")).as("sy"),
+        sum(col("x") * col("n_events")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .select(col("event_type"), col("n"),
+        when(col("den") =!= 0,
+          expr("(n * sxy - sx * sy) * 1000000 div den")).as("slope_micro"),
+        when(col("den") =!= 0,
+          expr("(sy * sxx - sx * sxy) * 1000000 div den")).as("intercept_micro"))
+      .orderBy(col("event_type"))
+  }
+
   /** CUSUM core over a (event_type, day_num, n_events) daily frame —
     * spec-driven on crafted shifted series, fixture-driven by q153.
     *
@@ -688,6 +720,7 @@ object WindowQueries extends QueryModule {
     "q155_twap" -> q155Twap,
     "q156_window_nav" -> q156WindowNav,
     "q157_sequence_match" -> q157SequenceMatch,
+    "q158_trend_slope" -> q158TrendSlope,
     "q141_ewm_smoothing" -> q141EwmSmoothing,
     "q142_mad_anomaly" -> q142MadAnomaly,
     "q125_rolling_anomaly" -> q125RollingAnomaly,
@@ -720,6 +753,27 @@ object WindowQueries extends QueryModule {
       ORDER BY e.event_id"""
 
   def oracles: Map[String, String] = Map(
+    "q158_trend_slope" -> """
+      WITH daily AS (
+        SELECT event_type,
+          CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num,
+          count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      d0 AS (SELECT min(day_num) AS d0 FROM daily),
+      mo AS (
+        SELECT event_type, count(*) AS n,
+          CAST(sum(day_num - d0) AS BIGINT) AS sx,
+          CAST(sum(n_events) AS BIGINT) AS sy,
+          CAST(sum((day_num - d0) * n_events) AS BIGINT) AS sxy,
+          CAST(sum((day_num - d0) * (day_num - d0)) AS BIGINT) AS sxx
+        FROM daily, d0 GROUP BY 1),
+      den AS (SELECT *, n * sxx - sx * sx AS den FROM mo)
+      SELECT event_type, n,
+        CASE WHEN den <> 0
+          THEN (n * sxy - sx * sy) * 1000000 // den END AS slope_micro,
+        CASE WHEN den <> 0
+          THEN (sy * sxx - sx * sxy) * 1000000 // den END AS intercept_micro
+      FROM den ORDER BY event_type""",
     "q156_window_nav" -> """
       WITH c AS (
         SELECT c_mktsegment, c_custkey,
