@@ -154,6 +154,17 @@ class PlansSpec extends SparkSpec {
     assert(!p76.contains("CartesianProduct"))
   }
 
+  test("q149 PIT join runs through AsOfJoinExec with no cartesian/BNL") {
+    val df = graft.operators.WindowQueries.q149PitJoin(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains("AsOfJoin"), "PIT lookup must plan the custom operator")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // the operator must ride planned exchanges, not a repartition hack:
+    // EnsureRequirements satisfies ClusteredDistribution with hash shuffles
+    assert(p.contains("Exchange hashpartitioning") || p.contains("hashpartitioning"),
+      s"expected hash exchanges under the as-of merge:\n${p.take(2000)}")
+  }
+
   test("q79 deletion-blocked fuzzy join is equi-join-shaped end to end") {
     // full-table fuzzy join: candidates come from an equi-join on the
     // hashed deletion variant, never a cartesian/BNL over the entity table
