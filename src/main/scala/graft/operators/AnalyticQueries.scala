@@ -1047,6 +1047,37 @@ object AnalyticQueries extends QueryModule {
     materialized
   }
 
+  /** q160 — EXACT WEIGHTED median/quartiles per group: the smallest price
+    * whose cumulative quantity-weight reaches half (resp. ¼, ¾) of the
+    * group total — "the price at which half the UNITS ship", which a
+    * row-weighted percentile (q34) cannot answer and a sketch (q37/q118)
+    * only bounds. Shape: collapse to (group, value) grain FIRST (one
+    * aggregation — the window then runs over value-cardinality rows, never
+    * row volume; that is the whole 100-TB story), one cumulative window,
+    * and the selection is min(value | 2·cum ≥ tot) — cross-multiplied
+    * integers, no division anywhere, ties on the value merge at the
+    * aggregation so cumulative weights are well-defined by construction. */
+  val q160WeightedMedian: Q = (s, dir) => {
+    val vals = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        Num.cents(col("l_extendedprice")).as("cents"),
+        expr("cast(round(l_quantity, 0) as bigint)").as("qty"))
+      .groupBy(col("flag"), col("cents"))
+      .agg(sum(col("qty")).as("wsum"))
+    val wCum = Window.partitionBy(col("flag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("flag"))
+    vals
+      .withColumn("cum", sum(col("wsum")).over(wCum))
+      .withColumn("tot", sum(col("wsum")).over(wTot))
+      .groupBy(col("flag"))
+      .agg(max(col("tot")).as("tot_weight"),
+        min(when(col("cum") * 2 >= col("tot"), col("cents"))).as("wmedian_cents"),
+        min(when(col("cum") * 4 >= col("tot"), col("cents"))).as("wp25_cents"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("cents"))).as("wp75_cents"))
+      .orderBy(col("flag"))
+  }
+
   /** q159 — LINK PREDICTION by neighbourhood Jaccard: score every
     * non-adjacent 2-hop pair (u, v) with |N(u)∩N(v)| / |N(u)∪N(v)| and
     * surface the top 20 — the classic graph-ML recommender primitive
@@ -1575,6 +1606,7 @@ object AnalyticQueries extends QueryModule {
     "q128_label_propagation" -> q128LabelPropagation,
     "q152_bfs_hops" -> q152BfsHops,
     "q159_link_prediction" -> q159LinkPrediction,
+    "q160_weighted_median" -> q160WeightedMedian,
     "q118_quantile_rollup" -> q118QuantileRollup,
     "q119_cms_estimate" -> q119CmsEstimate,
     "q122_join_size_estimate" -> q122JoinSizeEstimate,
@@ -1853,6 +1885,23 @@ object AnalyticQueries extends QueryModule {
         CAST(boot_lo <= mean_cents AND mean_cents <= boot_hi AS BIGINT)
           AS point_in_ci
       FROM ci JOIN pt ON ci.grp = pt.grp ORDER BY grp""",
+    "q160_weighted_median" -> """
+      WITH vals AS (
+        SELECT l_returnflag AS flag,
+          CAST(round(l_extendedprice*100,0) AS BIGINT) AS cents,
+          CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS wsum
+        FROM lineitem GROUP BY 1, 2),
+      cw AS (
+        SELECT flag, cents, wsum,
+          CAST(sum(wsum) OVER (PARTITION BY flag ORDER BY cents
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          CAST(sum(wsum) OVER (PARTITION BY flag) AS BIGINT) AS tot
+        FROM vals)
+      SELECT flag, max(tot) AS tot_weight,
+        min(CASE WHEN cum * 2 >= tot THEN cents END) AS wmedian_cents,
+        min(CASE WHEN cum * 4 >= tot THEN cents END) AS wp25_cents,
+        min(CASE WHEN cum * 4 >= tot * 3 THEN cents END) AS wp75_cents
+      FROM cw GROUP BY flag ORDER BY flag""",
     "q159_link_prediction" -> """
       WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
       e0 AS (SELECT x.p a, y.p b FROM li x JOIN li y

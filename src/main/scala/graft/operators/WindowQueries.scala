@@ -355,6 +355,20 @@ object WindowQueries extends QueryModule {
       .groupBy(col("event_type"), col("day_num"))
       .agg(sum(col("n_events")).as("n_events")))
 
+  /** Serve CUSUM changepoint state (q153) from the SAME daily-count store
+    * the streaming anomaly monitor maintains — one persisted day-grain
+    * store, three monitors (z-score q125, and this level-shift detector):
+    * per-batch partials sum to day grain (count addition is the merge
+    * algebra), then [[cusumStats]] runs unchanged. The streaming twin of
+    * q153 is therefore collapse∘store by construction, exactly the q139
+    * CDC discipline. */
+  def cusumFromStore(s: org.apache.spark.sql.SparkSession, storePath: String)
+      : org.apache.spark.sql.DataFrame =
+    cusumStats(s.read.parquet(storePath)
+      .groupBy(col("event_type"), col("day_num"))
+      .agg(sum(col("n_events")).as("n_events")))
+      .orderBy(col("event_type"), col("day_num"))
+
   /** q155 — TIME-weighted average value per user (TWAP): each event's value
     * holds until the user's next event (step-function semantics), so the
     * average weights every observation by how LONG it was in force —

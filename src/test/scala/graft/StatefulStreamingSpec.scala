@@ -353,6 +353,13 @@ class StatefulStreamingSpec extends SparkSpec {
     graft.operators.WindowQueries.anomalyBatchAppend(
       spark.createDataset(lastBatch).toDF("ts", "event_type"), store, 2L)
     assert(served == want, "replay must overwrite, not double-count")
+    // the SAME store serves the CUSUM monitor: its streamed twin must equal
+    // batch q153 row for row — one day-grain store, multiple monitors
+    val cusumServed = graft.operators.WindowQueries.cusumFromStore(spark, store)
+      .collect().map(_.toSeq).toSeq
+    val cusumWant = graft.operators.WindowQueries.q153Cusum(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(cusumServed == cusumWant, "store-served CUSUM equals batch q153")
   }
 
   test("streaming DAU sketch store equals batch build; replayed merges cannot move estimates") {
