@@ -154,6 +154,17 @@ class PlansSpec extends SparkSpec {
     assert(!p76.contains("CartesianProduct"))
   }
 
+  test("q20's rank filter plans WindowGroupLimit (map-side partial top-k per group)") {
+    // rn <= 3 must rewrite into WindowGroupLimit BELOW the exchange as well
+    // as above it: each map task forwards at most k rows per group, so the
+    // shuffle carries O(groups·k), not event volume — the per-group twin of
+    // q04's TakeOrdered and the difference between a window that scales and
+    // one that ships everything
+    val p = planString(graft.operators.WindowQueries.q20Rank(spark, sfDir))
+    assert(p.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit") >= 2,
+      s"expected partial+final WindowGroupLimit:\n${p.take(1500)}")
+  }
+
   test("q149 PIT join runs through AsOfJoinExec with no cartesian/BNL") {
     val df = graft.operators.WindowQueries.q149PitJoin(spark, sfDir)
     val p = planString(df)
