@@ -592,8 +592,64 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("format"), col("channels"), col("bits"))
   }
 
+  /** q161 — PERCEPTUAL image dedup (difference hash): every doc renders to
+    * a real PNG (encode → [[PngPixelCodec.decode]] — the same genuine
+    * chunk-grammar + Inflater + defilter path q101 exercises), downsamples
+    * to the canonical 9×8 via [[PgmCodec.resizeNearest]], and folds to the
+    * 64-bit dHash (bit = right neighbour brighter) — the multimodal twin of
+    * the text near-dup tier: q50 keys on exact bytes, this keys on
+    * GRADIENT STRUCTURE. The fixture plants the exact failure mode that
+    * motivates dHash: every doc_id ≡ 1 (mod 10) re-renders its
+    * predecessor's image +2 brightness — different bytes in every pixel
+    * (an exact hash scatters them) but identical gradients, so the pair
+    * collapses into one dHash bucket. Hash lives as two 32-bit halves in
+    * BIGINTs (bit 63 would overflow a signed shift in either engine).
+    * Per-partition mapPartitions decode, then ONE bucket aggregation —
+    * the q50 exact-dedup plan shape over a content-derived key; the oracle
+    * replays the synthesis arithmetic (pixel fn ∘ nearest-resize ∘
+    * comparator) in SQL, so a decoder or resize off-by-one
+    * hash-mismatches. */
+  val q161ImageDhash: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val base = if (id % 10 == 1) id - 1 else id
+        val off = if (id % 10 == 1) 2 else 0
+        val w = (base % 24 + 8).toInt; val h = (base % 16 + 8).toInt
+        val png = PngPixelCodec.encode(w, h, 1,
+          (x, y, _) => (((x * 31 + y * 17 + base * 7) % 250) + off).toInt)
+        PngPixelCodec.decode(png) match {
+          case Some((dw, dh, _, px)) =>
+            val r = PgmCodec.resizeNearest(px, dw, dh, 9, 8)
+            var lo = 0L; var hi = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if ((r(y * 9 + x + 1) & 0xFF) > (r(y * 9 + x) & 0xFF)) {
+                  val idx = y * 8 + x
+                  if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32)
+                }
+                x += 1
+              }
+              y += 1
+            }
+            (id, hi, lo)
+          case None => (id, -1L, -1L)
+        }
+      })
+      .toDF("doc_id", "dhash_hi", "dhash_lo")
+      .groupBy(col("dhash_hi"), col("dhash_lo"))
+      .agg(count(lit(1)).as("n_imgs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"), sum(col("doc_id")).as("doc_sum"))
+      .filter(col("n_imgs") >= 2)
+      .orderBy(col("min_doc"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q65_multimodal" -> q65Multimodal,
+    "q161_image_dhash" -> q161ImageDhash,
     "q67_frame_sample" -> q67FrameSample,
     "q77_resize" -> q77Resize,
     "q82_audio_meta" -> q82AudioMeta,
@@ -605,6 +661,37 @@ object MultimodalQueries extends QueryModule {
     * bytes are the magic values (PNG 0x89 = 137, JPEG 0xFF = 255; raw = the
     * text's first UTF-8 byte — the fixture is ASCII so unicode() matches). */
   def oracles: Map[String, String] = Map(
+    // dHash synthesis arithmetic replayed symbolically: nearest-resize
+    // source coords sx = x·w//9, sy = y·h//8, pixel = (sx·31 + sy·17 +
+    // base·7) % 250 + brightness offset — a decoder, defilter, or resize
+    // off-by-one anywhere in the real byte path mismatches every bucket
+    "q161_image_dhash" -> """
+      WITH docs AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
+          CASE WHEN doc_id % 10 = 1 THEN 2 ELSE 0 END AS off
+        FROM documents),
+      dims AS (SELECT *, base % 24 + 8 AS w, base % 16 + 8 AS h FROM docs),
+      grid AS (
+        SELECT d.*, x.x, y.y
+        FROM dims d, generate_series(0, 7) x(x), generate_series(0, 7) y(y)),
+      bits AS (
+        SELECT doc_id, x, y,
+          ((x * w // 9) * 31 + (y * h // 8) * 17 + base * 7) % 250 + off AS p0,
+          (((x + 1) * w // 9) * 31 + (y * h // 8) * 17 + base * 7) % 250 + off AS p1
+        FROM grid),
+      hashes AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN p1 > p0 AND y * 8 + x >= 32
+            THEN (CAST(1 AS BIGINT) << (y * 8 + x - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+          CAST(sum(CASE WHEN p1 > p0 AND y * 8 + x < 32
+            THEN (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END) AS BIGINT) AS dhash_lo
+        FROM bits GROUP BY 1)
+      SELECT dhash_hi, dhash_lo, count(*) AS n_imgs,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        CAST(sum(doc_id) AS BIGINT) AS doc_sum
+      FROM hashes GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY min_doc""",
     // WAV synthesis arithmetic recomputed symbolically: block align =
     // channels·bits/8, samples = byte length // block (the encoder
     // truncates to whole frames), duration_us = samples·1e6 // rate —

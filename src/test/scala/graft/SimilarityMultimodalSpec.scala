@@ -243,6 +243,33 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(MediaCodec.decode(Array[Byte](0xFF.toByte)) == (("raw", -1L, -1L)))
   }
 
+  test("q161 dHash collapses a brightness-shifted re-render that byte hashing scatters") {
+    import graft.operators.{MultimodalQueries, PngPixelCodec, PgmCodec}
+    def render(base: Long, off: Int): (Array[Byte], Long) = {
+      val w = (base % 24 + 8).toInt; val h = (base % 16 + 8).toInt
+      val png = PngPixelCodec.encode(w, h, 1,
+        (x, y, _) => (((x * 31 + y * 17 + base * 7) % 250) + off).toInt)
+      val Some((dw, dh, _, px)) = PngPixelCodec.decode(png)
+      val r = PgmCodec.resizeNearest(px, dw, dh, 9, 8)
+      var bitsv = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if ((r(y * 9 + x + 1) & 0xFF) > (r(y * 9 + x) & 0xFF))
+          bitsv |= 1L << (y * 8 + x)
+      (png, bitsv)
+    }
+    for (base <- Seq(0L, 40L, 130L)) {
+      val (pngA, hA) = render(base, 0)
+      val (pngB, hB) = render(base, 2)
+      assert(!java.util.Arrays.equals(pngA, pngB),
+        "the +2 re-render must differ in raw bytes (exact dedup would miss it)")
+      assert(hA == hB, s"gradient structure is brightness-invariant: $hA vs $hB")
+    }
+    // and a genuinely different image must not collide with its neighbour
+    val (_, h0) = render(0L, 0)
+    val (_, h2) = render(2L, 0)
+    assert(h0 != h2, "distinct renders should produce distinct dHashes here")
+  }
+
   test("multimodal pipeline detects all three formats with consistent counts") {
     val rows = MultimodalQueries.q65Multimodal(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSet == Set("png", "jpeg", "raw"))
