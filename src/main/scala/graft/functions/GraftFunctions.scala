@@ -46,5 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hamming_str"),
       new ExpressionInfo(classOf[HammingStr].getName, "hamming_str"),
       (es: Seq[Expression]) => HammingStr(es(0), es(1))))
+    // whole-operator tier: plan AsOfJoinPlan nodes (graft.plans.AsOf) —
+    // injection here makes the operator available on any session built with
+    // this extension class; AsOf.ensureStrategy stays as the idempotent
+    // fallback for foreign sessions
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
