@@ -647,9 +647,77 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("min_doc"))
   }
 
+  /** q162 — NEAR-dup image pairs by banded hamming join over dHashes: the
+    * retrieval step q161's exact buckets cannot do (a one-bit gradient
+    * change scatters an exact bucket). 64-bit hashes split into 8 byte
+    * bands; pigeonhole: any pair within hamming 7 shares at least one
+    * intact band, so the band equi-join is a COMPLETE candidate generator
+    * for the dist ≤ 6 output — q53's simhash discipline on a new modality,
+    * candidates bucket-bounded, never all pairs (the oracle pays the brute
+    * n²/2 xor+popcount the engine avoids). Fixture plants localized edge
+    * corruptions (doc_id ≡ 5 mod 10 re-renders id−3 with the last two
+    * source columns re-textured): true distances spread 0–9, so the ≤ 6
+    * cut genuinely selects. Exact verify = bit_count(xor) on both halves;
+    * identical images (dist 0) are q161's buckets and excluded here. */
+  val q162ImageHammingJoin: Q = (s, dir) => {
+    import s.implicits._
+    val hashes = Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (base, off, edge) =
+          if (id % 10 == 1) (id - 1, 2, false)
+          else if (id % 10 == 5) (id - 3, 0, true)
+          else (id, 0, false)
+        val w = (base % 24 + 8).toInt; val h = (base % 16 + 8).toInt
+        val png = PngPixelCodec.encode(w, h, 1, (x, y, _) => {
+          val sx = x.toLong
+          val m = if (edge && sx >= w - 2) 120 else 250
+          (((sx * 31 + y * 17 + base * 7) % m) + off).toInt
+        })
+        PngPixelCodec.decode(png) match {
+          case Some((dw, dh, _, px)) =>
+            val r = PgmCodec.resizeNearest(px, dw, dh, 9, 8)
+            var lo = 0L; var hi = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if ((r(y * 9 + x + 1) & 0xFF) > (r(y * 9 + x) & 0xFF)) {
+                  val idx = y * 8 + x
+                  if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32)
+                }
+                x += 1
+              }
+              y += 1
+            }
+            (id, hi, lo)
+          case None => (id, -1L, -1L)
+        }
+      })
+      .toDF("doc_id", "hi", "lo")
+    val banded = hashes.select(col("doc_id"), col("hi"), col("lo"),
+        explode(expr("sequence(0, 7)")).as("b"))
+      .withColumn("bv", expr(
+        "shiftright(IF(b < 4, lo, hi), 8 * (b % 4)) & 255"))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.b") === col("r.b") && col("l.bv") === col("r.bv") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("i"), col("r.doc_id").as("j"),
+        col("l.hi").as("hi1"), col("l.lo").as("lo1"),
+        col("r.hi").as("hi2"), col("r.lo").as("lo2"))
+      .distinct()
+    cand
+      .withColumn("dist",
+        expr("cast(bit_count(hi1 ^ hi2) + bit_count(lo1 ^ lo2) as bigint)"))
+      .filter(col("dist").between(1, 6))
+      .select(col("i"), col("j"), col("dist"))
+      .orderBy(col("i"), col("j"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q65_multimodal" -> q65Multimodal,
     "q161_image_dhash" -> q161ImageDhash,
+    "q162_image_hamming_join" -> q162ImageHammingJoin,
     "q67_frame_sample" -> q67FrameSample,
     "q77_resize" -> q77Resize,
     "q82_audio_meta" -> q82AudioMeta,
@@ -692,6 +760,46 @@ object MultimodalQueries extends QueryModule {
         CAST(sum(doc_id) AS BIGINT) AS doc_sum
       FROM hashes GROUP BY 1, 2 HAVING count(*) >= 2
       ORDER BY min_doc""",
+    // brute n²/2 xor+popcount over symbolically recomputed hashes — the
+    // quadratic the engine's banding avoids; BETWEEN 1 AND 6 matches the
+    // engine's near-dup cut (0 = q161's exact buckets)
+    "q162_image_hamming_join" -> """
+      WITH docs0 AS (SELECT doc_id FROM documents),
+      docs AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
+               WHEN doc_id % 10 = 5 THEN doc_id - 3 ELSE doc_id END AS base,
+          CASE WHEN doc_id % 10 = 1 THEN 2 ELSE 0 END AS off,
+          CASE WHEN doc_id % 10 = 5 THEN 1 ELSE 0 END AS edge
+        FROM docs0),
+      dims AS (SELECT *, base % 24 + 8 AS w, base % 16 + 8 AS h FROM docs),
+      grid AS (SELECT d.*, x.x, y.y
+        FROM dims d, generate_series(0, 7) x(x), generate_series(0, 7) y(y)),
+      px AS (
+        SELECT doc_id, x, y, w, base, off, edge,
+          x * w // 9 AS sx0, (x + 1) * w // 9 AS sx1, y * h // 8 AS sy
+        FROM grid),
+      bits AS (
+        SELECT doc_id, x, y,
+          CASE WHEN edge = 1 AND sx0 >= w - 2
+            THEN (sx0*31 + sy*17 + base*7) % 120 + off
+            ELSE (sx0*31 + sy*17 + base*7) % 250 + off END AS p0,
+          CASE WHEN edge = 1 AND sx1 >= w - 2
+            THEN (sx1*31 + sy*17 + base*7) % 120 + off
+            ELSE (sx1*31 + sy*17 + base*7) % 250 + off END AS p1
+        FROM px),
+      hashes AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN p1 > p0 AND y*8+x >= 32
+            THEN (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS hi,
+          CAST(sum(CASE WHEN p1 > p0 AND y*8+x < 32
+            THEN (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY 1)
+      SELECT a.doc_id AS i, b.doc_id AS j,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist
+      FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) BETWEEN 1 AND 6
+      ORDER BY i, j""",
     // WAV synthesis arithmetic recomputed symbolically: block align =
     // channels·bits/8, samples = byte length // block (the encoder
     // truncates to whole frames), duration_us = samples·1e6 // rate —
