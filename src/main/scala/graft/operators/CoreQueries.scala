@@ -519,7 +519,38 @@ object CoreQueries extends QueryModule {
       .orderBy(col("key_col"))
   }
 
+  /** q163 — TABLE CONTENT DIGESTS (Merkle-style movement audit): every
+    * orders row renders to a canonical string and folds through the
+    * engine-portable polynomial hash (q63's fold — Spark's murmur3 would
+    * be opaque to the system on the other side of a migration); digests
+    * aggregate per hash-shard with an ORDER-INDEPENDENT sum, so two
+    * copies of the table compare as 64 small rows regardless of layout,
+    * partitioning, or row order. This is the content complement of q108's
+    * membership audit: q108's id checksum catches lost/duplicated rows,
+    * this catches a flipped VALUE in a row that is still present (the
+    * failure a copy job, codec bug, or type coercion introduces). At
+    * 100 TB: one scan, map-side fold, a 64-row exchange — validating a
+    * cross-cluster copy costs two scans and a 64-row diff, never a row
+    * join. */
+  val q163TableDigest: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        Num.cents(col("o_totalprice")).as("cents"),
+        col("o_orderdate").cast("string").as("od"), col("o_orderpriority"))
+      .withColumn("rowstr", concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("cents"), col("od"), col("o_orderpriority")))
+      .withColumn("rh", expr(
+        "aggregate(transform(sequence(1, length(rowstr)), " +
+          "i -> CAST(ascii(substring(rowstr, i, 1)) AS BIGINT)), " +
+          "0L, (acc, c) -> (acc * 31 + c) % 2147483647)"))
+      .groupBy(pmod(col("o_orderkey"), lit(64)).as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("rh")).as("content_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("shard"))
+
   def queries: Map[String, Q] = Map(
+    "q163_table_digest"   -> q163TableDigest,
     "q110_key_skew"       -> q110KeySkew,
     "q109_mixture_sample" -> q109MixtureSample,
     "q108_shard_audit"    -> q108ShardAudit,
@@ -543,6 +574,25 @@ object CoreQueries extends QueryModule {
     "q10_cogroup"        -> q10Cogroup)
 
   def oracles: Map[String, String] = Map(
+    "q163_table_digest" -> """
+      WITH r AS (
+        SELECT o_orderkey,
+          o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||
+          o_orderstatus || '|' ||
+          CAST(round(o_totalprice*100,0) AS BIGINT)::VARCHAR || '|' ||
+          o_orderdate::VARCHAR || '|' || o_orderpriority AS rowstr
+        FROM orders),
+      h AS (
+        SELECT o_orderkey,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [CAST(unicode(rowstr[i]) AS BIGINT)
+             for i in range(1, length(rowstr)+1)]),
+            (acc, c2) -> (acc * 31 + c2) % 2147483647) AS rh
+        FROM r)
+      SELECT o_orderkey % 64 AS shard, count(*) AS n_rows,
+        CAST(sum(rh) AS BIGINT) AS content_sum,
+        CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM h GROUP BY 1 ORDER BY shard""",
     "q110_key_skew" -> """
       WITH
       p1 AS (SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
