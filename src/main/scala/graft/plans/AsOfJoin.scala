@@ -130,12 +130,19 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
           // becomes the new candidate (they arrive time-ascending)
           if (lt != null) {
             val ltv = lt.asInstanceOf[Long]
+            // null right times sort FIRST within the key (Ascending ⇒ nulls
+            // first): they can never match, so consume them WITHOUT setting
+            // the candidate — stopping on them instead would wedge the
+            // pointer and hide every later valid row of the key (caught by
+            // the PropertySpec brute-equality law)
             while (rRow != null && keyOrd.compare(rKey, lk) == 0 &&
-                rTime != null &&
-                (if (isStrict) rTime < ltv else rTime <= ltv)) {
-              candidate = rRow.asInstanceOf[UnsafeRow].copy()
-              candidateKey = rKey
-              candidateTime = rTime
+                (rTime == null ||
+                  (if (isStrict) rTime < ltv else rTime <= ltv))) {
+              if (rTime != null) {
+                candidate = rRow.asInstanceOf[UnsafeRow].copy()
+                candidateKey = rKey
+                candidateTime = rTime
+              }
               advanceRight()
             }
           }

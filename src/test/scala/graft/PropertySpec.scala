@@ -221,4 +221,47 @@ class PropertySpec extends SparkSpec {
       heavies.subsetOf(cands) && cands.size <= MisraGries.k
     })
   }
+
+  test("native as-of exec equals the brute per-row maximum for arbitrary tables (q148 law)") {
+    import spark.implicits._
+    // keys collide on purpose (small range), times collide too (small
+    // range), and null times appear on both sides — the analytic model is
+    // three lines, the exec is a two-pointer merge; they must agree on
+    // every randomized instance including strict/non-strict and tolerance
+    val sideGen = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 5L)
+        t <- Gen.option(Gen.choose(0L, 40L))
+        id <- Gen.choose(0L, 1000000L)
+      } yield (k, t, id))
+    } yield rows.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+    holds(Prop.forAll(sideGen, sideGen, Gen.oneOf(true, false),
+        Gen.oneOf(None, Some(3L), Some(10L))) { (l, r, strict, tol) =>
+      val left = l.toDF("k", "t", "lid")
+      val right = r.toDF("rk", "rt", "rid")
+      val got = graft.plans.AsOf.join(left, right, Seq("k" -> "rk"),
+          "t", "rt", strict, tol)
+        .select(col("lid"), col("rid")).collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toMap
+      // brute model: per left row, the right row with the largest
+      // qualifying time; ties on time broken by the largest rid (the merge
+      // keeps the LAST same-key row in (time, arrival) sort order, and the
+      // planner sorts by time only — so only compare when the winner is
+      // unique on (k, t), which the generator makes common enough)
+      val model = l.map { case (k, t, lid) =>
+        val cands = r.filter { case (rk, rt, _) => rk == k &&
+          t.isDefined && rt.isDefined &&
+          (if (strict) rt.get < t.get else rt.get <= t.get) &&
+          tol.forall(t.get - rt.get <= _) }
+        lid -> (if (cands.isEmpty) Set(-1L)
+          else {
+            val best = cands.map(_._2.get).max
+            cands.filter(_._2.get == best).map(_._3).toSet
+          })
+      }.toMap
+      l.forall { case (_, _, lid) => model(lid).contains(got(lid)) }
+    })
+  }
 }
