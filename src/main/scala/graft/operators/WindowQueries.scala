@@ -723,8 +723,35 @@ object WindowQueries extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** q164 — q148's as-of through the BROADCAST physical strategy: the
+    * click dimension ships whole (BroadcastExchange + per-partition
+    * hash-of-sorted-arrays index, binary search per error) and the error
+    * side pays ZERO exchanges — the as-of analogue of broadcast-hash vs
+    * sort-merge, which at a 100 TB fact table IS the operator's whole
+    * cost. One oracle (DuckDB ASOF), three physical engines now: window
+    * composition (q26), partition merge (q148), broadcast index (this);
+    * the spec additionally pins merge == broadcast on randomized tables
+    * and that the broadcast plan contains no hash exchange. */
+  val q164AsofBroadcast: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"),
+        col("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    graft.plans.AsOf.join(errors, clicks, Seq("user_id" -> "c_user"),
+        "ts_us", "c_ts", broadcast = true)
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        (col("ts_us") - col("c_ts")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q148_asof_native" -> q148AsofNative,
+    "q164_asof_broadcast" -> q164AsofBroadcast,
     "q149_pit_join" -> q149PitJoin,
     "q150_asof_tolerance" -> q150AsofTolerance,
     "q151_asof_forward" -> q151AsofForward,
@@ -767,6 +794,7 @@ object WindowQueries extends QueryModule {
       ORDER BY e.event_id"""
 
   def oracles: Map[String, String] = Map(
+    "q164_asof_broadcast" -> duckAsof,
     "q158_trend_slope" -> """
       WITH daily AS (
         SELECT event_type,

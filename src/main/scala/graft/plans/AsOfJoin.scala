@@ -42,7 +42,8 @@ import org.apache.spark.sql.types.LongType
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    strict: Boolean = true, tolerance: Option[Long] = None)
+    strict: Boolean = true, tolerance: Option[Long] = None,
+    broadcastRight: Boolean = false)
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -160,11 +161,107 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]; a no-op on every other node. */
+/** Broadcast as-of join: the right (dimension) side ships whole to every
+  * task via a [[BroadcastDistribution]] and the LEFT SIDE IS NEVER
+  * SHUFFLED OR SORTED — `outputPartitioning`/`outputOrdering` pass the
+  * left child's through untouched. Per partition, the broadcast rows build
+  * one hash-of-sorted-arrays index (key → times ascending); each left row
+  * binary-searches for the last qualifying time. The as-of analogue of
+  * broadcast-hash vs sort-merge: right O(dim) per executor, left streamed
+  * in place — the fact table pays ZERO exchanges, which at 100 TB is the
+  * entire cost of the operator. Same semantics as [[AsOfJoinExec]]
+  * including null-time skipping and tolerance; equality is law-tested on
+  * randomized tables. */
+case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression], leftTime: Expression, rightTime: Expression,
+    strict: Boolean, tolerance: Option[Long],
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode {
+  import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution,
+    IdentityBroadcastMode, UnspecifiedDistribution}
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val isStrict = strict
+    val tol = tolerance
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions({ lIter =>
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val rTimeEval = BindReferences.bindReference(rTimeExpr, rOut)
+      // key → rows sorted by time ascending (null times never match: skip)
+      val index = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+      broadcastRows.value.foreach { row =>
+        val t = rTimeEval.eval(row)
+        if (t != null) {
+          val k = rKeyProj(row).copy()
+          var buf = index.get(k)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty[(Long, InternalRow)]
+            index.put(k, buf)
+          }
+          buf += ((t.asInstanceOf[Long], row))
+        }
+      }
+      index.values().forEach { b => b.sortInPlace()(Ordering.by(_._1)); () }
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val lTimeEval = BindReferences.bindReference(lTimeExpr, lOut)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.length)
+      lIter.map { l =>
+        val lt = lTimeEval.eval(l)
+        var matched: InternalRow = null
+        if (lt != null) {
+          val buf = index.get(lKeyProj(l))
+          if (buf != null) {
+            val ltv = lt.asInstanceOf[Long]
+            // binary search: last index with (t < ltv) / (t <= ltv)
+            var lo = 0; var hi = buf.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              val t = buf(mid)._1
+              if (if (isStrict) t < ltv else t <= ltv) { ans = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (ans >= 0 && tol.forall(ltv - buf(ans)._1 <= _))
+              matched = buf(ans)._2
+          }
+        }
+        joined(l, if (matched != null) matched else nullRight)
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] to the merge or broadcast exec; a no-op on every
+  * other node. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, strict, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, tol, bcast) =>
+      if (bcast)
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, strict, tol,
+          planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(lk, rk, lt, rt, strict, tol,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -184,7 +281,8 @@ object AsOf {
 
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
       leftTimeCol: String, rightTimeCol: String,
-      strict: Boolean = true, tolerance: Option[Long] = None): DataFrame = {
+      strict: Boolean = true, tolerance: Option[Long] = None,
+      broadcast: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
@@ -203,7 +301,7 @@ object AsOf {
     require(lt.dataType == LongType && rt.dataType == LongType,
       "as-of time columns must be LongType (epoch micros)")
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
-      AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, strict, tolerance))
+      AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, strict, tolerance, broadcast))
   }
 
   /** Forward as-of: for each left row, the right row with the SMALLEST time

@@ -82,6 +82,29 @@ class AsOfPlanSpec extends SparkSpec {
     assert(cols == Set("k", "t", "tag", "rk", "rt", "rtag"))
   }
 
+  test("broadcast as-of equals the merge exec and never shuffles the left side") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"),
+      (3L, 7L, "l4"), (1L, 15L, "l5")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (2L, 99L, "r99"))
+      .toDF("rk", "rt", "rtag")
+    def run(bcast: Boolean) =
+      graft.plans.AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
+          broadcast = bcast)
+        .select(col("tag"), col("rtag")).collect()
+        .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+        .toSet
+    assert(run(bcast = true) == run(bcast = false))
+    val df = graft.plans.AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
+      broadcast = true)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), s"expected broadcast exec:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      "the right side must ship via a broadcast exchange")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the broadcast variant must not shuffle either side:\n$plan")
+  }
+
   test("q148 equals q26 row for row, and its executed plan contains AsOfJoinExec") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1),

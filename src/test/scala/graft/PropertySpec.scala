@@ -237,11 +237,12 @@ class PropertySpec extends SparkSpec {
       } yield (k, t, id))
     } yield rows.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
     holds(Prop.forAll(sideGen, sideGen, Gen.oneOf(true, false),
-        Gen.oneOf(None, Some(3L), Some(10L))) { (l, r, strict, tol) =>
+        Gen.oneOf(None, Some(3L), Some(10L)),
+        Gen.oneOf(true, false)) { (l, r, strict, tol, bcast) =>
       val left = l.toDF("k", "t", "lid")
       val right = r.toDF("rk", "rt", "rid")
       val got = graft.plans.AsOf.join(left, right, Seq("k" -> "rk"),
-          "t", "rt", strict, tol)
+          "t", "rt", strict, tol, broadcast = bcast)
         .select(col("lid"), col("rid")).collect()
         .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
         .toMap
