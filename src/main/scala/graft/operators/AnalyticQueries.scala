@@ -1593,7 +1593,54 @@ object AnalyticQueries extends QueryModule {
       .orderBy(col("touch"))
   }
 
+  /** q165 — ONE-PASS COLUMN PROFILER (the data-quality "describe" every
+    * ingestion pipeline runs before anything else): per column of a table,
+    * row count, non-null count, exact distinct count, and canonical min/max
+    * — all from a SINGLE scan. Values are rendered engine-portably AFTER
+    * aggregating on native types (min/max run on the raw column, then
+    * integers print verbatim, money as exact cents, timestamps as epoch
+    * micros), so the comparison never depends on float/locale formatting
+    * and lexicographic-vs-numeric ordering can't diverge.
+    *
+    * Scale shape: one scan → Expand(×n_distinct_aggs+1) → partial/final
+    * hash aggregate to ONE row, then a width-to-rows `stack`. No per-row
+    * data ever crosses the exchange — the shuffle carries partial
+    * aggregation states only. The deliberate cost is EXACT NDV: Spark
+    * plans the 6 count-distincts as one Expand (6+1 copies of each row,
+    * map-side-reduced immediately); the 100-TB variant swaps
+    * `countDistinct` for `approx_count_distinct` (the q98 HLL path) and
+    * the Expand disappears — kept exact here because the oracle is exact. */
+  val q165Profile: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+    // (name, raw column for nn/nd/min/max, renderer for min/max output)
+    val cols: Seq[(String, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+      ("o_orderkey", col("o_orderkey"), (c: org.apache.spark.sql.Column) => c.cast("string")),
+      ("o_custkey", col("o_custkey"), (c: org.apache.spark.sql.Column) => c.cast("string")),
+      ("o_orderstatus", col("o_orderstatus"), (c: org.apache.spark.sql.Column) => c),
+      ("o_totalprice", Num.cents(col("o_totalprice")), (c: org.apache.spark.sql.Column) => c.cast("string")),
+      // o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC, so the
+      // NTZ→TZ cast is the identity on the underlying micros (= DuckDB's
+      // epoch_us on the naive value)
+      ("o_orderdate", expr("unix_micros(cast(o_orderdate as timestamp))"), (c: org.apache.spark.sql.Column) => c.cast("string")),
+      ("o_orderpriority", col("o_orderpriority"), (c: org.apache.spark.sql.Column) => c))
+    val aggs = cols.flatMap { case (n, c, render) => Seq(
+      count(c).as(s"nn_$n"),
+      countDistinct(c).as(s"nd_$n"),
+      render(min(c)).as(s"mn_$n"),
+      render(max(c)).as(s"mx_$n")) }
+    val one = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    one.select(col("n_rows"), expr(
+        s"stack(${cols.size}, " + cols.map { case (n, _, _) =>
+          s"'$n', nn_$n, nd_$n, mn_$n, mx_$n" }.mkString(", ") +
+        ") AS (col_name, n_nonnull, n_distinct, min_s, max_s)"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+      .orderBy(col("col_name"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q165_profile" -> q165Profile,
     "q146_association_rules" -> q146AssociationRules,
     "q147_linear_attribution" -> q147LinearAttribution,
     "q143_sketch_overlap" -> q143SketchOverlap,
@@ -1677,6 +1724,18 @@ object AnalyticQueries extends QueryModule {
         FROM v$n) WHERE rn = 1)"""
 
   def oracles: Map[String, String] = Map(
+    "q165_profile" -> Seq(
+      ("o_orderkey", "o_orderkey", "CAST(%s AS VARCHAR)"),
+      ("o_custkey", "o_custkey", "CAST(%s AS VARCHAR)"),
+      ("o_orderstatus", "o_orderstatus", "%s"),
+      ("o_totalprice", Num.sqlCents("o_totalprice"), "CAST(%s AS VARCHAR)"),
+      ("o_orderdate", "epoch_us(o_orderdate)", "CAST(%s AS VARCHAR)"),
+      ("o_orderpriority", "o_orderpriority", "%s")).map { case (n, e, r) =>
+      s"""SELECT '$n' AS col_name, count(*) AS n_rows,
+        count($e) AS n_nonnull, count(DISTINCT $e) AS n_distinct,
+        ${r.format(s"min($e)")} AS min_s,
+        ${r.format(s"max($e)")} AS max_s FROM orders"""
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name"),
     "q146_association_rules" -> """
       WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
       pr AS (
