@@ -554,7 +554,41 @@ object TextQueries extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** q166 — INVERTED-INDEX BUILD (the retrieval-side artifact q95's BM25
+    * scores on the fly): term → document-frequency, corpus-frequency, and
+    * the sorted posting list of doc_ids, SEGMENTED by doc_id block. The
+    * block split is the 100-TB layout decision: a posting list is stored
+    * per (term, block of 4096 doc_ids), so no single aggregation value —
+    * and no single parquet row — grows with the corpus; a stopword's
+    * postings land as many bounded segments instead of one giant array
+    * (the same "no unbounded per-key state" rule the LSH hot-bucket cap
+    * enforces). Segments are mergeable: global df/cf are the segment sums,
+    * and a query ANDs/ORs segment lists block-aligned — exactly how
+    * Lucene-style engines shard postings. Plan: one token explode → one
+    * (term, doc) partial-agg exchange → one (term, block) agg; collect_list
+    * only ever sees ≤ 4096 doc_ids, and `sort_array` canonicalizes the
+    * nondeterministic collect order. The list is emitted as its canonical
+    * comma-joined rendering (delta/varint coding would be the storage
+    * format; the RENDERING is chosen because the compare gate hashes
+    * scalar cells). */
+  val q166Postings: Q = (s, dir) => {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("block_id", floor(col("doc_id") / 4096).cast("long"))
+      .groupBy(col("term"), col("block_id"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        sort_array(collect_list(col("doc_id"))).as("plist"))
+      .select(col("term"), col("block_id"), col("df"), col("cf"),
+        expr("concat_ws(',', transform(plist, x -> cast(x as string)))")
+          .as("postings"))
+      .orderBy(col("term"), col("block_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q166_postings" -> q166Postings,
     "q120_bigram_lm" -> q120BigramLm,
     "q127_pmi_cooccurrence" -> q127PmiCooccurrence,
     "q129_quality_blend" -> q129QualityBlend,
@@ -574,6 +608,14 @@ object TextQueries extends QueryModule {
   private val duckStop = "['the','a','an','and','of','is','to','in']"
 
   def oracles: Map[String, String] = Map(
+    "q166_postings" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+      SELECT term, CAST(floor(doc_id / 4096) AS BIGINT) AS block_id,
+        count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      FROM tf GROUP BY 1, 2 ORDER BY term, block_id""",
     "q129_quality_blend" -> s"""
       WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
       mq AS (
