@@ -108,6 +108,27 @@ object MisraGries
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
 
+/** Misra–Gries summary emitting (key, count) PAIRS, key-sorted — the
+  * mergeable form the streaming heavy-hitter store persists. q99 only needs
+  * the candidate KEY SET (its second pass recounts exactly); a stream never
+  * gets a second pass, so cross-batch merging must carry the MG counts:
+  * summed per-batch counts are the served LOWER bounds, and the summed
+  * batch sizes bound the undercount at n/(k+1) (Agarwal et al., PODS 2012 —
+  * the merge bound is closed under this exact composition). Same buffer,
+  * reduce, and merge as [[MisraGries]]. */
+object MisraGriesPairs extends org.apache.spark.sql.expressions
+    .Aggregator[Long, MGBuf, Array[(Long, Long)]] {
+  def zero: MGBuf = MisraGries.zero
+  def reduce(b: MGBuf, key: Long): MGBuf = MisraGries.reduce(b, key)
+  def merge(a: MGBuf, b: MGBuf): MGBuf = MisraGries.merge(a, b)
+  def finish(r: MGBuf): Array[(Long, Long)] =
+    Array.tabulate(r.size)(i => (r.keys(i), r.counts(i))).sortBy(_._1)
+  def bufferEncoder: org.apache.spark.sql.Encoder[MGBuf] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  def outputEncoder: org.apache.spark.sql.Encoder[Array[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 object AnalyticQueries extends QueryModule {
 
   /** q30 — ROLLUP over the nation→region dimension chain: per-(region,nation),
@@ -650,6 +671,53 @@ object AnalyticQueries extends QueryModule {
       .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk)) as bigint)")
         .as("dau7_est"))
       .orderBy(col("report_day"))
+  }
+
+  /** Append one micro-batch's Misra–Gries partial to the heavy-hitter
+    * store: ≤ k candidate rows (key, in-batch MG count) plus ONE total row
+    * (key NULL, cnt = batch rows) — O(k) stored rows per batch whatever
+    * the batch size, the entire point of sketch-backed streaming heavy
+    * hitters. Counter sums are replay-sensitive, so idempotence is the
+    * batch-id dynamic-overwrite discipline (q125/q139's): a failure replay
+    * rewrites its own partition instead of double-counting. Input: one
+    * long `key` column. */
+  def mgBatchAppend(keyed: DataFrame, storePath: String, batchId: Long): Unit = {
+    val ks = keyed.select(col("key").cast("long"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+    val pairs = ks.select(MisraGriesPairs.toColumn.name("s"))
+      .select(explode(col("s")).as("p"))
+      .select(col("p._1").as("key"), col("p._2").as("cnt"))
+    val total = ks.toDF("k").agg(count(lit(1)).as("cnt"))
+      .select(lit(null).cast("long").as("key"), col("cnt"))
+    pairs.unionByName(total)
+      .withColumn("ingest_batch", lit(batchId))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic").parquet(storePath)
+  }
+
+  /** Serve heavy-hitter candidates ENTIRELY from the merged per-batch MG
+    * partials — the stream is never revisited. Per surviving key: `cnt_lb`
+    * (summed MG counts — a LOWER bound; the true count lies in
+    * [cnt_lb, cnt_lb + n/(k+1)]) and `confirmed` (the lower bound alone
+    * already clears the n/k threshold). Two one-sided guarantees follow
+    * from the merge bound: every true heavy hitter (count > n/k) survives
+    * the prune — candidates are a SUPERSET — and every confirmed key IS a
+    * true heavy hitter. Keys in the gap (candidate, not confirmed) are the
+    * price of never recounting; batch q99, which CAN take a second exact
+    * pass, has no gap. The prune keeps keys whose UPPER bound clears n/k:
+    * cnt_lb + n/(k+1) > n/k  ⇔  cnt_lb·k·(k+1) > n. */
+  def heavyHittersFromStore(s: SparkSession, storePath: String): DataFrame = {
+    val st = s.read.parquet(storePath)
+    val totals = st.filter(col("key").isNull).agg(sum(col("cnt")).as("n"))
+    val kk = lit(MisraGries.k.toLong)
+    st.filter(col("key").isNotNull)
+      .groupBy(col("key")).agg(sum(col("cnt")).as("cnt_lb"))
+      .crossJoin(broadcast(totals))
+      .filter(col("cnt_lb") * kk * (kk + 1L) > col("n"))
+      .select(col("key"), col("cnt_lb"),
+        (col("cnt_lb") * kk > col("n")).as("confirmed"))
+      .orderBy(col("key"))
   }
 
   /** q98 — MERGEABLE SKETCH ROLLUP: per-nation HLL (Apache DataSketches)

@@ -310,6 +310,29 @@ object StreamOps {
       graft.operators.AnalyticQueries.dauSketchBatchAppend(batch, storePath)
     }.start()
 
+  /** STREAMING heavy hitters into the persisted Misra–Gries store: each
+    * micro-batch of keys appends its ≤ k-counter MG partial plus its row
+    * count via [[graft.operators.AnalyticQueries.mgBatchAppend]] — O(k)
+    * durable rows per batch, never the key space; serving
+    * ([[graft.operators.AnalyticQueries.heavyHittersFromStore]]) merges
+    * the partials under the PODS-2012 bound and reports each candidate
+    * with a lower-bound count and a `confirmed` flag. The streaming twin
+    * of batch q99 with the one honest difference spec-pinned: q99's second
+    * exact pass recounts candidates, a stream cannot — so the serve
+    * output is (superset candidates, sound confirmations) rather than the
+    * exact set. Counter sums double on replay, so idempotence is the
+    * batch-id dynamic-overwrite discipline (q125/q139's): with a
+    * checkpoint, batch ids continue across restarts and `batchIdBase`
+    * stays 0; checkpoint-free restarts must pass a base beyond every id
+    * already used. */
+  def heavyHitterStream(keyed: DataFrame, storePath: String,
+      batchIdBase: Long = 0L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    keyed.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.AnalyticQueries.mgBatchAppend(
+        batch, storePath, batchIdBase + batchId)
+    }.start()
+
   /** STREAMING decontamination over a persisted eval-gram index: each
     * micro-batch of corpus docs checks against the stored index
     * ([[graft.operators.TextQueries.writeEvalGramIndex]]) map-side and

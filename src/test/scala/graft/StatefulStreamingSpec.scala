@@ -362,6 +362,47 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(cusumServed == cusumWant, "store-served CUSUM equals batch q153")
   }
 
+  test("streaming heavy-hitter store: confirmed ⊆ exact heavies ⊆ candidates; replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // q99's derived-skew stream: key = floor(sqrt(event_id)) ⇒ key v has
+    // frequency ≈ 2v+1, so a handful of large-v keys dominate
+    val keys = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(expr("CAST(floor(sqrt(event_id)) AS BIGINT)").as("key"))
+      .as[Long].collect().toSeq
+    val store = java.nio.file.Files.createTempDirectory("graft_hh").toString + "/mg"
+    val stream = MemoryStream[Long]
+    val q = StreamOps.heavyHitterStream(stream.toDF().toDF("key"), store)
+    val batches = keys.grouped((keys.size + 2) / 3).toSeq
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    def serve() = graft.operators.AnalyticQueries
+      .heavyHittersFromStore(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val served = serve()
+    val trueCounts = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = keys.size.toLong
+    val exactHeavies = trueCounts.collect {
+      case (k, c) if c * graft.operators.MisraGries.k > n => k
+    }.toSet
+    val candidates = served.map(_._1).toSet
+    val confirmed = served.collect { case (k, _, true) => k }.toSet
+    assert(exactHeavies.nonEmpty, "fixture must contain heavy keys")
+    assert(exactHeavies.subsetOf(candidates),
+      "every true heavy hitter must survive the merged-summary prune")
+    assert(confirmed.subsetOf(exactHeavies),
+      "a confirmed key must truly be heavy (lower bound is sound)")
+    served.foreach { case (k, lb, _) =>
+      assert(lb <= trueCounts(k), s"lb for $k exceeds the true count")
+      assert(lb + n / (graft.operators.MisraGries.k + 1) >= trueCounts(k),
+        s"undercount for $k exceeds the n/(k+1) merge bound")
+    }
+    // replay batch 0 under its original id: dynamic overwrite, nothing moves
+    graft.operators.AnalyticQueries.mgBatchAppend(
+      spark.createDataset(batches.head).toDF("key"), store, 0L)
+    assert(serve() == served, "replayed MG partial must overwrite, not double-count")
+  }
+
   test("streaming DAU sketch store equals batch build; replayed merges cannot move estimates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
