@@ -749,7 +749,39 @@ object WindowQueries extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** q167 — 2-D SKYLINE (Pareto frontier): the orders no other order
+    * strictly beats on BOTH price and recency — the classic multi-objective
+    * shortlist (Börzsönyi et al., "The Skyline Operator", ICDE 2001)
+    * recast as ONE sort + ONE window pass instead of the textbook
+    * quadratic self-anti-join: sorted by price DESC, a row is dominated
+    * iff some strictly-higher-priced row has a strictly-later date, i.e.
+    * iff max(date) over the RANGE frame (unbounded, price+1] exceeds its
+    * own date. The RANGE (not ROWS) frame makes price TIES non-dominating
+    * by construction, which is exactly strict-both-dims dominance.
+    *
+    * Scale shape: the sort is Spark's range-partitioned total sort (a
+    * sample-partitioned exchange, no single-reducer funnel); the window
+    * runs per partition with only the carried running max crossing
+    * partition bounds. The known 100-TB refinement is LOCAL pre-pruning —
+    * run the same window per partition first and only local winners enter
+    * the global sort (skylines are tiny; dominated rows die before the
+    * exchange); declared rather than coded because the global sort is
+    * already the plan's only exchange at any scale. */
+  val q167Skyline: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        Num.cents(col("o_totalprice")).as("price_cents"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("date_us"))
+    val frontier = Window.orderBy(col("price_cents").desc)
+      .rangeBetween(Window.unboundedPreceding, -1L)
+    o.withColumn("mx", max(col("date_us")).over(frontier))
+      .filter(col("mx").isNull || col("mx") <= col("date_us"))
+      .select(col("o_orderkey"), col("price_cents"), col("date_us"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q167_skyline" -> q167Skyline,
     "q148_asof_native" -> q148AsofNative,
     "q164_asof_broadcast" -> q164AsofBroadcast,
     "q149_pit_join" -> q149PitJoin,
@@ -794,6 +826,15 @@ object WindowQueries extends QueryModule {
       ORDER BY e.event_id"""
 
   def oracles: Map[String, String] = Map(
+    "q167_skyline" -> """
+      WITH o AS (SELECT o_orderkey,
+        CAST(round(o_totalprice*100,0) AS BIGINT) AS price_cents,
+        epoch_us(o_orderdate) AS date_us FROM orders)
+      SELECT o_orderkey, price_cents, date_us FROM (
+        SELECT *, max(date_us) OVER (ORDER BY price_cents DESC
+          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx FROM o)
+      WHERE mx IS NULL OR mx <= date_us
+      ORDER BY price_cents DESC, o_orderkey""",
     "q164_asof_broadcast" -> duckAsof,
     "q158_trend_slope" -> """
       WITH daily AS (

@@ -83,6 +83,26 @@ class PlansSpec extends SparkSpec {
     graft.engine.Sessions.releasePinned(spark)
   }
 
+  test("q165/q166/q167 plan shapes: one-scan profiler, two-exchange postings, join-free skyline") {
+    // q165: ONE parquet scan feeding one Expand + hash-agg pipeline — the
+    // profiler must never rescan the table per column or per aggregate
+    val q165 = graft.operators.AnalyticQueries.q165Profile(spark, sfDir)
+    val exec165 = q165.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(exec165).size == 1,
+      "profiler must read the table exactly once")
+    assert(exec165.contains("Expand"), "multi-NDV profiling plans through one Expand")
+    // q166: token explode → (term,doc) agg → (term,block) agg — no joins
+    // anywhere, and the posting assembly must not plan a cartesian
+    val p166 = planString(graft.operators.TextQueries.q166Postings(spark, sfDir))
+    assert(!p166.contains("Join"), "index build is pure aggregation, no joins")
+    // q167: single total sort + window, no self-join (the textbook skyline
+    // is a quadratic anti-join — this plan must not contain ANY join)
+    val p167 = planString(graft.operators.WindowQueries.q167Skyline(spark, sfDir))
+    assert(!p167.contains("Join"), "skyline must be sort+window, not a self-join")
+    assert(p167.contains("Window"))
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("bucketed co-located join plans zero shuffle exchanges") {
     // external tables via explicit paths; only metadata lands in the default warehouse
     val wh = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
