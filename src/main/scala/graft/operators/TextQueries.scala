@@ -587,7 +587,50 @@ object TextQueries extends QueryModule {
       .orderBy(col("term"), col("block_id"))
   }
 
+  /** Write q166's posting segments PARTITIONED BY TERM — the durable form
+    * of the index, laid out so a term lookup is a partition prune, not a
+    * scan: `term=<t>/` directories hold (block_id, plist) segment rows
+    * where plist is the block's sorted (doc_id, tf) structs. Same
+    * segmentation bound as q166 (≤ 4096 docs per stored list). */
+  def writePostingsIndex(s: org.apache.spark.sql.SparkSession, dir: String,
+      path: String): Unit =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("block_id", floor(col("doc_id") / 4096).cast("long"))
+      .groupBy(col("term"), col("block_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("plist"))
+      .write.mode("overwrite").partitionBy("term").parquet(path)
+
+  /** q168 — CONJUNCTIVE RETRIEVAL FROM THE STORED INDEX: docs containing
+    * BOTH query terms, with each term's frequency — served ENTIRELY from
+    * the persisted posting segments ([[writePostingsIndex]]); the corpus
+    * is never rescanned at query time. The index-once-query-many
+    * completion of q166 (what q75/q83's stored IVF/cell indexes are to
+    * ANN): each term's lookup hits the term-partitioned store as a
+    * partition PRUNE, segments explode to (block, doc, tf) rows, and the
+    * AND is a BLOCK-ALIGNED equi-join on (block_id, doc_id) — at 100 TB
+    * the intersection join shuffles only the two terms' posting rows
+    * (bounded by the rarer term), never the index, and block alignment is
+    * what lets segment pairs co-partition. The oracle replays the
+    * membership test against the raw corpus — agreement proves the index
+    * round-trip lossless. */
+  val q168PostingsQuery: Q = (s, dir) => {
+    val path = graft.engine.Scratch.dir(s, "q168_postings")
+    writePostingsIndex(s, dir, path)
+    val st = s.read.parquet(path)
+    def side(t: String, tfName: String) =
+      st.filter(col("term") === t)
+        .select(col("block_id"), explode(col("plist")).as("p"))
+        .select(col("block_id"), col("p.doc_id").as("doc_id"),
+          col("p.tf").as(tfName))
+    side("spark", "tf_a").join(side("window", "tf_b"), Seq("block_id", "doc_id"))
+      .select(col("doc_id"), col("tf_a"), col("tf_b"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q168_postings_query" -> q168PostingsQuery,
     "q166_postings" -> q166Postings,
     "q120_bigram_lm" -> q120BigramLm,
     "q127_pmi_cooccurrence" -> q127PmiCooccurrence,
@@ -608,6 +651,15 @@ object TextQueries extends QueryModule {
   private val duckStop = "['the','a','an','and','of','is','to','in']"
 
   def oracles: Map[String, String] = Map(
+    "q168_postings_query" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      SELECT doc_id,
+        CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf_a,
+        CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT) AS tf_b
+      FROM d
+      WHERE len(list_filter(t, x -> x = 'spark')) > 0
+        AND len(list_filter(t, x -> x = 'window')) > 0
+      ORDER BY doc_id""",
     "q166_postings" -> """
       WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
