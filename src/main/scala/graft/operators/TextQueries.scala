@@ -629,6 +629,41 @@ object TextQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Append one micro-batch's posting segments to the incremental index
+    * store: the batch's (term, block) segments land under their own
+    * `ingest_batch` partition — dynamic overwrite, so a replayed batch
+    * (foreachBatch is at-least-once) rewrites its own partition instead of
+    * double-counting (q74/q125's discipline). Documents are never
+    * revisited: each doc's tokens are read once, in its ingest batch. */
+  def postingsBatchAppend(docs: DataFrame, storePath: String,
+      batchId: Long): Unit =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("block_id", floor(col("doc_id") / 4096).cast("long"))
+      .groupBy(col("term"), col("block_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("plist"))
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic").parquet(storePath)
+
+  /** Serve the merged index ENTIRELY from stored per-batch segments —
+    * q166's exact output shape, rebuilt by SEGMENT ALGEBRA alone: df/cf
+    * are segment sums and the merged posting list is the sorted union
+    * (each doc lives in exactly one ingest batch, so no dedup is needed —
+    * the same disjointness that makes the merge exact at any batch
+    * count). Spec-pinned row-for-row equal to the single-pass q166 build. */
+  def postingsFromStore(s: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame =
+    s.read.parquet(storePath)
+      .select(col("term"), col("block_id"), explode(col("plist")).as("p"))
+      .groupBy(col("term"), col("block_id"))
+      .agg(count(lit(1)).as("df"), sum(col("p.tf")).as("cf"),
+        sort_array(collect_list(col("p.doc_id"))).as("plist"))
+      .select(col("term"), col("block_id"), col("df"), col("cf"),
+        expr("concat_ws(',', transform(plist, x -> cast(x as string)))")
+          .as("postings"))
+      .orderBy(col("term"), col("block_id"))
+
   def queries: Map[String, Q] = Map(
     "q168_postings_query" -> q168PostingsQuery,
     "q166_postings" -> q166Postings,

@@ -310,6 +310,25 @@ object StreamOps {
       graft.operators.AnalyticQueries.dauSketchBatchAppend(batch, storePath)
     }.start()
 
+  /** STREAMING inverted-index ingest into the persisted posting-segment
+    * store: each micro-batch of (doc_id, text) documents appends its
+    * (term, block) segments via
+    * [[graft.operators.TextQueries.postingsBatchAppend]]; serving
+    * ([[graft.operators.TextQueries.postingsFromStore]]) rebuilds q166's
+    * exact output by segment algebra (df/cf sums, sorted-union postings)
+    * without ever revisiting a document — the retrieval-index member of
+    * the incremental family (signatures q74, grams q81, cells q83, spans
+    * q121, DAU sketches, CDC partials, MG counters). Idempotence is the
+    * batch-id dynamic-overwrite discipline; segment merge is exact
+    * because each doc lives in exactly one ingest batch. */
+  def postingsStream(docs: DataFrame, storePath: String,
+      batchIdBase: Long = 0L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.TextQueries.postingsBatchAppend(
+        batch, storePath, batchIdBase + batchId)
+    }.start()
+
   /** STREAMING heavy hitters into the persisted Misra–Gries store: each
     * micro-batch of keys appends its ≤ k-counter MG partial plus its row
     * count via [[graft.operators.AnalyticQueries.mgBatchAppend]] — O(k)

@@ -362,6 +362,31 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(cusumServed == cusumWant, "store-served CUSUM equals batch q153")
   }
 
+  test("streaming postings ingest: segment-merged serve equals the single-pass q166 build; replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.engine.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val store = java.nio.file.Files.createTempDirectory("graft_post").toString + "/seg"
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.postingsStream(stream.toDF().toDF("doc_id", "text"), store)
+    val batches = docs.grouped((docs.size + 2) / 3).toSeq
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    def serve() = graft.operators.TextQueries.postingsFromStore(spark, store)
+      .collect().map(_.toSeq).toSeq
+    val served = serve()
+    val batch = graft.operators.TextQueries.q166Postings(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(served == batch,
+      "segment-merged index must equal the single-pass build row-for-row")
+    // replay batch 1 under its original id: dynamic overwrite, nothing moves
+    graft.operators.TextQueries.postingsBatchAppend(
+      spark.createDataset(batches(1)).toDF("doc_id", "text"), store, 1L)
+    assert(serve() == served, "replayed segment append must overwrite, not duplicate")
+  }
+
   test("streaming heavy-hitter store: confirmed ⊆ exact heavies ⊆ candidates; replay is a no-op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
