@@ -664,7 +664,67 @@ object TextQueries extends QueryModule {
           .as("postings"))
       .orderBy(col("term"), col("block_id"))
 
+  /** One BPE merge round: count adjacent token pairs (ALL occurrences, the
+    * classic convention), pick the (count DESC, pair ASC) best, rewrite
+    * every doc by GREEDY LEFT-TO-RIGHT NON-OVERLAPPING application of that
+    * merge. The rewrite is a per-doc array fold (`aggregate` HOF) — pure
+    * map-side; the ONLY exchange per round is the vocab²-bounded pair
+    * count, so a round over 100 TB costs one scan + one small aggregation,
+    * which is exactly how distributed BPE trainers are built. Returns the
+    * rewritten token arrays and a 1-row (w1, w2, pair_count) stats frame. */
+  private[graft] def bpeRound(toks: DataFrame): (DataFrame, DataFrame) = {
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val best = pairs.orderBy(col("c").desc, col("w1"), col("w2")).limit(1)
+    val rewritten = toks.crossJoin(broadcast(best))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(t) < 2 THEN t ELSE aggregate(
+          |  sequence(0, size(t) - 1),
+          |  named_struct('acc', cast(array() as array<string>), 'skip', false),
+          |  (s, i) -> CASE
+          |    WHEN s.skip THEN named_struct('acc', s.acc, 'skip', false)
+          |    WHEN i < size(t) - 1 AND t[i] = w1 AND t[i+1] = w2
+          |      THEN named_struct('acc',
+          |        array_append(s.acc, concat(w1, '_', w2)), 'skip', true)
+          |    ELSE named_struct('acc', array_append(s.acc, t[i]), 'skip', false)
+          |  END,
+          |  s -> s.acc) END""".stripMargin).as("t"))
+    (rewritten, best)
+  }
+
+  /** q169 — BPE MERGE INDUCTION (2 unrolled rounds): the tokenizer-training
+    * inner loop — repeatedly count adjacent pairs over the whole corpus,
+    * adopt the most frequent pair into the vocabulary, and re-segment every
+    * document with greedy left-to-right non-overlapping application (Sennrich
+    * et al., ACL 2016). Output per round: the adopted merge, its count at
+    * selection time, and the corpus token count after application.
+    *
+    * The overlap subtlety is pinned IDENTICALLY in both engines: occurrences
+    * at consecutive positions overlap only for self-pairs (w,w), where
+    * greedy keeps even offsets within each run — the engine's sequential
+    * fold does this by construction, the oracle's window formulation
+    * (run-group by pos − row_number, keep off % 2 = 0) provably equals it.
+    * Scale shape per round: one corpus scan, one vocab²-bounded exchange,
+    * map-side rewrite — documents never shuffle. */
+  val q169BpeMerges: Q = (s, dir) => {
+    val t0 = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val (t1, b1) = bpeRound(t0)
+    val (t2, b2) = bpeRound(t1)
+    def statsRow(round: Int, best: DataFrame, after: DataFrame) =
+      after.agg(sum(size(col("t"))).as("tokens_after"))
+        .crossJoin(broadcast(best))
+        .select(lit(round.toLong).as("round"),
+          concat(col("w1"), lit("_"), col("w2")).as("merged_token"),
+          col("c").as("pair_count"), col("tokens_after"))
+    statsRow(1, b1, t1).unionByName(statsRow(2, b2, t2)).orderBy(col("round"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q169_bpe_merges" -> q169BpeMerges,
     "q168_postings_query" -> q168PostingsQuery,
     "q166_postings" -> q166Postings,
     "q120_bigram_lm" -> q120BigramLm,
@@ -685,7 +745,46 @@ object TextQueries extends QueryModule {
 
   private val duckStop = "['the','a','an','and','of','is','to','in']"
 
+  /** One unrolled BPE round as CTEs, `$from` → `s$n`: pair count → best
+    * (count DESC, pair ASC) → greedy non-overlap apply via run-grouping
+    * (occurrences at consecutive positions — only self-pairs — keep even
+    * offsets within each run, which equals the engine's sequential fold). */
+  private def duckBpeRound(n: Int, from: String): String = s"""
+  x$n AS MATERIALIZED (SELECT doc_id, pos, tok,
+      lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nt FROM $from),
+  b$n AS MATERIALIZED (SELECT w1, w2, c FROM (
+      SELECT tok AS w1, nt AS w2, count(*) AS c FROM x$n WHERE nt IS NOT NULL
+      GROUP BY 1, 2) ORDER BY c DESC, w1, w2 LIMIT 1),
+  o$n AS MATERIALIZED (SELECT x.doc_id, x.pos FROM x$n x, b$n b
+      WHERE x.tok = b.w1 AND x.nt = b.w2),
+  r$n AS (SELECT doc_id, pos,
+      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM o$n),
+  m$n AS MATERIALIZED (SELECT doc_id, pos FROM (
+      SELECT doc_id, pos, pos - min(pos) OVER (PARTITION BY doc_id, g) AS off
+      FROM r$n) WHERE off % 2 = 0),
+  s$n AS MATERIALIZED (SELECT doc_id,
+      row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos, tok FROM (
+      SELECT x.doc_id, x.pos,
+        CASE WHEN m.pos IS NOT NULL THEN x.tok || '_' || x.nt ELSE x.tok END AS tok
+      FROM x$n x
+      LEFT JOIN m$n m ON x.doc_id = m.doc_id AND x.pos = m.pos
+      LEFT JOIN m$n mp ON x.doc_id = mp.doc_id AND x.pos = mp.pos + 1
+      WHERE mp.pos IS NULL))"""
+
   def oracles: Map[String, String] = Map(
+    "q169_bpe_merges" -> s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      s0 AS (SELECT doc_id, u.pos, u.tok FROM (
+        SELECT doc_id,
+          unnest([{'pos': i, 'tok': t[i]} for i in range(1, len(t)+1)]) AS u
+        FROM d)),
+      ${duckBpeRound(1, "s0")},
+      ${duckBpeRound(2, "s1")}
+      SELECT CAST(1 AS BIGINT) AS round, b1.w1 || '_' || b1.w2 AS merged_token,
+        b1.c AS pair_count, (SELECT count(*) FROM s1) AS tokens_after FROM b1
+      UNION ALL SELECT CAST(2 AS BIGINT), b2.w1 || '_' || b2.w2, b2.c,
+        (SELECT count(*) FROM s2) FROM b2
+      ORDER BY round""",
     "q168_postings_query" -> """
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       SELECT doc_id,

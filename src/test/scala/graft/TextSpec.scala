@@ -9,6 +9,22 @@ import org.apache.spark.sql.functions._
   * posture (broadcast bench side) is asserted on the physical plan. */
 class TextSpec extends SparkSpec {
 
+  test("BPE round: greedy left-to-right non-overlap on self-pair chains") {
+    import spark.implicits._
+    // 5×'a': pairs (a,a)=4 beat (b,c)=2; greedy merges offsets 0 and 2 of
+    // the run, leaving the odd trailing 'a' — the overlap case the oracle's
+    // even-offset window formulation must match
+    val toks = Seq(
+      (1L, Seq("a", "a", "a", "a", "a")),
+      (2L, Seq("b", "c", "b", "c"))).toDF("doc_id", "t")
+    val (rewritten, best) = graft.operators.TextQueries.bpeRound(toks)
+    assert(best.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq == Seq(("a", "a", 4L)))
+    val got = rewritten.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a_a", "a_a", "a"), s"got ${got(1L)}")
+    assert(got(2L) == Seq("b", "c", "b", "c"), "non-matching doc must pass through")
+  }
+
   test("q70 decontamination equals brute-force pairwise gram intersection") {
     val g = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
