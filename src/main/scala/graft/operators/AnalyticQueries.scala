@@ -1707,7 +1707,47 @@ object AnalyticQueries extends QueryModule {
       .orderBy(col("col_name"))
   }
 
+  /** q170 — PROFILE DRIFT MONITOR: q165's one-pass column statistics
+    * computed over two snapshots of the same table (orders before vs from
+    * 1996) and diffed per column — the "did this feed change shape?"
+    * check every scheduled ingestion runs before training jobs consume a
+    * new snapshot. Per column: both sides' non-null and exact-distinct
+    * counts, the NDV shift in ppm, and a drift flag at > 20%.
+    *
+    * Numeric portability: the shift is |Δ|·10⁶ div old with a separate
+    * sign column — `div` on a NEGATIVE numerator is where engines diverge
+    * (Spark `div` truncates toward zero, DuckDB `//` floors), so the
+    * division only ever sees non-negative integers. Plan: one scan +
+    * Expand per side (q165's shape ×2), joined on the 6-row column axis. */
+  val q170ProfileDrift: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+    val cut = "1996-01-01"
+    def side(df: DataFrame, suffix: String): DataFrame = {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val aggs = cols.flatMap { n => Seq(
+        count(col(n)).as(s"nn_$n"),
+        countDistinct(col(n)).as(s"nd_$n")) }
+      df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(col("n_rows"), expr(
+          s"stack(${cols.size}, " + cols.map { n =>
+            s"'$n', nn_$n, nd_$n" }.mkString(", ") +
+          ") AS (col_name, n_nonnull, n_distinct)"))
+        .select(col("col_name"), col("n_rows").as(s"rows_$suffix"),
+          col("n_nonnull").as(s"nn_$suffix"), col("n_distinct").as(s"nd_$suffix"))
+    }
+    side(o.filter(col("o_orderdate") < lit(cut)), "a")
+      .join(side(o.filter(col("o_orderdate") >= lit(cut)), "b"), "col_name")
+      .select(col("col_name"), col("rows_a"), col("rows_b"),
+        col("nn_a"), col("nn_b"), col("nd_a"), col("nd_b"),
+        expr("abs(nd_b - nd_a) * 1000000 div nd_a").as("nd_shift_abs_ppm"),
+        signum(col("nd_b") - col("nd_a")).cast("long").as("nd_shift_sign"),
+        (expr("abs(nd_b - nd_a) * 1000000 div nd_a") > 200000L).as("drifted"))
+      .orderBy(col("col_name"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q170_profile_drift" -> q170ProfileDrift,
     "q165_profile" -> q165Profile,
     "q146_association_rules" -> q146AssociationRules,
     "q147_linear_attribution" -> q147LinearAttribution,
@@ -1792,6 +1832,30 @@ object AnalyticQueries extends QueryModule {
         FROM v$n) WHERE rn = 1)"""
 
   def oracles: Map[String, String] = Map(
+    "q170_profile_drift" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      def sideSql(pred: String) = cols.map { n =>
+        s"""SELECT '$n' AS col_name, count(*) AS n_rows,
+          count($n) AS n_nonnull, count(DISTINCT $n) AS n_distinct
+          FROM orders WHERE $pred"""
+      }.mkString("(", " UNION ALL ", ")")
+      s"""
+      WITH a AS ${sideSql("o_orderdate < TIMESTAMP '1996-01-01'")},
+      b AS ${sideSql("o_orderdate >= TIMESTAMP '1996-01-01'")}
+      SELECT a.col_name, a.n_rows AS rows_a, b.n_rows AS rows_b,
+        a.n_nonnull AS nn_a, b.n_nonnull AS nn_b,
+        a.n_distinct AS nd_a, b.n_distinct AS nd_b,
+        abs(b.n_distinct - a.n_distinct) * 1000000 // a.n_distinct
+          AS nd_shift_abs_ppm,
+        CAST(CASE WHEN b.n_distinct > a.n_distinct THEN 1
+          WHEN b.n_distinct < a.n_distinct THEN -1 ELSE 0 END AS BIGINT)
+          AS nd_shift_sign,
+        (abs(b.n_distinct - a.n_distinct) * 1000000 // a.n_distinct) > 200000
+          AS drifted
+      FROM a JOIN b USING (col_name)
+      ORDER BY col_name"""
+    },
     "q165_profile" -> Seq(
       ("o_orderkey", "o_orderkey", "CAST(%s AS VARCHAR)"),
       ("o_custkey", "o_custkey", "CAST(%s AS VARCHAR)"),
