@@ -1746,7 +1746,47 @@ object AnalyticQueries extends QueryModule {
       .orderBy(col("col_name"))
   }
 
+  /** q171 — WINSORIZED MEAN per group: order value re-averaged after
+    * clamping into the group's exact [p10, p90] — the robust central
+    * tendency a revenue dashboard needs when a few whale orders (or fat
+    * finger entries) would otherwise move the mean (the estimator family
+    * of q142's median/MAD, here the WINSORIZED member that keeps row count
+    * and units). Percentile cuts are RANK-SELECTED (value at 1-based rank
+    * ⌈q·n⌉ of the sorted group — integer rank arithmetic `(n+9) div 10` /
+    * `(9n+9) div 10`, no interpolation), so cuts are actual data values
+    * and every number stays an exact integer cent; the mean is emitted as
+    * micro-cents via non-negative integer division. Plan: one per-group
+    * sort window (rank + size), a group-row cut selection, and one
+    * re-aggregation with the cuts broadcast back — the exact-rank cost
+    * q118's mergeable histogram trades away at 100 TB. */
+  val q171Winsorize: Q = (s, dir) => {
+    val w = Window.partitionBy(col("pri")).orderBy(col("c"))
+    val ranked = Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("pri"),
+        Num.cents(col("o_totalprice")).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pri"))))
+    val cuts = ranked.groupBy(col("pri")).agg(
+      min(when(col("rn") === expr("(n + 9) div 10"), col("c"))).as("p10_cents"),
+      min(when(col("rn") === expr("(9 * n + 9) div 10"), col("c"))).as("p90_cents"))
+    ranked.join(broadcast(cuts), "pri")
+      .groupBy(col("pri"))
+      .agg(count(lit(1)).as("n_orders"),
+        first(col("p10_cents")).as("p10_cents"),
+        first(col("p90_cents")).as("p90_cents"),
+        sum(least(greatest(col("c"), col("p10_cents")), col("p90_cents")))
+          .as("win_sum_cents"),
+        sum(col("c")).as("raw_sum_cents"))
+      .select(col("pri").as("o_orderpriority"), col("n_orders"),
+        col("p10_cents"), col("p90_cents"), col("win_sum_cents"),
+        col("raw_sum_cents"),
+        expr("win_sum_cents * 1000000 div n_orders").as("win_mean_micro"),
+        expr("raw_sum_cents * 1000000 div n_orders").as("raw_mean_micro"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q171_winsorize" -> q171Winsorize,
     "q170_profile_drift" -> q170ProfileDrift,
     "q165_profile" -> q165Profile,
     "q146_association_rules" -> q146AssociationRules,
@@ -1832,6 +1872,27 @@ object AnalyticQueries extends QueryModule {
         FROM v$n) WHERE rn = 1)"""
 
   def oracles: Map[String, String] = Map(
+    "q171_winsorize" -> """
+      WITH r AS (SELECT o_orderpriority AS pri,
+        CAST(round(o_totalprice*100,0) AS BIGINT) AS c,
+        row_number() OVER (PARTITION BY o_orderpriority
+          ORDER BY CAST(round(o_totalprice*100,0) AS BIGINT)) AS rn,
+        count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders),
+      cuts AS (SELECT pri,
+        min(CASE WHEN rn = (n + 9) // 10 THEN c END) AS p10_cents,
+        min(CASE WHEN rn = (9 * n + 9) // 10 THEN c END) AS p90_cents
+        FROM r GROUP BY pri)
+      SELECT pri AS o_orderpriority, count(*) AS n_orders,
+        p10_cents, p90_cents,
+        CAST(sum(least(greatest(c, p10_cents), p90_cents)) AS BIGINT)
+          AS win_sum_cents,
+        CAST(sum(c) AS BIGINT) AS raw_sum_cents,
+        CAST(sum(least(greatest(c, p10_cents), p90_cents)) AS BIGINT)
+          * 1000000 // count(*) AS win_mean_micro,
+        CAST(sum(c) AS BIGINT) * 1000000 // count(*) AS raw_mean_micro
+      FROM r JOIN cuts USING (pri)
+      GROUP BY 1, p10_cents, p90_cents
+      ORDER BY o_orderpriority""",
     "q170_profile_drift" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")
