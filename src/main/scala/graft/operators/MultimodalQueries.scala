@@ -393,6 +393,35 @@ object WavCodec {
     else Some((rate, channels, bits, dataLen / block,
       dataLen * 1000000L / byteRate))
   }
+
+  /** Parse format AND the PCM payload: [[decode]]'s chunk walk, but
+    * returning the data chunk's bytes — what sample-level ops (levels,
+    * loudness) need; metadata-only callers keep the cheaper decode. */
+  def decodePcm(b: Array[Byte]): Option[(Long, Long, Long, Array[Byte])] = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var o = 12L
+    var rate = -1L; var channels = -1L; var bits = -1L; var block = -1L
+    var dataOff = -1L; var dataLen = -1L
+    while (o + 8 <= b.length) {
+      val oi = o.toInt
+      val id = tag(b, oi)
+      val size = readLe32(b, oi + 4)
+      if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length) {
+        channels = readLe16(b, oi + 10).toLong
+        rate = readLe32(b, oi + 12)
+        block = readLe16(b, oi + 20).toLong
+        bits = readLe16(b, oi + 22).toLong
+      } else if (id == "data") {
+        dataOff = o + 8
+        dataLen = math.min(size, b.length - o - 8)
+      }
+      o += 8 + size + (size & 1)
+    }
+    if (rate <= 0 || channels <= 0 || block <= 0 || bits <= 0 ||
+        dataOff < 0 || dataLen < 0) None
+    else Some((rate, channels, bits, java.util.Arrays.copyOfRange(
+      b, dataOff.toInt, (dataOff + dataLen).toInt)))
+  }
 }
 
 /** Multimodal-column operators: binary payloads + typed metadata, batch
@@ -714,7 +743,56 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("i"), col("j"))
   }
 
+  /** q172 — AUDIO LEVEL EXTRACTION: the loudness gate every speech-corpus
+    * pipeline runs (drop silent / clipped blobs before feature work),
+    * computed from the SAMPLES — per blob, peak amplitude and Σ|amplitude|
+    * over the real PCM payload reached through [[WavCodec.decodePcm]]'s
+    * chunk walk (junk LIST chunk, pad rule and all). 8-bit PCM is unsigned
+    * around 128, 16-bit signed little-endian — a parser that misreads
+    * either convention (or indexes samples off the data offset) mismatches
+    * the oracle, which replays the synthesis arithmetic byte-for-byte in
+    * SQL. Per-blob work is map-side; the exchange carries only the
+    * (format, channels, bits) rollup. */
+  val q172AudioLevels: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val payload = synthesizeWav(id, text)
+        WavCodec.decodePcm(payload) match {
+          case Some((_, ch, bits, data)) =>
+            var i = 0; var n = 0L; var peak = 0L; var sumAbs = 0L
+            if (bits == 8) {
+              while (i < data.length) {
+                val a = math.abs((data(i) & 0xFF) - 128).toLong
+                if (a > peak) peak = a
+                sumAbs += a; n += 1; i += 1
+              }
+            } else {
+              while (i + 1 < data.length) {
+                val v = ((data(i) & 0xFF) | (data(i + 1) << 8)).toShort.toLong
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                sumAbs += a; n += 1; i += 2
+              }
+            }
+            ("wav", ch, bits, n, peak, sumAbs)
+          case None => ("raw", -1L, -1L, 0L, 0L, 0L)
+        }
+      })
+      .toDF("format", "channels", "bits", "n_samples", "peak", "abs_sum")
+      .groupBy(col("format"), col("channels"), col("bits"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("n_samples")).as("samples_sum"),
+        sum(col("peak")).as("peak_sum"),
+        max(col("peak")).as("peak_max"),
+        sum(col("abs_sum")).as("abs_sum_total"))
+      .orderBy(col("format"), col("channels"), col("bits"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q172_audio_levels" -> q172AudioLevels,
     "q65_multimodal" -> q65Multimodal,
     "q161_image_dhash" -> q161ImageDhash,
     "q162_image_hamming_join" -> q162ImageHammingJoin,
@@ -729,6 +807,38 @@ object MultimodalQueries extends QueryModule {
     * bytes are the magic values (PNG 0x89 = 137, JPEG 0xFF = 255; raw = the
     * text's first UTF-8 byte — the fixture is ASCII so unicode() matches). */
   def oracles: Map[String, String] = Map(
+    "q172_audio_levels" -> """
+      WITH w AS (SELECT doc_id, text,
+          CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS BIGINT) AS bits,
+          strlen(text) // (CAST(doc_id % 2 + 1 AS BIGINT) * CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)
+            * (CAST(doc_id % 2 + 1 AS BIGINT) * CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END) AS m
+        FROM documents WHERE doc_id % 6 <> 5),
+      b AS (
+        SELECT doc_id, channels, bits,
+          [128 - ascii(substr(text, i, 1)) for i in range(1, m + 1)] AS amps
+        FROM w WHERE bits = 8
+        UNION ALL
+        SELECT doc_id, channels, bits,
+          [ascii(substr(text, 2*j - 1, 1)) + 256 * ascii(substr(text, 2*j, 1))
+            for j in range(1, m // 2 + 1)] AS amps
+        FROM w WHERE bits = 16),
+      st AS (
+        SELECT 'wav' AS format, channels, bits,
+          CAST(len(amps) AS BIGINT) AS n_samples,
+          CAST(coalesce(list_max(amps), 0) AS BIGINT) AS peak,
+          CAST(coalesce(list_sum(amps), 0) AS BIGINT) AS abs_sum
+        FROM b
+        UNION ALL
+        SELECT 'raw', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM documents WHERE doc_id % 6 = 5)
+      SELECT format, channels, bits, count(*) AS n_blobs,
+        CAST(sum(n_samples) AS BIGINT) AS samples_sum,
+        CAST(sum(peak) AS BIGINT) AS peak_sum,
+        CAST(max(peak) AS BIGINT) AS peak_max,
+        CAST(sum(abs_sum) AS BIGINT) AS abs_sum_total
+      FROM st GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     // dHash synthesis arithmetic replayed symbolically: nearest-resize
     // source coords sx = x·w//9, sy = y·h//8, pixel = (sx·31 + sy·17 +
     // base·7) % 250 + brightness offset — a decoder, defilter, or resize
