@@ -791,7 +791,47 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("format"), col("channels"), col("bits"))
   }
 
+  /** q173 — IMAGE NORMALIZATION STATISTICS: the dataset mean/variance
+    * constants every vision-training pipeline computes before normalizing
+    * inputs — per image size, pixel count, Σpixel and Σpixel² across the
+    * corpus, with every pixel reached through the REAL PNG path (chunk
+    * grammar → Inflater → defilter, the q101/q161 codec): an off-by-one in
+    * any decode stage shifts the sums and hash-mismatches the oracle,
+    * which replays the synthesis arithmetic (the q161 pixel formula) in
+    * SQL. Integer sums only — mean/std are the consumer's one division.
+    * Decode is map-side; the exchange carries one row per image size. */
+  val q173ImageStats: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val base = if (id % 10 == 1) id - 1 else id
+        val off = if (id % 10 == 1) 2 else 0
+        val w = (base % 24 + 8).toInt; val h = (base % 16 + 8).toInt
+        val png = PngPixelCodec.encode(w, h, 1,
+          (x, y, _) => (((x * 31 + y * 17 + base * 7) % 250) + off).toInt)
+        PngPixelCodec.decode(png) match {
+          case Some((dw, dh, _, px)) =>
+            var sum = 0L; var sumsq = 0L; var i = 0
+            while (i < px.length) {
+              val v = (px(i) & 0xFF).toLong
+              sum += v; sumsq += v * v; i += 1
+            }
+            (dw.toLong, dh.toLong, px.length.toLong, sum, sumsq)
+          case None => (-1L, -1L, 0L, 0L, 0L)
+        }
+      })
+      .toDF("w", "h", "n_px", "sum_px", "sumsq_px")
+      .groupBy(col("w"), col("h"))
+      .agg(count(lit(1)).as("n_imgs"),
+        sum(col("n_px")).as("px_count"),
+        sum(col("sum_px")).as("px_sum"),
+        sum(col("sumsq_px")).as("px_sumsq"))
+      .orderBy(col("w"), col("h"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q173_image_stats" -> q173ImageStats,
     "q172_audio_levels" -> q172AudioLevels,
     "q65_multimodal" -> q65Multimodal,
     "q161_image_dhash" -> q161ImageDhash,
@@ -807,6 +847,27 @@ object MultimodalQueries extends QueryModule {
     * bytes are the magic values (PNG 0x89 = 137, JPEG 0xFF = 255; raw = the
     * text's first UTF-8 byte — the fixture is ASCII so unicode() matches). */
   def oracles: Map[String, String] = Map(
+    "q173_image_stats" -> """
+      WITH i AS (SELECT doc_id,
+          CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
+          CASE WHEN doc_id % 10 = 1 THEN 2 ELSE 0 END AS off
+        FROM documents),
+      p AS (SELECT doc_id, base % 24 + 8 AS w, base % 16 + 8 AS h, base, off
+        FROM i),
+      s AS (SELECT doc_id, w, h,
+          list_sum(flatten(
+            [[(x*31 + y*17 + base*7) % 250 + off for x in range(0, w)]
+             for y in range(0, h)])) AS px_sum,
+          list_sum(flatten(
+            [[((x*31 + y*17 + base*7) % 250 + off)
+               * ((x*31 + y*17 + base*7) % 250 + off) for x in range(0, w)]
+             for y in range(0, h)])) AS px_sumsq
+        FROM p)
+      SELECT CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        count(*) AS n_imgs, CAST(sum(w * h) AS BIGINT) AS px_count,
+        CAST(sum(px_sum) AS BIGINT) AS px_sum,
+        CAST(sum(px_sumsq) AS BIGINT) AS px_sumsq
+      FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     "q172_audio_levels" -> """
       WITH w AS (SELECT doc_id, text,
           CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
