@@ -767,18 +767,27 @@ object WindowQueries extends QueryModule {
     * the global sort (skylines are tiny; dominated rows die before the
     * exchange); declared rather than coded because the global sort is
     * already the plan's only exchange at any scale. */
-  val q167Skyline: Q = (s, dir) => {
-    val o = Tables.load(s, dir, "orders")
-      .select(col("o_orderkey"),
-        Num.cents(col("o_totalprice")).as("price_cents"),
-        expr("unix_micros(cast(o_orderdate as timestamp))").as("date_us"))
-    val frontier = Window.orderBy(col("price_cents").desc)
+  /** Strict-dominance 2-D skyline core: keep rows where no other row is
+    * strictly greater on BOTH `p` and `d` (law-tested against the brute
+    * quadratic filter on arbitrary tables). */
+  private[graft] def skyline2d(df: org.apache.spark.sql.DataFrame,
+      p: String, d: String): org.apache.spark.sql.DataFrame = {
+    val frontier = Window.orderBy(col(p).desc)
       .rangeBetween(Window.unboundedPreceding, -1L)
-    o.withColumn("mx", max(col("date_us")).over(frontier))
-      .filter(col("mx").isNull || col("mx") <= col("date_us"))
+    df.withColumn("__mx", max(col(d)).over(frontier))
+      .filter(col("__mx").isNull || col("__mx") <= col(d))
+      .drop("__mx")
+  }
+
+  val q167Skyline: Q = (s, dir) =>
+    skyline2d(
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          Num.cents(col("o_totalprice")).as("price_cents"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("date_us")),
+      "price_cents", "date_us")
       .select(col("o_orderkey"), col("price_cents"), col("date_us"))
       .orderBy(col("price_cents").desc, col("o_orderkey"))
-  }
 
   def queries: Map[String, Q] = Map(
     "q167_skyline" -> q167Skyline,

@@ -265,4 +265,66 @@ class PropertySpec extends SparkSpec {
       l.forall { case (_, _, lid) => model(lid).contains(got(lid)) }
     })
   }
+
+  test("skyline window formulation equals the brute dominance filter (q167 law)") {
+    import spark.implicits._
+    // heavy value collisions so price ties (the RANGE-frame subtlety) and
+    // date ties both occur constantly
+    val g = for {
+      n <- Gen.choose(0, 120)
+      rows <- Gen.listOfN(n, for {
+        p <- Gen.choose(0L, 15L)
+        d <- Gen.choose(0L, 15L)
+      } yield (p, d))
+    } yield rows.zipWithIndex.map { case ((p, d), i) => (i.toLong, p, d) }
+    holds(Prop.forAll(g) { rows =>
+      val got = graft.operators.WindowQueries
+        .skyline2d(rows.toDF("id", "p", "d"), "p", "d")
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      val brute = rows.filter { case (_, p, d) =>
+        !rows.exists { case (_, p2, d2) => p2 > p && d2 > d }
+      }.map(_._1).toSet
+      got == brute
+    })
+  }
+
+  test("BPE round equals a sequential greedy reference on arbitrary token streams (q169 law)") {
+    import spark.implicits._
+    // tiny alphabet so self-pair chains ('a a a …', the overlap case) are
+    // routine, not rare
+    val g = for {
+      nDocs <- Gen.choose(1, 12)
+      docs <- Gen.listOfN(nDocs, Gen.choose(0, 20).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c"))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    holds(Prop.forAll(g) { docs =>
+      val hasPair = docs.exists(_._2.size >= 2)
+      if (!hasPair) true // no pairs: best frame is empty, nothing to law
+      else {
+        val (rewritten, best) = graft.operators.TextQueries.bpeRound(
+          docs.toDF("doc_id", "t"))
+        val (bw1, bw2, bc) = best.collect().map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2))).head
+        // reference: count all adjacent pairs, best by (count desc, pair asc)
+        val counts = docs.flatMap(_._2.sliding(2).filter(_.size == 2)
+          .map(p => (p(0), p(1)))).groupBy(identity).view.mapValues(_.size).toMap
+        val ((ew1, ew2), ec) = counts.toSeq
+          .sortBy { case ((w1, w2), c) => (-c, w1, w2) }.head
+        // reference greedy rewrite
+        val expect = docs.map { case (id, t) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < t.size) {
+            if (j < t.size - 1 && t(j) == ew1 && t(j + 1) == ew2) {
+              out += s"${ew1}_$ew2"; j += 2
+            } else { out += t(j); j += 1 }
+          }
+          id -> out.toSeq
+        }.toMap
+        val got = rewritten.collect()
+          .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        (bw1, bw2, bc) == ((ew1, ew2, ec.toLong)) && got == expect
+      }
+    })
+  }
 }
