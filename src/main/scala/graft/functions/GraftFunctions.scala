@@ -51,5 +51,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // this extension class; AsOf.ensureStrategy stays as the idempotent
     // fallback for foreign sessions
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }

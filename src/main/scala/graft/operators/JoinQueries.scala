@@ -681,7 +681,48 @@ object JoinQueries extends QueryModule {
       .orderBy(col("camp"))
   }
 
+  /** q174 — KEYED INTERVAL OVERLAP JOIN ON THE NATIVE OPERATOR: for every
+    * user, which of their browse sessions (click/view activity runs)
+    * overlap their transact sessions (purchase/error runs) — the
+    * concurrent-behaviour question (was the user browsing WHILE buying?)
+    * that needs interval×interval within a key. Planned through
+    * [[graft.plans.IntervalJoinPlan]] (§7.3(c) tier, the second native
+    * operator beside as-of): one exchange pair clustered on user, both
+    * sides sorted (user, start), partition-local plane sweep whose memory
+    * is the per-user concurrent-overlap depth — vs q136's composed grid
+    * bucketing, which pays a cell explode + distinct, and vs the
+    * BNL/cartesian Spark would plan for the raw theta join (PlansSpec
+    * bans; IntervalPlanSpec pins this exec and brute equality on random
+    * tables). The DuckDB oracle pays the within-user non-equi join. */
+  val q174IntervalNative: Q = (s, dir) => {
+    def sessions(types: Seq[String], pfx: String): org.apache.spark.sql.DataFrame = {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .filter(col("event_type").isin(types: _*))
+        .withColumn("gap_s",
+          col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long"))
+        .withColumn("is_new",
+          when(col("gap_s").isNull || col("gap_s") > 3600, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("is_new")).over(byUser))
+        .groupBy(col("user_id").as(s"${pfx}_user"), col("sid").as(s"${pfx}_sid"))
+        .agg(min(col("ts").cast("long")).as(s"${pfx}_start"),
+          (max(col("ts").cast("long")) + 3600L).as(s"${pfx}_end"))
+    }
+    val a = sessions(Seq("click", "view"), "a")
+    val b = sessions(Seq("purchase", "error"), "b")
+    graft.plans.IntervalJoin.join(a, b, Seq("a_user" -> "b_user"),
+        "a_start", "a_end", "b_start", "b_end")
+      .groupBy(col("a_user").as("user_id"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("overlap_seconds"),
+        sum(col("a_sid") * 1000L + col("b_sid")).as("sid_checksum"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q174_interval_native" -> q174IntervalNative,
     "q136_interval_join" -> q136IntervalJoin,
     "q124_snapshot_diff" -> q124SnapshotDiff,
     "q107_bloom_join"    -> q107BloomJoin,
@@ -701,7 +742,42 @@ object JoinQueries extends QueryModule {
     "q17_region_volume"  -> q17RegionVolume,
     "q18_range_join"     -> q18RangeJoin)
 
+  /** q136's sessionization CTE chain, parameterized by event-type filter:
+    * `$name` ends as (user_id, sid, s, e) session intervals. */
+  private def duckSessions(name: String, types: String,
+      gapS: Long = 3600L, padS: Long = 3600L): String = s"""
+      ${name}_g AS (
+        SELECT user_id, event_id, ts,
+          epoch(date_trunc('second', ts)) - epoch(date_trunc('second', lag(ts,1)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS gap_s
+        FROM events WHERE event_type IN ($types)),
+      ${name}_m AS (
+        SELECT *, CASE WHEN gap_s IS NULL OR gap_s > $gapS THEN 1 ELSE 0 END AS is_new
+        FROM ${name}_g),
+      ${name}_r AS (
+        SELECT user_id, ts,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM ${name}_m),
+      $name AS (
+        SELECT user_id, CAST(sid AS BIGINT) AS sid,
+          CAST(min(epoch(date_trunc('second', ts))) AS BIGINT) AS s,
+          CAST(max(epoch(date_trunc('second', ts))) AS BIGINT) + $padS AS e
+        FROM ${name}_r GROUP BY 1, 2)"""
+
   def oracles: Map[String, String] = Map(
+    // within-user non-equi overlap join — the plan shape the native sweep
+    // operator replaces; results must match exactly
+    "q174_interval_native" -> s"""
+      WITH ${duckSessions("sa", "'click','view'")},
+      ${duckSessions("sb", "'purchase','error'")}
+      SELECT a.user_id, count(*) AS n_overlaps,
+        CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+          AS overlap_seconds,
+        CAST(sum(a.sid * 1000 + b.sid) AS BIGINT) AS sid_checksum
+      FROM sa a JOIN sb b
+        ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+      GROUP BY 1 ORDER BY 1""",
     // brute non-equi overlap join — the quadratic plan the grid bucketing
     // avoids; results must match exactly (blocking is complete: overlap
     // implies a shared cell)

@@ -1,0 +1,238 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute,
+  BindReferences, Expression, JoinedRow, RowOrdering, SortOrder,
+  UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** Whole-operator KEYED INTERVAL OVERLAP JOIN — the second §7.3(c)
+  * first-class Catalyst operator beside [[AsOfJoinPlan]]: emit every
+  * (left, right) pair of same-key intervals that overlap, `l.start ≤ r.end
+  * AND r.start ≤ l.end` (closed ends — touching counts, q136's convention).
+  *
+  * Spark has no physical plan for this: an interval predicate under a plain
+  * join plans as BroadcastNestedLoop or Cartesian (the shapes PlansSpec
+  * bans), and the composed alternative — grid bucketing (q136) — pays a
+  * cell-explode fan-out plus a distinct to undo double-counted cells. This
+  * node instead rides the sort-merge infrastructure:
+  *
+  *  - `requiredChildDistribution` = [[ClusteredDistribution]] on the keys,
+  *    so EnsureRequirements plans one compatible exchange pair (or none,
+  *    under bucketing/AQE) — the sort-merge join mechanism;
+  *  - `requiredChildOrdering` = (keys, start) ascending on BOTH sides,
+  *    making the per-partition PLANE SWEEP possible: walk both sides in
+  *    start order, keep an ACTIVE list per side (intervals whose end may
+  *    still reach a future start), and every arriving interval pairs with
+  *    exactly the surviving actives of the other side — each of which is a
+  *    REAL overlap (actives have start ≤ arriving.start by sort order, and
+  *    pruning guarantees end ≥ arriving.start), so no verify filter runs
+  *    after the sweep;
+  *  - memory is the MAX CONCURRENT OVERLAP DEPTH per key (intervals alive
+  *    at one instant), never a side's row count — the declared bound; a
+  *    key×time range dense enough to break it produces quadratic OUTPUT,
+  *    which no join shape survives.
+  *
+  * Null handling: a null start or end never matches (skipped at arrival),
+  * and a MALFORMED interval (end < start) never matches — the sweep's
+  * correctness argument needs end ≥ start, so the operator declares empty
+  * intervals non-joinable rather than silently mis-pairing them; null keys
+  * group together (binary row equality), matching the engine's as-of
+  * convention. Times are LongType (epoch seconds/micros — any consistent
+  * unit).
+  */
+case class IntervalJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftStart: Expression, leftEnd: Expression,
+    rightStart: Expression, rightEnd: Expression)
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical keyed interval join: hash-clustered, (key, start)-sorted
+  * children swept in one forward pass per partition. */
+case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftStart: Expression, leftEnd: Expression,
+    rightStart: Expression, rightEnd: Expression,
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftStart, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightStart, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lS = leftStart; val lE = leftEnd; val rS = rightStart; val rE = rightEnd
+    val keyTypes = leftKeys.map(_.dataType)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lSe = BindReferences.bindReference(lS, lOut)
+      val lEe = BindReferences.bindReference(lE, lOut)
+      val rSe = BindReferences.bindReference(rS, rOut)
+      val rEe = BindReferences.bindReference(rE, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val joined = new JoinedRow
+
+      // one side's buffered cursor: the NEXT unconsumed row + its key/bounds
+      final class Cursor(it: Iterator[InternalRow],
+          keyProj: UnsafeProjection, sEv: Expression, eEv: Expression) {
+        var row: InternalRow = _
+        var key: UnsafeRow = _
+        var start: java.lang.Long = _
+        var end: java.lang.Long = _
+        advance()
+        def advance(): Unit =
+          if (it.hasNext) {
+            row = it.next()
+            key = keyProj(row).copy()
+            val sv = sEv.eval(row); val ev = eEv.eval(row)
+            start = if (sv == null) null else sv.asInstanceOf[Long]
+            end = if (ev == null) null else ev.asInstanceOf[Long]
+          } else { row = null; key = null; start = null; end = null }
+      }
+      val lc = new Cursor(lIter, lKeyProj, lSe, lEe)
+      val rc = new Cursor(rIter, rKeyProj, rSe, rEe)
+
+      new Iterator[InternalRow] {
+        // actives of the CURRENT key, as (end, row); pruned on every arrival
+        private val activeL = scala.collection.mutable.ArrayBuffer.empty[(Long, InternalRow)]
+        private val activeR = scala.collection.mutable.ArrayBuffer.empty[(Long, InternalRow)]
+        private var curKey: UnsafeRow = _
+        private val pending = new java.util.ArrayDeque[InternalRow]()
+
+        private def prune(buf: scala.collection.mutable.ArrayBuffer[(Long, InternalRow)],
+            start: Long): Unit = {
+          var w = 0; var i = 0
+          while (i < buf.length) {
+            if (buf(i)._1 >= start) { if (w != i) buf(w) = buf(i); w += 1 }
+            i += 1
+          }
+          buf.dropRightInPlace(buf.length - w)
+        }
+
+        /** Consume one arrival (the side with the smaller (key, start));
+          * fills `pending` with its overlap pairs. */
+        private def step(): Unit = {
+          // choose the next arrival in global (key, start) order
+          val takeLeft =
+            if (lc.row == null) false
+            else if (rc.row == null) true
+            else {
+              val kc = keyOrd.compare(lc.key, rc.key)
+              if (kc != 0) kc < 0
+              else {
+                // within a key, null starts sort first (they never match:
+                // consumed and skipped); then ascending start
+                if (lc.start == null) true
+                else if (rc.start == null) false
+                else lc.start <= rc.start
+              }
+            }
+          val c = if (takeLeft) lc else rc
+          // key change resets both active sets
+          if (curKey == null || keyOrd.compare(c.key, curKey) != 0) {
+            activeL.clear(); activeR.clear(); curKey = c.key
+          }
+          if (c.start != null && c.end != null &&
+              c.end.longValue() >= c.start.longValue()) {
+            val sv = c.start.longValue()
+            if (takeLeft) {
+              prune(activeR, sv)
+              var i = 0
+              while (i < activeR.length) {
+                pending.addLast(joined(c.row, activeR(i)._2).copy())
+                i += 1
+              }
+              activeL += ((c.end.longValue(), c.row.asInstanceOf[UnsafeRow].copy()))
+            } else {
+              prune(activeL, sv)
+              var i = 0
+              while (i < activeL.length) {
+                pending.addLast(joined(activeL(i)._2, c.row).copy())
+                i += 1
+              }
+              activeR += ((c.end.longValue(), c.row.asInstanceOf[UnsafeRow].copy()))
+            }
+          }
+          c.advance()
+        }
+
+        override def hasNext: Boolean = {
+          while (pending.isEmpty && (lc.row != null || rc.row != null)) step()
+          !pending.isEmpty
+        }
+        override def next(): InternalRow = pending.pollFirst()
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[IntervalJoinPlan]]; a no-op on every other node. */
+object IntervalJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case IntervalJoinPlan(l, r, lk, rk, ls, le, rs, re) =>
+      IntervalJoinExec(lk, rk, ls, le, rs, re, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public API: `IntervalJoin.join(sessA, sessB, Seq("user_id" -> "b_user"),
+  * "a_start", "a_end", "b_start", "b_end")`. Both schemas survive into the
+  * output; the caller disambiguates names up front (the as-of contract). */
+object IntervalJoin {
+  /** Idempotently make the strategy available on sessions not built with
+    * the GraftExtensions config (tests, foreign sessions). */
+  def ensureStrategy(spark: SparkSession): Unit = {
+    val em = spark.sessionState.experimentalMethods
+    if (!em.extraStrategies.contains(IntervalJoinStrategy))
+      em.extraStrategies = IntervalJoinStrategy +: em.extraStrategies
+  }
+
+  def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftStartCol: String, leftEndCol: String,
+      rightStartCol: String, rightEndCol: String): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lPlan = left.queryExecution.analyzed
+    // re-alias the right side so a self-join cannot carry duplicate
+    // attribute ids into the node
+    val rPlan = Project(
+      right.queryExecution.analyzed.output.map(a => Alias(a, a.name)()),
+      right.queryExecution.analyzed)
+    def resolve(out: Seq[Attribute], name: String): Attribute =
+      out.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name' in ${out.map(_.name)}"))
+    val lk = keys.map(k => resolve(lPlan.output, k._1))
+    val rk = keys.map(k => resolve(rPlan.output, k._2))
+    val cols = Seq(resolve(lPlan.output, leftStartCol),
+      resolve(lPlan.output, leftEndCol),
+      resolve(rPlan.output, rightStartCol), resolve(rPlan.output, rightEndCol))
+    require(cols.forall(_.dataType == LongType),
+      "interval bounds must be LongType (consistent epoch unit)")
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      IntervalJoinPlan(lPlan, rPlan, lk, rk,
+        cols(0), cols(1), cols(2), cols(3)))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters}
+
+/** The custom Catalyst interval-overlap operator
+  * (IntervalJoinPlan/Exec/Strategy): crafted overlap/touch/null/malformed
+  * semantics, brute-force equality on arbitrary tables, and the physical
+  * plan actually running through IntervalJoinExec without nested-loop or
+  * cartesian shapes. */
+class IntervalPlanSpec extends SparkSpec {
+
+  private def holds(p: Prop): Unit = {
+    val r = check(Parameters.default.withMinSuccessfulTests(25), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("interval exec: overlap, touch, disjoint, key isolation, malformed/null skip") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, 0L, 10L, "a1"),   // overlaps b1 (5..15) and touches b2 (10..20)
+      (1L, 30L, 40L, "a2"),  // disjoint from every key-1 right row
+      (2L, 0L, 100L, "a3"),  // key 2: overlaps only key-2 rows
+      (3L, 5L, 3L, "a4"),    // malformed (end < start): never matches
+      (4L, 0L, 10L, "a5"))   // key 4: right side has null bound → no match
+      .toDF("k", "s", "e", "tag")
+    val b = Seq(
+      (1L, Some(5L), 15L, "b1"),
+      (1L, Some(10L), 20L, "b2"),
+      (2L, Some(99L), 150L, "b3"),
+      (3L, Some(0L), 10L, "b4"),
+      (4L, None: Option[Long], 5L, "b5"))
+      .toDF("bk", "bs", "be", "btag")
+    val got = graft.plans.IntervalJoin.join(a, b, Seq("k" -> "bk"),
+        "s", "e", "bs", "be")
+      .select(col("tag"), col("btag")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("a1", "b1"), ("a1", "b2"), // closed ends: touching at 10 counts
+      ("a3", "b3")))
+  }
+
+  test("interval exec plans through IntervalJoinExec with no BNL/cartesian") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 10L)).toDF("k", "s", "e")
+    val b = Seq((1L, 5L, 15L)).toDF("bk", "bs", "be")
+    val df = graft.plans.IntervalJoin.join(a, b, Seq("k" -> "bk"),
+      "s", "e", "bs", "be")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("IntervalJoin"), s"expected IntervalJoinExec in:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("interval exec equals the brute theta-join for arbitrary tables (law)") {
+    import spark.implicits._
+    // dense key band + short time range so overlaps, touches, exact-equal
+    // starts, malformed and null intervals all occur constantly
+    val side: Gen[List[(Long, Option[Long], Option[Long], Long)]] = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 3L)
+        s <- Gen.frequency(
+          9 -> Gen.choose(0L, 30L).map(Some(_): Option[Long]),
+          1 -> Gen.const(None: Option[Long]))
+        len <- Gen.choose(-3L, 12L) // negative → malformed end < start
+      } yield (k, s, s.map(_ + len), 0L))
+    } yield rows.zipWithIndex.map { case ((k, s, e, _), i) => (k, s, e, i.toLong) }
+    holds(Prop.forAll(side, side) { (l, r) =>
+      val left = l.toDF("k", "s", "e", "lid")
+      val right = r.toDF("bk", "bs", "be", "rid")
+      val got = graft.plans.IntervalJoin.join(left, right, Seq("k" -> "bk"),
+          "s", "e", "bs", "be")
+        .select(col("lid"), col("rid")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val brute = (for {
+        (k, s, e, lid) <- l
+        (bk, bs, be, rid) <- r
+        if k == bk && s.isDefined && e.isDefined && bs.isDefined && be.isDefined
+        if e.get >= s.get && be.get >= bs.get // malformed never matches
+        if s.get <= be.get && bs.get <= e.get
+      } yield (lid, rid)).toSet
+      got == brute
+    })
+  }
+
+  test("interval exec sweeps deep overlap stacks without quadratic state") {
+    import spark.implicits._
+    // 200 nested left intervals all overlapping 200 shifted right intervals
+    // of one key: output is the full 40k pairs; active lists peak at the
+    // overlap depth, and every pair appears exactly once
+    val a = (0 until 200).map(i => (1L, i.toLong, 1000L + i, i.toLong))
+      .toDF("k", "s", "e", "lid")
+    val b = (0 until 200).map(j => (1L, 500L + j, 2000L + j, j.toLong))
+      .toDF("bk", "bs", "be", "rid")
+    val n = graft.plans.IntervalJoin.join(a, b, Seq("k" -> "bk"),
+      "s", "e", "bs", "be").count()
+    assert(n == 200L * 200L)
+  }
+}
