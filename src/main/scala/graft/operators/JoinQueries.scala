@@ -694,23 +694,28 @@ object JoinQueries extends QueryModule {
     * BNL/cartesian Spark would plan for the raw theta join (PlansSpec
     * bans; IntervalPlanSpec pins this exec and brute equality on random
     * tables). The DuckDB oracle pays the within-user non-equi join. */
+  /** Per-user activity runs for a subset of event types: hour-gap
+    * sessionization (split at gap > 3600 s) with the end padded to the
+    * run's gap horizon — the interval form q174/q175 join on. */
+  private def typedSessions(s: org.apache.spark.sql.SparkSession, dir: String,
+      types: Seq[String], pfx: String): org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .filter(col("event_type").isin(types: _*))
+      .withColumn("gap_s",
+        col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long"))
+      .withColumn("is_new",
+        when(col("gap_s").isNull || col("gap_s") > 3600, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id").as(s"${pfx}_user"), col("sid").as(s"${pfx}_sid"))
+      .agg(min(col("ts").cast("long")).as(s"${pfx}_start"),
+        (max(col("ts").cast("long")) + 3600L).as(s"${pfx}_end"))
+  }
+
   val q174IntervalNative: Q = (s, dir) => {
-    def sessions(types: Seq[String], pfx: String): org.apache.spark.sql.DataFrame = {
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      Tables.load(s, dir, "events")
-        .filter(col("event_type").isin(types: _*))
-        .withColumn("gap_s",
-          col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long"))
-        .withColumn("is_new",
-          when(col("gap_s").isNull || col("gap_s") > 3600, 1L).otherwise(0L))
-        .withColumn("sid", sum(col("is_new")).over(byUser))
-        .groupBy(col("user_id").as(s"${pfx}_user"), col("sid").as(s"${pfx}_sid"))
-        .agg(min(col("ts").cast("long")).as(s"${pfx}_start"),
-          (max(col("ts").cast("long")) + 3600L).as(s"${pfx}_end"))
-    }
-    val a = sessions(Seq("click", "view"), "a")
-    val b = sessions(Seq("purchase", "error"), "b")
+    val a = typedSessions(s, dir, Seq("click", "view"), "a")
+    val b = typedSessions(s, dir, Seq("purchase", "error"), "b")
     graft.plans.IntervalJoin.join(a, b, Seq("a_user" -> "b_user"),
         "a_start", "a_end", "b_start", "b_end")
       .groupBy(col("a_user").as("user_id"))
@@ -721,7 +726,27 @@ object JoinQueries extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  /** q175 — INTERVAL ANTI JOIN on the native operator: browse sessions
+    * with NO concurrent transact session — the isolation question (pure
+    * window-shopping runs) that is the anti-mode of q174. Same plane-sweep
+    * exec; unmatched lefts are emitted when the sweep PROVES no right can
+    * reach them (eviction / end-of-key), so the anti output needs no
+    * second pass or subtract join. Oracle pays the NOT EXISTS non-equi
+    * subquery. */
+  val q175IntervalAnti: Q = (s, dir) => {
+    val a = typedSessions(s, dir, Seq("click", "view"), "a")
+    val b = typedSessions(s, dir, Seq("purchase", "error"), "b")
+    graft.plans.IntervalJoin.join(a, b, Seq("a_user" -> "b_user"),
+        "a_start", "a_end", "b_start", "b_end", "left_anti")
+      .groupBy(col("a_user").as("user_id"))
+      .agg(count(lit(1)).as("n_isolated"),
+        sum(col("a_sid")).as("sid_sum"),
+        sum(col("a_end") - col("a_start")).as("isolated_seconds"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q175_interval_anti" -> q175IntervalAnti,
     "q174_interval_native" -> q174IntervalNative,
     "q136_interval_join" -> q136IntervalJoin,
     "q124_snapshot_diff" -> q124SnapshotDiff,
@@ -768,6 +793,15 @@ object JoinQueries extends QueryModule {
   def oracles: Map[String, String] = Map(
     // within-user non-equi overlap join — the plan shape the native sweep
     // operator replaces; results must match exactly
+    "q175_interval_anti" -> s"""
+      WITH ${duckSessions("sa", "'click','view'")},
+      ${duckSessions("sb", "'purchase','error'")}
+      SELECT a.user_id, count(*) AS n_isolated,
+        CAST(sum(a.sid) AS BIGINT) AS sid_sum,
+        CAST(sum(a.e - a.s) AS BIGINT) AS isolated_seconds
+      FROM sa a WHERE NOT EXISTS (SELECT 1 FROM sb b
+        WHERE b.user_id = a.user_id AND a.s <= b.e AND b.s <= a.e)
+      GROUP BY 1 ORDER BY 1""",
     "q174_interval_native" -> s"""
       WITH ${duckSessions("sa", "'click','view'")},
       ${duckSessions("sb", "'purchase','error'")}

@@ -49,23 +49,43 @@ import org.apache.spark.sql.types.LongType
 case class IntervalJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftStart: Expression, leftEnd: Expression,
-    rightStart: Expression, rightEnd: Expression)
+    rightStart: Expression, rightEnd: Expression,
+    joinType: String = "inner")
   extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = joinType match {
+    case "left_semi" | "left_anti" => left.output
+    case "left_outer" => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinPlan =
     copy(left = newLeft, right = newRight)
 }
 
 /** Physical keyed interval join: hash-clustered, (key, start)-sorted
-  * children swept in one forward pass per partition. */
+  * children swept in one forward pass per partition.
+  *
+  * Join-type family over the one sweep (`joinType`): `inner` emits every
+  * overlapping pair; `left_outer` additionally null-extends left intervals
+  * that never overlap anything (emitted when the sweep PROVES no future
+  * right can reach them — eviction or end-of-key — the same
+  * watermark-shaped argument the streaming outer joins make);
+  * `left_semi` emits each overlapping left interval exactly once, at its
+  * FIRST proof of overlap, and drops it from state immediately;
+  * `left_anti` emits exactly the lefts that survive to eviction unmatched.
+  * Left rows with null/malformed bounds count as never-matching: outer and
+  * anti emit them (null-extended / bare) at arrival. */
 case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftStart: Expression, leftEnd: Expression,
-    rightStart: Expression, rightEnd: Expression,
+    rightStart: Expression, rightEnd: Expression, joinType: String,
     left: SparkPlan, right: SparkPlan)
   extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = joinType match {
+    case "left_semi" | "left_anti" => left.output
+    case "left_outer" => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -110,26 +130,56 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
       }
       val lc = new Cursor(lIter, lKeyProj, lSe, lEe)
       val rc = new Cursor(rIter, rKeyProj, rSe, rEe)
+      val mode = joinType
+      val nullRight = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(rOut.length)
+
+      final class ActiveL(val end: Long, val row: InternalRow,
+        var matched: Boolean)
 
       new Iterator[InternalRow] {
-        // actives of the CURRENT key, as (end, row); pruned on every arrival
-        private val activeL = scala.collection.mutable.ArrayBuffer.empty[(Long, InternalRow)]
+        // actives of the CURRENT key; pruned on every arrival
+        private val activeL = scala.collection.mutable.ArrayBuffer.empty[ActiveL]
         private val activeR = scala.collection.mutable.ArrayBuffer.empty[(Long, InternalRow)]
         private var curKey: UnsafeRow = _
+        private var flushed = false
         private val pending = new java.util.ArrayDeque[InternalRow]()
 
-        private def prune(buf: scala.collection.mutable.ArrayBuffer[(Long, InternalRow)],
-            start: Long): Unit = {
+        /** Emit a proven-dead unmatched left per mode (outer/anti). */
+        private def emitDeadLeft(e: ActiveL): Unit =
+          if (!e.matched) mode match {
+            case "left_outer" => pending.addLast(joined(e.row, nullRight).copy())
+            case "left_anti" => pending.addLast(e.row)
+            case _ => ()
+          }
+
+        private def pruneRight(start: Long): Unit = {
           var w = 0; var i = 0
-          while (i < buf.length) {
-            if (buf(i)._1 >= start) { if (w != i) buf(w) = buf(i); w += 1 }
+          while (i < activeR.length) {
+            if (activeR(i)._1 >= start) { if (w != i) activeR(w) = activeR(i); w += 1 }
             i += 1
           }
-          buf.dropRightInPlace(buf.length - w)
+          activeR.dropRightInPlace(activeR.length - w)
+        }
+
+        private def pruneLeft(start: Long): Unit = {
+          var w = 0; var i = 0
+          while (i < activeL.length) {
+            if (activeL(i).end >= start) { if (w != i) activeL(w) = activeL(i); w += 1 }
+            else emitDeadLeft(activeL(i))
+            i += 1
+          }
+          activeL.dropRightInPlace(activeL.length - w)
+        }
+
+        private def flushLeft(): Unit = {
+          var i = 0
+          while (i < activeL.length) { emitDeadLeft(activeL(i)); i += 1 }
+          activeL.clear(); activeR.clear()
         }
 
         /** Consume one arrival (the side with the smaller (key, start));
-          * fills `pending` with its overlap pairs. */
+          * fills `pending` per mode. */
         private def step(): Unit = {
           // choose the next arrival in global (key, start) order
           val takeLeft =
@@ -147,36 +197,77 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
               }
             }
           val c = if (takeLeft) lc else rc
-          // key change resets both active sets
+          // key change: prove every remaining left dead, reset both sides
           if (curKey == null || keyOrd.compare(c.key, curKey) != 0) {
-            activeL.clear(); activeR.clear(); curKey = c.key
+            flushLeft(); curKey = c.key
           }
-          if (c.start != null && c.end != null &&
-              c.end.longValue() >= c.start.longValue()) {
-            val sv = c.start.longValue()
-            if (takeLeft) {
-              prune(activeR, sv)
-              var i = 0
-              while (i < activeR.length) {
-                pending.addLast(joined(c.row, activeR(i)._2).copy())
-                i += 1
+          val valid = c.start != null && c.end != null &&
+            c.end.longValue() >= c.start.longValue()
+          if (takeLeft) {
+            if (valid) {
+              val sv = c.start.longValue()
+              pruneRight(sv)
+              val anyMatch = activeR.nonEmpty
+              mode match {
+                case "inner" | "left_outer" =>
+                  var i = 0
+                  while (i < activeR.length) {
+                    pending.addLast(joined(c.row, activeR(i)._2).copy())
+                    i += 1
+                  }
+                case "left_semi" =>
+                  if (anyMatch) pending.addLast(c.row.asInstanceOf[UnsafeRow].copy())
+                case _ => ()
               }
-              activeL += ((c.end.longValue(), c.row.asInstanceOf[UnsafeRow].copy()))
+              // keep in state only while a future right could still matter:
+              // inner/outer pair with every future overlap; semi only if
+              // still unmatched; anti only if still unmatched
+              val keep = mode match {
+                case "inner" | "left_outer" => true
+                case _ => !anyMatch
+              }
+              if (keep)
+                activeL += new ActiveL(c.end.longValue(),
+                  c.row.asInstanceOf[UnsafeRow].copy(), anyMatch)
             } else {
-              prune(activeL, sv)
-              var i = 0
-              while (i < activeL.length) {
-                pending.addLast(joined(activeL(i)._2, c.row).copy())
-                i += 1
+              // null/malformed bounds never match — outer/anti emit now
+              mode match {
+                case "left_outer" =>
+                  pending.addLast(joined(c.row, nullRight).copy())
+                case "left_anti" =>
+                  pending.addLast(c.row.asInstanceOf[UnsafeRow].copy())
+                case _ => ()
               }
-              activeR += ((c.end.longValue(), c.row.asInstanceOf[UnsafeRow].copy()))
             }
+          } else if (valid) {
+            val sv = c.start.longValue()
+            pruneLeft(sv)
+            var w = 0; var i = 0
+            while (i < activeL.length) {
+              val e = activeL(i)
+              mode match {
+                case "inner" | "left_outer" =>
+                  pending.addLast(joined(e.row, c.row).copy())
+                case "left_semi" =>
+                  if (!e.matched) pending.addLast(e.row)
+                case _ => ()
+              }
+              e.matched = true
+              // semi/anti entries are DONE once matched — drop from state
+              val keep = mode == "inner" || mode == "left_outer"
+              if (keep) { if (w != i) activeL(w) = e; w += 1 }
+              i += 1
+            }
+            if (mode == "left_semi" || mode == "left_anti")
+              activeL.dropRightInPlace(activeL.length - w)
+            activeR += ((c.end.longValue(), c.row.asInstanceOf[UnsafeRow].copy()))
           }
           c.advance()
         }
 
         override def hasNext: Boolean = {
           while (pending.isEmpty && (lc.row != null || rc.row != null)) step()
+          if (pending.isEmpty && !flushed) { flushLeft(); flushed = true }
           !pending.isEmpty
         }
         override def next(): InternalRow = pending.pollFirst()
@@ -192,8 +283,9 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
 /** Plans [[IntervalJoinPlan]]; a no-op on every other node. */
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoinPlan(l, r, lk, rk, ls, le, rs, re) =>
-      IntervalJoinExec(lk, rk, ls, le, rs, re, planLater(l), planLater(r)) :: Nil
+    case IntervalJoinPlan(l, r, lk, rk, ls, le, rs, re, jt) =>
+      IntervalJoinExec(lk, rk, ls, le, rs, re, jt,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -212,7 +304,10 @@ object IntervalJoin {
 
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
       leftStartCol: String, leftEndCol: String,
-      rightStartCol: String, rightEndCol: String): DataFrame = {
+      rightStartCol: String, rightEndCol: String,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer", "left_semi", "left_anti")(joinType),
+      s"unsupported interval join type: $joinType")
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
@@ -233,6 +328,6 @@ object IntervalJoin {
       "interval bounds must be LongType (consistent epoch unit)")
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
       IntervalJoinPlan(lPlan, rPlan, lk, rk,
-        cols(0), cols(1), cols(2), cols(3)))
+        cols(0), cols(1), cols(2), cols(3), joinType))
   }
 }

@@ -84,6 +84,75 @@ class IntervalPlanSpec extends SparkSpec {
     })
   }
 
+  test("interval exec modes: outer null-extends, semi emits once, anti keeps the unmatched") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, 0L, 10L, "a1"),   // overlaps b1 AND b2
+      (1L, 30L, 40L, "a2"),  // overlaps nothing
+      (2L, 5L, 3L, "a3"))    // malformed: never matches
+      .toDF("k", "s", "e", "tag")
+    val b = Seq((1L, 5L, 15L, "b1"), (1L, 8L, 20L, "b2"))
+      .toDF("bk", "bs", "be", "btag")
+    def run(mode: String) = graft.plans.IntervalJoin.join(
+      a, b, Seq("k" -> "bk"), "s", "e", "bs", "be", mode)
+    val outer = run("left_outer")
+      .select(col("tag"), col("btag")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSet
+    assert(outer == Set(("a1", "b1"), ("a1", "b2"), ("a2", null), ("a3", null)))
+    val semi = run("left_semi").select(col("tag")).collect().map(_.getString(0)).toSeq
+    assert(semi == Seq("a1"), s"semi must emit each matching left ONCE, got $semi")
+    val anti = run("left_anti").select(col("tag")).collect().map(_.getString(0)).toSet
+    assert(anti == Set("a2", "a3"))
+    // semi/anti schemas carry only the left side
+    assert(run("left_semi").columns.toSeq == Seq("k", "s", "e", "tag"))
+  }
+
+  test("interval exec modes equal the brute reference for arbitrary tables (law)") {
+    import spark.implicits._
+    val side: Gen[List[(Long, Option[Long], Option[Long], Long)]] = for {
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 2L)
+        s <- Gen.frequency(
+          9 -> Gen.choose(0L, 25L).map(Some(_): Option[Long]),
+          1 -> Gen.const(None: Option[Long]))
+        len <- Gen.choose(-3L, 10L)
+      } yield (k, s, s.map(_ + len), 0L))
+    } yield rows.zipWithIndex.map { case ((k, s, e, _), i) => (k, s, e, i.toLong) }
+    holds(Prop.forAll(side, side,
+        Gen.oneOf("left_outer", "left_semi", "left_anti")) { (l, r, mode) =>
+      val left = l.toDF("k", "s", "e", "lid")
+      val right = r.toDF("bk", "bs", "be", "rid")
+      val df = graft.plans.IntervalJoin.join(left, right, Seq("k" -> "bk"),
+        "s", "e", "bs", "be", mode)
+      def valid(s: Option[Long], e: Option[Long]) =
+        s.isDefined && e.isDefined && e.get >= s.get
+      val pairs = (for {
+        (k, s, e, lid) <- l
+        (bk, bs, be, rid) <- r
+        if k == bk && valid(s, e) && valid(bs, be)
+        if s.get <= be.get && bs.get <= e.get
+      } yield (lid, rid)).toSet
+      val matchedL = pairs.map(_._1)
+      mode match {
+        case "left_outer" =>
+          val got = df.select(col("lid"), col("rid")).collect()
+            .map(x => (x.getLong(0),
+              if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+          val want = pairs.map { case (a, b) => (a, Some(b): Option[Long]) } ++
+            l.collect { case (_, _, _, lid) if !matchedL(lid) => (lid, None) }
+          got == want
+        case "left_semi" =>
+          val got = df.select(col("lid")).collect().map(_.getLong(0)).toSeq
+          got.sorted == matchedL.toSeq.sorted && got.size == got.distinct.size
+        case _ =>
+          val got = df.select(col("lid")).collect().map(_.getLong(0)).toSet
+          got == l.map(_._4).toSet -- matchedL
+      }
+    })
+  }
+
   test("interval exec sweeps deep overlap stacks without quadratic state") {
     import spark.implicits._
     // 200 nested left intervals all overlapping 200 shifted right intervals
