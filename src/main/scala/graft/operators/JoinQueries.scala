@@ -745,7 +745,33 @@ object JoinQueries extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  /** q176 — INTERVAL LEFT-OUTER on the native operator: EVERY browse
+    * session, annotated with its concurrent transact sessions when they
+    * exist and null-extended when none do — the coverage report (how much
+    * browsing happens alongside transacting, per user) that inner (q174)
+    * and anti (q175) each only half-answer. Null-extension rides the
+    * sweep's eviction proof (no subtract join, no second pass); the
+    * aggregation counts covered vs uncovered sessions and splits overlap
+    * seconds out of total session seconds. Oracle pays the LEFT JOIN
+    * non-equi subquery. */
+  val q176IntervalCoverage: Q = (s, dir) => {
+    val a = typedSessions(s, dir, Seq("click", "view"), "a")
+    val b = typedSessions(s, dir, Seq("purchase", "error"), "b")
+    graft.plans.IntervalJoin.join(a, b, Seq("a_user" -> "b_user"),
+        "a_start", "a_end", "b_start", "b_end", "left_outer")
+      .groupBy(col("a_user").as("user_id"))
+      .agg(countDistinct(col("a_sid")).as("n_sessions"),
+        countDistinct(when(col("b_sid").isNotNull, col("a_sid")))
+          .as("n_covered"),
+        count(col("b_sid")).as("n_pairs"),
+        coalesce(sum(least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))), lit(0L))
+          .as("overlap_seconds"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q176_interval_coverage" -> q176IntervalCoverage,
     "q175_interval_anti" -> q175IntervalAnti,
     "q174_interval_native" -> q174IntervalNative,
     "q136_interval_join" -> q136IntervalJoin,
@@ -793,6 +819,18 @@ object JoinQueries extends QueryModule {
   def oracles: Map[String, String] = Map(
     // within-user non-equi overlap join — the plan shape the native sweep
     // operator replaces; results must match exactly
+    "q176_interval_coverage" -> s"""
+      WITH ${duckSessions("sa", "'click','view'")},
+      ${duckSessions("sb", "'purchase','error'")}
+      SELECT a.user_id, count(DISTINCT a.sid) AS n_sessions,
+        count(DISTINCT CASE WHEN b.sid IS NOT NULL THEN a.sid END)
+          AS n_covered,
+        count(b.sid) AS n_pairs,
+        CAST(coalesce(sum(least(a.e, b.e) - greatest(a.s, b.s)), 0) AS BIGINT)
+          AS overlap_seconds
+      FROM sa a LEFT JOIN sb b
+        ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+      GROUP BY 1 ORDER BY 1""",
     "q175_interval_anti" -> s"""
       WITH ${duckSessions("sa", "'click','view'")},
       ${duckSessions("sb", "'purchase','error'")}
