@@ -1785,7 +1785,43 @@ object AnalyticQueries extends QueryModule {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q177 — REVENUE SHARE SHIFT: each nation's share of total revenue
+    * (integer ppm) in 1996 vs 1997 and the year-over-year shift — the
+    * percent-of-total + mix-shift report every revenue dashboard leads
+    * with. Shares divide POSITIVE integers only (rev·10⁶ div year-total,
+    * floor == truncate, engine-safe); the shift is a plain subtraction so
+    * its sign never meets a division (q170's portability rule). Plan: one
+    * fact join + one (nation, year) aggregate; the year totals come from a
+    * window over the nation-sized aggregate, so no second scan. Nations
+    * absent from a year carry share 0 via coalesce. */
+  val q177ShareShift: Q = (s, dir) => {
+    val c = Tables.load(s, dir, "customer")
+    val n = broadcast(Tables.load(s, dir, "nation"))
+    val rev = Tables.load(s, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(Num.cents(col("o_totalprice"))).as("rev_cents"))
+    val shares = rev.withColumn("share_ppm",
+      expr("rev_cents * 1000000 div sum(rev_cents) over (partition by yr)"))
+    shares.groupBy(col("n_name"))
+      .agg(
+        coalesce(max(when(col("yr") === 1996, col("share_ppm"))), lit(0L))
+          .as("share_1996_ppm"),
+        coalesce(max(when(col("yr") === 1997, col("share_ppm"))), lit(0L))
+          .as("share_1997_ppm"),
+        coalesce(max(when(col("yr") === 1996, col("rev_cents"))), lit(0L))
+          .as("rev_1996_cents"),
+        coalesce(max(when(col("yr") === 1997, col("rev_cents"))), lit(0L))
+          .as("rev_1997_cents"))
+      .withColumn("shift_ppm",
+        col("share_1997_ppm") - col("share_1996_ppm"))
+      .orderBy(col("n_name"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q177_share_shift" -> q177ShareShift,
     "q171_winsorize" -> q171Winsorize,
     "q170_profile_drift" -> q170ProfileDrift,
     "q165_profile" -> q165Profile,
@@ -1872,6 +1908,32 @@ object AnalyticQueries extends QueryModule {
         FROM v$n) WHERE rn = 1)"""
 
   def oracles: Map[String, String] = Map(
+    "q177_share_shift" -> """
+      WITH rev AS (
+        SELECT n_name, year(o_orderdate) AS yr,
+          CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+            AS rev_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2),
+      sh AS (SELECT n_name, yr, rev_cents,
+        rev_cents * 1000000 // sum(rev_cents) OVER (PARTITION BY yr)
+          AS share_ppm FROM rev)
+      SELECT n_name,
+        CAST(coalesce(max(CASE WHEN yr = 1996 THEN share_ppm END), 0) AS BIGINT)
+          AS share_1996_ppm,
+        CAST(coalesce(max(CASE WHEN yr = 1997 THEN share_ppm END), 0) AS BIGINT)
+          AS share_1997_ppm,
+        CAST(coalesce(max(CASE WHEN yr = 1996 THEN rev_cents END), 0) AS BIGINT)
+          AS rev_1996_cents,
+        CAST(coalesce(max(CASE WHEN yr = 1997 THEN rev_cents END), 0) AS BIGINT)
+          AS rev_1997_cents,
+        CAST(coalesce(max(CASE WHEN yr = 1997 THEN share_ppm END), 0)
+          - coalesce(max(CASE WHEN yr = 1996 THEN share_ppm END), 0) AS BIGINT)
+          AS shift_ppm
+      FROM sh GROUP BY 1 ORDER BY 1""",
     "q171_winsorize" -> """
       WITH r AS (SELECT o_orderpriority AS pri,
         CAST(round(o_totalprice*100,0) AS BIGINT) AS c,
