@@ -770,7 +770,42 @@ object JoinQueries extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  /** q178 — HEADER/DETAIL RECONCILIATION: the financial-close audit — does
+    * each order header's total agree with the sum of its line items
+    * (extended price net of discount)? Reported as the delta distribution:
+    * per (has-lines, delta-sign) bucket, order count, header money, and
+    * the absolute divergence mass — the artefact an accountant reads to
+    * decide whether the feed is usable. All money is exact integer 1e-4
+    * units; the sign is a separate column so no signed value meets a
+    * division (q170's rule). Headerless-detail rows can't exist (FK), but
+    * LINELESS HEADERS can and land in their own bucket via the left join.
+    * Plan: one detail aggregation + one header left join + a 3-row
+    * rollup; both exchanges are key-partitioned, the fact side shuffles
+    * once. */
+  val q178Reconcile: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), Num.cents(col("o_totalprice")).as("header_cents"))
+    val l = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(Num.tenK(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("lines_tenk"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("header_cents"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("lines_tenk"), lit(0L)).as("lines_tenk"))
+      .withColumn("delta_tenk", col("header_cents") * 100L - col("lines_tenk"))
+      .groupBy((col("n_lines") > 0).as("has_lines"),
+        signum(col("delta_tenk")).cast("long").as("delta_sign"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("header_cents")).as("header_cents_sum"),
+        sum(abs(col("delta_tenk"))).as("abs_delta_tenk"),
+        max(abs(col("delta_tenk"))).as("max_abs_delta_tenk"))
+      .orderBy(col("has_lines"), col("delta_sign"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q178_reconcile" -> q178Reconcile,
     "q176_interval_coverage" -> q176IntervalCoverage,
     "q175_interval_anti" -> q175IntervalAnti,
     "q174_interval_native" -> q174IntervalNative,
@@ -819,6 +854,26 @@ object JoinQueries extends QueryModule {
   def oracles: Map[String, String] = Map(
     // within-user non-equi overlap join — the plan shape the native sweep
     // operator replaces; results must match exactly
+    "q178_reconcile" -> s"""
+      WITH det AS (
+        SELECT l_orderkey, count(*) AS n_lines,
+          CAST(sum(${Num.sqlTenK("l_extendedprice * (1.0 - l_discount)")})
+            AS BIGINT) AS lines_tenk
+        FROM lineitem GROUP BY 1),
+      j AS (
+        SELECT o_orderkey, ${Num.sqlCents("o_totalprice")} AS header_cents,
+          coalesce(n_lines, 0) AS n_lines,
+          coalesce(lines_tenk, 0) AS lines_tenk
+        FROM orders LEFT JOIN det ON o_orderkey = l_orderkey),
+      d AS (SELECT *, header_cents * 100 - lines_tenk AS delta_tenk FROM j)
+      SELECT n_lines > 0 AS has_lines,
+        CAST(CASE WHEN delta_tenk > 0 THEN 1 WHEN delta_tenk < 0 THEN -1
+          ELSE 0 END AS BIGINT) AS delta_sign,
+        count(*) AS n_orders,
+        CAST(sum(header_cents) AS BIGINT) AS header_cents_sum,
+        CAST(sum(abs(delta_tenk)) AS BIGINT) AS abs_delta_tenk,
+        CAST(max(abs(delta_tenk)) AS BIGINT) AS max_abs_delta_tenk
+      FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
     "q176_interval_coverage" -> s"""
       WITH ${duckSessions("sa", "'click','view'")},
       ${duckSessions("sb", "'purchase','error'")}
