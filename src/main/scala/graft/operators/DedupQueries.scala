@@ -1053,6 +1053,35 @@ object DedupQueries extends QueryModule {
     verifyPairs(cand, sh)
   }
 
+  /** q179 — CROSS-SOURCE DUPLICATION MATRIX: which feeds duplicate each
+    * other — q51's verified near-dup pair set (LSH banding + exact Jaccard
+    * ≥ 0.8, the recall-complete-on-fixture path its own oracle pins)
+    * joined to each side's source and rolled up per unordered source pair.
+    * The report a corpus owner reads before buying a new feed: a heavy
+    * off-diagonal cell means the feed is mostly recycled content. Pair
+    * generation is the one LSH exchange; the source joins are doc-keyed;
+    * the matrix is sources²-bounded. Oracle pays the brute all-pairs
+    * Jaccard (q51's) plus the same source rollup. */
+  val q179SourceDupMatrix: Q = (s, dir) => {
+    val shd = shingled(s, dir).cache()
+    val pairs = verifyPairs(bandPairs(lshBands(shd, "sh")), shd)
+      .select(col("i"), col("j"))
+    val src = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val out = pairs
+      .join(src.select(col("doc_id").as("i"), col("source").as("src_i")), "i")
+      .join(src.select(col("doc_id").as("j"), col("source").as("src_j")), "j")
+      .select(least(col("src_i"), col("src_j")).as("src_a"),
+        greatest(col("src_i"), col("src_j")).as("src_b"),
+        col("i"), col("j"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("i") + col("j")).as("id_sum"))
+      .orderBy(col("src_a"), col("src_b"))
+    shd.unpersist(blocking = false)
+    out
+  }
+
   def queries: Map[String, Q] = Map(
     "q137_dedup_survivors" -> q137DedupSurvivors,
     "q138_allpairs_jaccard" -> q138AllPairsJaccard,
@@ -1064,6 +1093,7 @@ object DedupQueries extends QueryModule {
     "q73_pipeline"        -> q73Pipeline,
     "q59_dedup_clusters"  -> q59DedupClusters,
     "q50_dedup_exact"     -> q50Exact,
+    "q179_source_dup_matrix" -> q179SourceDupMatrix,
     "q51_dedup_minhash"   -> q51MinHashLsh,
     "q52_dedup_simhash"   -> q52SimHash,
     "q53_dedup_ngram"     -> q53NgramJaccard,
@@ -1091,6 +1121,20 @@ object DedupQueries extends QueryModule {
       ORDER BY i, j"""
 
   def oracles: Map[String, String] = Map(
+    "q179_source_dup_matrix" -> s"""
+      WITH $duckShingles,
+      p AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.ss) > 0 AND len(b.ss) > 0
+          AND len(list_intersect(a.ss, b.ss)) >=
+              len(list_distinct(list_concat(a.ss, b.ss))) * 0.8)
+      SELECT least(da.source, db.source) AS src_a,
+        greatest(da.source, db.source) AS src_b,
+        count(*) AS n_pairs, CAST(sum(i + j) AS BIGINT) AS id_sum
+      FROM p JOIN documents da ON i = da.doc_id
+      JOIN documents db ON j = db.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "q137_dedup_survivors" -> s"""
       WITH RECURSIVE $duckShingles,
       pairs AS (
