@@ -1820,7 +1820,28 @@ object AnalyticQueries extends QueryModule {
       .orderBy(col("n_name"))
   }
 
+  /** q180 — FRESHNESS / SLA AUDIT per event stream: each event type's last
+    * arrival, its lag behind the freshest stream, and a staleness flag at
+    * the 24 h SLA — the first page of every pipeline-health dashboard
+    * ("is the purchase feed behind?"). One scan → per-type max aggregate;
+    * the global max is a 1-row broadcast over the type-sized frame, so
+    * the comparison never rescans events. All seconds are exact integers
+    * (lag = freshest − own, non-negative by construction). */
+  val q180Freshness: Q = (s, dir) => {
+    val byType = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ts").cast("long")).as("last_ts_s"))
+    val global = byType.agg(max(col("last_ts_s")).as("freshest_s"))
+    byType.crossJoin(broadcast(global))
+      .select(col("event_type"), col("n_events"), col("last_ts_s"),
+        (col("freshest_s") - col("last_ts_s")).as("lag_s"),
+        (col("freshest_s") - col("last_ts_s") > 86400L).as("stale_24h"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q180_freshness" -> q180Freshness,
     "q177_share_shift" -> q177ShareShift,
     "q171_winsorize" -> q171Winsorize,
     "q170_profile_drift" -> q170ProfileDrift,
@@ -1908,6 +1929,16 @@ object AnalyticQueries extends QueryModule {
         FROM v$n) WHERE rn = 1)"""
 
   def oracles: Map[String, String] = Map(
+    "q180_freshness" -> """
+      WITH t AS (
+        SELECT event_type, count(*) AS n_events,
+          CAST(max(epoch(date_trunc('second', ts))) AS BIGINT) AS last_ts_s
+        FROM events GROUP BY 1),
+      g AS (SELECT max(last_ts_s) AS freshest_s FROM t)
+      SELECT event_type, n_events, last_ts_s,
+        CAST(freshest_s - last_ts_s AS BIGINT) AS lag_s,
+        (freshest_s - last_ts_s) > 86400 AS stale_24h
+      FROM t CROSS JOIN g ORDER BY event_type""",
     "q177_share_shift" -> """
       WITH rev AS (
         SELECT n_name, year(o_orderdate) AS yr,

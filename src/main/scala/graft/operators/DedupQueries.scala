@@ -1082,7 +1082,35 @@ object DedupQueries extends QueryModule {
     out
   }
 
+  /** q181 — DEDUP YIELD CURVE: the size distribution of near-dup clusters
+    * over the WHOLE corpus (singletons included via the left join) and
+    * what each size contributes in dropped documents — the chart that
+    * answers "how much volume does dedup actually buy, and is it a few
+    * giant families or a long tail of pairs?" before anyone commits to
+    * running it at 100 TB. Composes q51's verified pairs and q59's
+    * auto-selected connected components; the rollup is cluster-size-keyed
+    * (tiny). Oracle replays the recursive-CTE closure and the same
+    * histogram. */
+  val q181DedupYield: Q = (s, dir) => {
+    val shd = shingled(s, dir).cache()
+    val pairs = verifyPairs(bandPairs(lshBands(shd, "sh")), shd)
+      .select(col("i"), col("j"))
+    val labels = connectedComponentsAuto(pairs)
+    shd.unpersist(blocking = false)
+    val sizes = Tables.load(s, dir, "documents").select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("lbl")),
+        Seq("doc_id"), "left")
+      .select(coalesce(col("lbl"), col("doc_id")).as("cluster"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+    sizes.groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("csize"), col("n_clusters"),
+        (col("csize") * col("n_clusters")).as("n_docs"),
+        ((col("csize") - 1L) * col("n_clusters")).as("n_dropped"))
+      .orderBy(col("csize"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q181_dedup_yield" -> q181DedupYield,
     "q137_dedup_survivors" -> q137DedupSurvivors,
     "q138_allpairs_jaccard" -> q138AllPairsJaccard,
     "q135_containment" -> q135Containment,
@@ -1121,6 +1149,29 @@ object DedupQueries extends QueryModule {
       ORDER BY i, j"""
 
   def oracles: Map[String, String] = Map(
+    "q181_dedup_yield" -> s"""
+      WITH RECURSIVE $duckShingles,
+      pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.ss) > 0 AND len(b.ss) > 0
+          AND len(list_intersect(a.ss, b.ss)) >=
+              len(list_distinct(list_concat(a.ss, b.ss))) * 0.8),
+      edges AS (
+        SELECT i AS a, j AS b FROM pairs
+        UNION ALL SELECT j AS a, i AS b FROM pairs),
+      reach(id, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      comp AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
+      cl AS (SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+      sizes AS (SELECT cluster, count(*) AS csize FROM cl GROUP BY 1)
+      SELECT CAST(csize AS BIGINT) AS csize, count(*) AS n_clusters,
+        CAST(csize * count(*) AS BIGINT) AS n_docs,
+        CAST((csize - 1) * count(*) AS BIGINT) AS n_dropped
+      FROM sizes GROUP BY csize ORDER BY csize""",
     "q179_source_dup_matrix" -> s"""
       WITH $duckShingles,
       p AS (
