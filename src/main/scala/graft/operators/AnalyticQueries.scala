@@ -1840,6 +1840,32 @@ object AnalyticQueries extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Append one micro-batch's per-type freshness partial (max event-time
+    * seconds) to the store. Register-max algebra: a replayed batch's
+    * re-append is absorbed by the max-merge itself — the DAU-sketch
+    * discipline, no batch-id keying needed — which is exactly why the
+    * streaming twin drops q180's `n_events` (counts would double on
+    * replay and demand the heavier overwrite discipline for a column the
+    * SLA readout doesn't need). */
+  def freshnessBatchAppend(events: DataFrame, storePath: String): Unit =
+    events.groupBy(col("event_type"))
+      .agg(max(col("ts").cast("long")).as("last_ts_s"))
+      .write.mode("append").parquet(storePath)
+
+  /** Serve the freshness/SLA readout ENTIRELY from stored partials —
+    * events are never revisited; q180's exact output minus the count
+    * column (see [[freshnessBatchAppend]]). */
+  def freshnessFromStore(s: SparkSession, storePath: String): DataFrame = {
+    val byType = s.read.parquet(storePath)
+      .groupBy(col("event_type")).agg(max(col("last_ts_s")).as("last_ts_s"))
+    val global = byType.agg(max(col("last_ts_s")).as("freshest_s"))
+    byType.crossJoin(broadcast(global))
+      .select(col("event_type"), col("last_ts_s"),
+        (col("freshest_s") - col("last_ts_s")).as("lag_s"),
+        (col("freshest_s") - col("last_ts_s") > 86400L).as("stale_24h"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q180_freshness" -> q180Freshness,
     "q177_share_shift" -> q177ShareShift,

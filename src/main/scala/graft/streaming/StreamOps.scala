@@ -310,6 +310,19 @@ object StreamOps {
       graft.operators.AnalyticQueries.dauSketchBatchAppend(batch, storePath)
     }.start()
 
+  /** STREAMING freshness/SLA monitor into the persisted per-type max-ts
+    * store: each micro-batch appends its per-type register-max partial via
+    * [[graft.operators.AnalyticQueries.freshnessBatchAppend]]; serving
+    * ([[graft.operators.AnalyticQueries.freshnessFromStore]]) computes the
+    * lag/staleness readout from the store alone. Max-merge absorbs
+    * replays by algebra (the DAU-sketch discipline — no batch-id keying),
+    * spec-pinned equal to batch q180 and replay-invariant. */
+  def freshnessStream(events: DataFrame, storePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.operators.AnalyticQueries.freshnessBatchAppend(batch, storePath)
+    }.start()
+
   /** STREAMING inverted-index ingest into the persisted posting-segment
     * store: each micro-batch of (doc_id, text) documents appends its
     * (term, block) segments via

@@ -362,6 +362,30 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(cusumServed == cusumWant, "store-served CUSUM equals batch q153")
   }
 
+  test("streaming freshness store equals batch q180 readout; replay is a no-op by max algebra") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"))
+      .as[(java.sql.Timestamp, String)].collect().toSeq
+    val store = java.nio.file.Files.createTempDirectory("graft_fresh").toString + "/mx"
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamOps.freshnessStream(stream.toDF().toDF("ts", "event_type"), store)
+    val batches = events.grouped((events.size + 2) / 3).toSeq
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    def serve() = graft.operators.AnalyticQueries
+      .freshnessFromStore(spark, store).collect().map(_.toSeq).toSeq
+    val served = serve()
+    val batch = graft.operators.AnalyticQueries.q180Freshness(spark, sfDir)
+      .drop("n_events").collect().map(_.toSeq).toSeq
+    assert(served == batch, "store-served readout must equal batch q180")
+    // replay a batch: register-max absorbs it, nothing moves
+    graft.operators.AnalyticQueries.freshnessBatchAppend(
+      spark.createDataset(batches.head).toDF("ts", "event_type"), store)
+    assert(serve() == served, "replayed max partial must be a no-op")
+  }
+
   test("streaming postings ingest: segment-merged serve equals the single-pass q166 build; replay is a no-op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
