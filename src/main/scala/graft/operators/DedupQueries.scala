@@ -1064,7 +1064,10 @@ object DedupQueries extends QueryModule {
     * Jaccard (q51's) plus the same source rollup. */
   val q179SourceDupMatrix: Q = (s, dir) => {
     val shd = shingled(s, dir).cache()
-    val pairs = verifyPairs(bandPairs(lshBands(shd, "sh")), shd)
+    // band rows cached: the self-join reads the signature pipeline once
+    // (q51's discipline — uncached, both join sides recompute it)
+    val bands = lshBands(shd, "sh").cache()
+    val pairs = verifyPairs(bandPairs(bands), shd)
       .select(col("i"), col("j"))
     val src = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"))
@@ -1093,7 +1096,8 @@ object DedupQueries extends QueryModule {
     * histogram. */
   val q181DedupYield: Q = (s, dir) => {
     val shd = shingled(s, dir).cache()
-    val pairs = verifyPairs(bandPairs(lshBands(shd, "sh")), shd)
+    val bands = lshBands(shd, "sh").cache() // q51's discipline, see q179
+    val pairs = verifyPairs(bandPairs(bands), shd)
       .select(col("i"), col("j"))
     val labels = connectedComponentsAuto(pairs)
     shd.unpersist(blocking = false)
