@@ -789,7 +789,44 @@ object WindowQueries extends QueryModule {
       .select(col("o_orderkey"), col("price_cents"), col("date_us"))
       .orderBy(col("price_cents").desc, col("o_orderkey"))
 
+  /** q182 — CLICK→PURCHASE LATENCY PERCENTILES: how long after their last
+    * click do users buy, by day of week — the conversion-latency readout
+    * marketing reads next to the funnel (q89). Each purchase resolves its
+    * latest strictly-preceding click through the NATIVE as-of operator
+    * (q148's merge exec: one clustered exchange pair, O(1) merge state),
+    * then the lag distribution reduces per day-of-week group by exact rank
+    * selection (q171's discipline — median and p90 are actual data values
+    * at 1-based ranks ⌈n/2⌉ and ⌈9n/10⌉, integer arithmetic only).
+    * Click-time ties collapse to DISTINCT (user, ts) so the as-of winner's
+    * LAG is tie-independent. Purchases with no preceding click drop —
+    * DuckDB's inner ASOF, the same filter. */
+  val q182PurchaseLatency: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), expr("unix_micros(ts)").as("c_ts"))
+      .distinct()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts)").as("p_ts"), col("ts"))
+    val lagged = graft.plans.AsOf.join(purchases, clicks,
+        Seq("user_id" -> "c_user"), "p_ts", "c_ts")
+      .filter(col("c_ts").isNotNull)
+      .select((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        expr("(p_ts - c_ts) div 1000000").as("lag_s"))
+    val ranked = lagged
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("dow")).orderBy(col("lag_s"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("dow"))))
+    ranked.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_purchases"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("lag_s")))
+          .as("median_lag_s"),
+        min(when(col("rn") === expr("(9 * n + 9) div 10"), col("lag_s")))
+          .as("p90_lag_s"))
+      .orderBy(col("dow"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q182_purchase_latency" -> q182PurchaseLatency,
     "q167_skyline" -> q167Skyline,
     "q148_asof_native" -> q148AsofNative,
     "q164_asof_broadcast" -> q164AsofBroadcast,
@@ -835,6 +872,26 @@ object WindowQueries extends QueryModule {
       ORDER BY e.event_id"""
 
   def oracles: Map[String, String] = Map(
+    "q182_purchase_latency" -> """
+      WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+        event_type, ts FROM events),
+      clicks AS (SELECT DISTINCT user_id AS c_user, ts_us AS c_ts
+        FROM ev WHERE event_type = 'click'),
+      p AS (SELECT user_id, ts_us AS p_ts, ts
+        FROM ev WHERE event_type = 'purchase'),
+      j AS (SELECT CAST(dayofweek(p.ts) AS BIGINT) AS dow,
+          (p.p_ts - c.c_ts) // 1000000 AS lag_s
+        FROM p ASOF JOIN clicks c
+          ON p.user_id = c.c_user AND p.p_ts > c.c_ts),
+      r AS (SELECT dow, lag_s,
+        row_number() OVER (PARTITION BY dow ORDER BY lag_s) AS rn,
+        count(*) OVER (PARTITION BY dow) AS n FROM j)
+      SELECT dow, count(*) AS n_purchases,
+        CAST(min(CASE WHEN rn = (n + 1) // 2 THEN lag_s END) AS BIGINT)
+          AS median_lag_s,
+        CAST(min(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_s END) AS BIGINT)
+          AS p90_lag_s
+      FROM r GROUP BY 1 ORDER BY 1""",
     "q167_skyline" -> """
       WITH o AS (SELECT o_orderkey,
         CAST(round(o_totalprice*100,0) AS BIGINT) AS price_cents,
