@@ -163,6 +163,21 @@ object Dev {
         println(f"[scaling] $qn sf=${sf.split('/').last} best=$best%.2fs rows=${times.head._2}")
       }
       spark.stop()
+    } else if (name == "skyprune") {
+      // q167 pre-prune effectiveness: rows entering the single-partition
+      // global window, before vs after the map-side local skyline
+      import org.apache.spark.sql.functions._
+      val base = graft.engine.Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"),
+          graft.Num.cents(col("o_totalprice")).as("price_cents"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("date_us"))
+      val total = base.count()
+      val survivors = graft.operators.WindowQueries
+        .localSkylineSurvivors(base, "price_cents", "date_us").count()
+      val out = graft.operators.WindowQueries.q167Skyline(spark, sfDir).count()
+      println(s"[dev] skyprune sf=$sfDir total=$total survivors=$survivors " +
+        f"skyline=$out reduction=${total.toDouble / survivors}%.0fx")
+      spark.stop()
     } else if (name == "q135prof") {
       // stage timings for the containment pipeline
       import org.apache.spark.sql.functions._

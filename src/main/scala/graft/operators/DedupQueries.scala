@@ -181,10 +181,22 @@ object DedupQueries extends QueryModule {
     * (pigeonhole: Hamming ≤ 3 ⇒ at least one identical chunk, so the banding
     * is LOSSLESS for the declared threshold); verification is an exact
     * popcount on the fingerprint XOR — no payload ever re-read, which is why
-    * this is the cheapest near-dup pass at 100 TB. Fingerprints are
-    * hash-defined, so this op has no SQL oracle (rows-only check); its
-    * planted-pair recall is asserted by DedupSpec instead. */
-  val q52SimHash: Q = (s, dir) => simHashNearDup(s, dir, nChunks = 4, maxHam = 3)
+    * this is the cheapest near-dup pass at 100 TB.
+    *
+    * FULL-ORACLE CONTRACT: the driver-contract config uses the PORTABLE
+    * feature hash — the top 60 bits of `md5(shingle)` — which both engines
+    * compute bit-identically (Spark `conv(substring(md5(x),1,15),16,10)`,
+    * DuckDB `('0x'||substr(md5(s),1,15))::BIGINT`), so the fingerprints and
+    * therefore the exact pair set are engine-independent. The DuckDB oracle
+    * recomputes the fingerprints from scratch and takes the BRUTE-FORCE
+    * Hamming ≤ 3 pair set over all docs — so a green hash-match also proves
+    * the pigeonhole losslessness claim, not just the verify arithmetic.
+    * (The default `portableHash = false` path hashes shingles inline with
+    * XXH64 inside the codegen'd `simhash64` — no md5 allocation, the faster
+    * production config; DedupSpec pins that both hash choices agree on the
+    * planted near-dup pairs.) */
+  val q52SimHash: Q = (s, dir) =>
+    simHashNearDup(s, dir, nChunks = 4, maxHam = 3, portableHash = true)
 
   /** Parameterized SimHash near-dup. `nChunks` splits the 64-bit fingerprint
     * into equal-width chunk keys; pigeonhole keeps the banding LOSSLESS
@@ -192,9 +204,11 @@ object DedupQueries extends QueryModule {
     * rewrite: 16-bit chunks give 65k buckets and go quadratic-in-bucket
     * around 10⁸–10⁹ docs, so at that scale pass `nChunks = 8` (8-bit grid —
     * or layer Manku-style rotated permutation tables on top) and tighten
-    * `maxHam` per table while keeping `nChunks > maxHam` for losslessness. */
+    * `maxHam` per table while keeping `nChunks > maxHam` for losslessness.
+    * `portableHash` swaps the inline XXH64 feature hash for the md5-top-60-bit
+    * hash the DuckDB oracle can replay (see [[q52SimHash]]). */
   def simHashNearDup(s: SparkSession, dir: String,
-      nChunks: Int, maxHam: Int): DataFrame = {
+      nChunks: Int, maxHam: Int, portableHash: Boolean = false): DataFrame = {
     require(nChunks > maxHam, s"pigeonhole needs nChunks > maxHam")
     require(64 % nChunks == 0, "chunk width must divide 64")
     graft.functions.GraftFunctions.register(s)
@@ -207,10 +221,17 @@ object DedupQueries extends QueryModule {
     // barrier as much as a reuse (at scale: a persisted shingle table)
     val sh = shingled(s, dir).cache()
     // fingerprints fold map-side in one codegen'd pass per doc (native
-    // simhash64 Expression hashing each shingle inline) — no shingle
-    // explosion, no 64-column vote aggregation, no per-element interpreted
-    // lambda, no shuffle until the tiny chunk-key candidate join
-    val simhash = sh.select(col("doc_id"), expr("simhash64(sh)").as("f"))
+    // simhash64 Expression folding the bit votes) — no shingle explosion,
+    // no 64-column vote aggregation, no shuffle until the tiny chunk-key
+    // candidate join. The portable path pre-hashes each shingle to the top
+    // 60 bits of its md5 (both engines agree bit-for-bit) and feeds
+    // simhash64's array<bigint> branch; the default path lets simhash64
+    // hash the strings inline with XXH64 (no md5/conv allocation).
+    val fexpr =
+      if (portableHash)
+        "simhash64(transform(sh, x -> cast(conv(substring(md5(x),1,15), 16, 10) as bigint)))"
+      else "simhash64(sh)"
+    val simhash = sh.select(col("doc_id"), expr(fexpr).as("f"))
     val chunkCols = (0 until nChunks).map { c =>
       struct(lit(c).as("chunk"),
         col("f").bitwiseAND(lit(mask << (width * c))).as("cv"))
@@ -1082,6 +1103,7 @@ object DedupQueries extends QueryModule {
         sum(col("i") + col("j")).as("id_sum"))
       .orderBy(col("src_a"), col("src_b"))
     shd.unpersist(blocking = false)
+    bands.unpersist(blocking = false)
     out
   }
 
@@ -1101,6 +1123,7 @@ object DedupQueries extends QueryModule {
       .select(col("i"), col("j"))
     val labels = connectedComponentsAuto(pairs)
     shd.unpersist(blocking = false)
+    bands.unpersist(blocking = false)
     val sizes = Tables.load(s, dir, "documents").select(col("doc_id"))
       .join(labels.select(col("id").as("doc_id"), col("lbl")),
         Seq("doc_id"), "left")
@@ -1425,6 +1448,26 @@ object DedupQueries extends QueryModule {
         AND len(a.ss) > 0 AND len(b.ss) > 0
         AND len(list_intersect(a.ss, b.ss)) >=
             len(list_distinct(list_concat(a.ss, b.ss))) * 0.8
+      ORDER BY i, j""",
+    // Full replay of the SimHash pipeline: portable md5-top-60-bit feature
+    // hash, per-bit majority vote, then the BRUTE-FORCE Hamming ≤ 3 pair set
+    // (no banding) — a hash-match proves the chunk banding is lossless.
+    // Bits 60–63 of every feature are 0, so the vote loop stops at 60.
+    "q52_dedup_simhash" -> s"""WITH $duckShingles,
+      feat AS (
+        SELECT doc_id, [('0x' || substr(md5(s),1,15))::BIGINT for s in ss] AS hs
+        FROM sh WHERE len(ss) > 0),
+      fp AS (
+        SELECT doc_id,
+          CAST(list_sum([CASE WHEN list_sum(
+                   [CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
+                 THEN (1::BIGINT << b) ELSE 0::BIGINT END
+               for b in range(0, 60)]) AS BIGINT) AS f
+        FROM feat)
+      SELECT x.doc_id AS i, y.doc_id AS j,
+        CAST(bit_count(xor(x.f, y.f)) AS BIGINT) AS ham
+      FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.f, y.f)) <= 3
       ORDER BY i, j""",
     "q53_dedup_ngram" -> """
       WITH g AS (

@@ -39,6 +39,35 @@ class DedupSpec extends SparkSpec {
       s"simhash false positives: ${got -- brutePairs}")
   }
 
+  test("simhash: XXH64 and portable-md5 hash configs both catch planted pairs") {
+    // Both feature-hash choices must stay honest near-dup detectors: no false
+    // positives vs brute Jaccard, and both must recover the exact-duplicate
+    // planted pairs (identical shingle sets ⇒ identical fingerprints ⇒ ham=0
+    // under ANY feature hash — hash-independent by construction).
+    val fast = DedupQueries.simHashNearDup(spark, sfDir01, 4, 3, portableHash = false)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val portable = DedupQueries.simHashNearDup(spark, sfDir01, 4, 3, portableHash = true)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast.nonEmpty && portable.nonEmpty)
+    assert(fast.subsetOf(brutePairs), s"xxh64 false positives: ${fast -- brutePairs}")
+    assert(portable.subsetOf(brutePairs),
+      s"portable false positives: ${portable -- brutePairs}")
+    val identical = {
+      val sh = graft.engine.Tables.load(spark, sfDir01, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), array_sort(array_distinct(expr(
+          "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))).as("sh"))
+      val a = sh.select(col("doc_id").as("i"), col("sh").as("si"))
+      val b = sh.select(col("doc_id").as("j"), col("sh").as("sj"))
+      a.join(b, col("i") < col("j") && col("si") === col("sj"))
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(identical.subsetOf(fast), s"xxh64 missed exact dups: ${identical -- fast}")
+    assert(identical.subsetOf(portable),
+      s"portable missed exact dups: ${identical -- portable}")
+  }
+
   test("char-ngram LSH output only contains pairs above threshold with sane bounds") {
     val rows = DedupQueries.q53NgramJaccard(spark, sfDir01).collect()
     assert(rows.nonEmpty)

@@ -100,6 +100,11 @@ class PlansSpec extends SparkSpec {
     val p167 = planString(graft.operators.WindowQueries.q167Skyline(spark, sfDir))
     assert(!p167.contains("Join"), "skyline must be sort+window, not a self-join")
     assert(p167.contains("Window"))
+    // the map-side local-skyline pre-prune must run BEFORE the global
+    // window's single-partition exchange — without it the funnel task
+    // would receive every row at 100 TB
+    assert(p167.contains("MapPartitions"),
+      "skyline must local-prune map-side before the global window")
     graft.engine.Sessions.releasePinned(spark)
   }
 
