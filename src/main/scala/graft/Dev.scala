@@ -178,6 +178,26 @@ object Dev {
       println(s"[dev] skyprune sf=$sfDir total=$total survivors=$survivors " +
         f"skyline=$out reduction=${total.toDouble / survivors}%.0fx")
       spark.stop()
+    } else if (name == "intervalbytes") {
+      // shuffle-byte delta of the broadcast interval exec (q183) vs the
+      // composed grid plan (q136) — the q164 methodology
+      val metrics = graft.engine.MetricsListener.install(spark)
+      Seq("q136_interval_join" -> graft.operators.JoinQueries.q136IntervalJoin,
+          "q183_interval_broadcast" -> graft.operators.JoinQueries.q183IntervalBroadcast)
+        .foreach { case (qn, fn) =>
+          (1 to reps).foreach { i =>
+            graft.engine.Sessions.releasePinned(spark)
+            graft.engine.MetricsListener.drain(spark); metrics.reset()
+            val t0 = System.nanoTime()
+            val n = fn(spark, sfDir).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            graft.engine.MetricsListener.drain(spark)
+            val m = metrics.snapshot
+            println(f"[dev] $qn rep$i: $dt%.2fs rows=$n " +
+              s"shuffleRead=${m.shuffleReadBytes} shuffleWrite=${m.shuffleWriteBytes}")
+          }
+        }
+      spark.stop()
     } else if (name == "q135prof") {
       // stage timings for the containment pipeline
       import org.apache.spark.sql.functions._

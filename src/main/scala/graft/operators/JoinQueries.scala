@@ -648,10 +648,12 @@ object JoinQueries extends QueryModule {
     * all integers. PlansSpec-style guarantee rides in the shape itself:
     * the only join key is `cell`. Cell width trades fan-out (intervals ×
     * cells) against candidate precision; 6 h ≈ session-length-friendly. */
-  val q136IntervalJoin: Q = (s, dir) => {
-    val C = 21600L
+  /** 600 s-gap user sessions as intervals (q24's sessionization) — the fact
+    * side q136 and q183 join against campaign windows. */
+  private def gapSessions(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val sess = Tables.load(s, dir, "events")
+    Tables.load(s, dir, "events")
       .withColumn("gap_s",
         col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long"))
       .withColumn("is_new",
@@ -660,9 +662,19 @@ object JoinQueries extends QueryModule {
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts").cast("long")).as("a_start"),
         max(col("ts").cast("long")).as("a_end"))
-    val camps = s.range(0, 40).select(col("id").as("camp"),
+  }
+
+  /** The 40 deterministic 18-hour campaign windows stepped every 17 hours. */
+  private def campaignWindows(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    s.range(0, 40).select(col("id").as("camp"),
       (lit(1704067200L) + col("id") * 61200L).as("b_start"),
       (lit(1704067200L) + col("id") * 61200L + 64800L).as("b_end"))
+
+  val q136IntervalJoin: Q = (s, dir) => {
+    val C = 21600L
+    val sess = gapSessions(s, dir)
+    val camps = campaignWindows(s)
     val aCells = sess.withColumn("cell",
       explode(expr(s"sequence(a_start div $C, a_end div $C)")))
     val bCells = camps.withColumn("cell",
@@ -672,6 +684,33 @@ object JoinQueries extends QueryModule {
         col("camp"), col("b_start"), col("b_end"))
       .distinct()
       .filter(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .groupBy(col("camp"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("user_id") * 100 + col("session_id")).as("sess_checksum"),
+        sum(least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("overlap_seconds"))
+      .orderBy(col("camp"))
+  }
+
+  /** q183 — UNKEYED interval join through the BROADCAST exec
+    * ([[graft.plans.BroadcastIntervalJoinExec]]): q136's campaign
+    * attribution, but the 40 global windows ship whole to every task and
+    * the session side is joined IN PLACE — no grid explode, no
+    * double-counted-cell `distinct`, no shuffle of the fact side for the
+    * join (the only exchanges left are the sessionization's own window
+    * shuffle and the tiny per-campaign rollup). The windows are global
+    * (no key), which is exactly the case the clustered-merge exec cannot
+    * serve — a constant key would funnel every session into one
+    * partition; the broadcast exec's one-entry index costs nothing.
+    * Same oracle as q136 — two physical shapes, one semantic, both
+    * hash-checked; IntervalPlanSpec pins merge==broadcast per mode and
+    * the no-fact-exchange plan shape. */
+  val q183IntervalBroadcast: Q = (s, dir) => {
+    val sess = gapSessions(s, dir).withColumn("g", lit(0L))
+    val camps = campaignWindows(s).withColumn("g", lit(0L))
+    graft.plans.IntervalJoin.join(sess, camps, Seq("g" -> "g"),
+        "a_start", "a_end", "b_start", "b_end", "inner", broadcast = true)
       .groupBy(col("camp"))
       .agg(count(lit(1)).as("n_sessions"),
         countDistinct(col("user_id")).as("n_users"),
@@ -805,6 +844,7 @@ object JoinQueries extends QueryModule {
   }
 
   def queries: Map[String, Q] = Map(
+    "q183_interval_broadcast" -> q183IntervalBroadcast,
     "q178_reconcile" -> q178Reconcile,
     "q176_interval_coverage" -> q176IntervalCoverage,
     "q175_interval_anti" -> q175IntervalAnti,
@@ -850,6 +890,40 @@ object JoinQueries extends QueryModule {
           CAST(min(epoch(date_trunc('second', ts))) AS BIGINT) AS s,
           CAST(max(epoch(date_trunc('second', ts))) AS BIGINT) + $padS AS e
         FROM ${name}_r GROUP BY 1, 2)"""
+
+  /** q136/q183 shared oracle: brute non-equi session×campaign overlap. */
+  private val q136OracleSql: String = """
+      WITH gaps AS (
+        SELECT user_id, event_id, ts,
+          epoch(date_trunc('second', ts)) - epoch(date_trunc('second', lag(ts,1)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS gap_s
+        FROM events),
+      marked AS (
+        SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 600 THEN 1 ELSE 0 END AS is_new
+        FROM gaps),
+      se AS (
+        SELECT user_id, ts,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked),
+      sess AS (
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+          CAST(min(epoch(date_trunc('second', ts))) AS BIGINT) AS a_start,
+          CAST(max(epoch(date_trunc('second', ts))) AS BIGINT) AS a_end
+        FROM se GROUP BY 1, 2),
+      camps AS (
+        SELECT r AS camp, 1704067200 + r * 61200 AS b_start,
+          1704067200 + r * 61200 + 64800 AS b_end
+        FROM (SELECT unnest(range(0, 40)) AS r)),
+      ov AS (
+        SELECT * FROM sess, camps
+        WHERE a_start <= b_end AND b_start <= a_end)
+      SELECT CAST(camp AS BIGINT) AS camp, count(*) AS n_sessions,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        CAST(sum(user_id * 100 + session_id) AS BIGINT) AS sess_checksum,
+        CAST(sum(least(a_end, b_end) - greatest(a_start, b_start)) AS BIGINT)
+          AS overlap_seconds
+      FROM ov GROUP BY 1 ORDER BY camp"""
 
   def oracles: Map[String, String] = Map(
     // within-user non-equi overlap join — the plan shape the native sweep
@@ -908,38 +982,10 @@ object JoinQueries extends QueryModule {
     // brute non-equi overlap join — the quadratic plan the grid bucketing
     // avoids; results must match exactly (blocking is complete: overlap
     // implies a shared cell)
-    "q136_interval_join" -> """
-      WITH gaps AS (
-        SELECT user_id, event_id, ts,
-          epoch(date_trunc('second', ts)) - epoch(date_trunc('second', lag(ts,1)
-            OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS gap_s
-        FROM events),
-      marked AS (
-        SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 600 THEN 1 ELSE 0 END AS is_new
-        FROM gaps),
-      se AS (
-        SELECT user_id, ts,
-          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        FROM marked),
-      sess AS (
-        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-          CAST(min(epoch(date_trunc('second', ts))) AS BIGINT) AS a_start,
-          CAST(max(epoch(date_trunc('second', ts))) AS BIGINT) AS a_end
-        FROM se GROUP BY 1, 2),
-      camps AS (
-        SELECT r AS camp, 1704067200 + r * 61200 AS b_start,
-          1704067200 + r * 61200 + 64800 AS b_end
-        FROM (SELECT unnest(range(0, 40)) AS r)),
-      ov AS (
-        SELECT * FROM sess, camps
-        WHERE a_start <= b_end AND b_start <= a_end)
-      SELECT CAST(camp AS BIGINT) AS camp, count(*) AS n_sessions,
-        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-        CAST(sum(user_id * 100 + session_id) AS BIGINT) AS sess_checksum,
-        CAST(sum(least(a_end, b_end) - greatest(a_start, b_start)) AS BIGINT)
-          AS overlap_seconds
-      FROM ov GROUP BY 1 ORDER BY camp""",
+    // q183 runs the same semantics through the broadcast interval exec —
+    // one oracle, two physical shapes, both hash-checked
+    "q183_interval_broadcast" -> q136OracleSql,
+    "q136_interval_join" -> q136OracleSql,
     "q124_snapshot_diff" -> """
       WITH a AS (
         SELECT c_custkey AS k,

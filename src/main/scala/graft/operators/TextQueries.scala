@@ -695,12 +695,58 @@ object TextQueries extends QueryModule {
     (rewritten, best)
   }
 
-  /** q169 — BPE MERGE INDUCTION (2 unrolled rounds): the tokenizer-training
-    * inner loop — repeatedly count adjacent pairs over the whole corpus,
-    * adopt the most frequent pair into the vocabulary, and re-segment every
-    * document with greedy left-to-right non-overlapping application (Sennrich
-    * et al., ACL 2016). Output per round: the adopted merge, its count at
-    * selection time, and the corpus token count after application.
+  /** N-ROUND BPE TRAINING DRIVER: [[bpeRound]] iterated under the engine's
+    * Pin discipline (the kmeans/CC loop) — pin round N+1's token arrays,
+    * free round N's the moment the successor is materialized, so
+    * block-manager storage stays O(1) over any merge count and the plan
+    * stays one fold deep (Catalyst never sees prior rounds' lineage; the
+    * lazily-chained alternative nests the `aggregate` HOF N deep and
+    * re-executes the whole prefix per round). `rounds` is the vocab-size
+    * cap; the loop stops early, LOUDLY-CHECKED, when the corpus has no adjacent
+    * pair left. Per round the driver reads O(1) control state — the 3-field
+    * winning merge and the post-rewrite token count (the same class of
+    * action as the kmeans driver's convergence `.count()`) — never corpus
+    * rows. Returns one (round, merged_token, pair_count, tokens_after) row
+    * per executed round; law-tested against an N-iterated sequential greedy
+    * reference, and q169 (rounds = 2) stays on the DuckDB oracle. */
+  private[graft] def bpeTrain(toks0: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "bpeTrain needs at least one round")
+    val spark = toks0.sparkSession
+    import spark.implicits._
+    var (cur, curPin) = graft.engine.Pin.pin(toks0)
+    val stats = Seq.newBuilder[(Long, String, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val (rewritten, best) = bpeRound(cur)
+      // bounded control read: `best` is a LIMIT 1 frame — 3 fields reach
+      // the driver, never corpus rows (kmeans' convergence-count class)
+      val b = best.select(col("w1"), col("w2"), col("c")).take(1)
+      if (b.isEmpty) exhausted = true // no adjacent pair anywhere: converged
+      else {
+        val (next, nextPin) = graft.engine.Pin.pin(rewritten)
+        curPin.unpersist(blocking = false)
+        cur = next; curPin = nextPin
+        val after = cur.agg(sum(size(col("t"))).cast("long")).head().getLong(0)
+        stats += ((r.toLong, b(0).getString(0) + "_" + b(0).getString(1),
+          b(0).getLong(2), after))
+        r += 1
+      }
+    }
+    curPin.unpersist(blocking = false)
+    stats.result().toDF("round", "merged_token", "pair_count", "tokens_after")
+      .orderBy(col("round"))
+  }
+
+  /** q169 — BPE MERGE INDUCTION: the tokenizer-training inner loop —
+    * repeatedly count adjacent pairs over the whole corpus, adopt the most
+    * frequent pair into the vocabulary, and re-segment every document with
+    * greedy left-to-right non-overlapping application (Sennrich et al.,
+    * ACL 2016), run through the N-round [[bpeTrain]] driver at rounds = 2
+    * (the depth a straight-line DuckDB CTE chain can replay — the oracle
+    * cannot iterate to a data-dependent fixpoint; the driver itself is
+    * law-tested at depth 5+). Output per round: the adopted merge, its
+    * count at selection time, and the corpus token count after application.
     *
     * The overlap subtlety is pinned IDENTICALLY in both engines: occurrences
     * at consecutive positions overlap only for self-pairs (w,w), where
@@ -709,19 +755,9 @@ object TextQueries extends QueryModule {
     * (run-group by pos − row_number, keep off % 2 = 0) provably equals it.
     * Scale shape per round: one corpus scan, one vocab²-bounded exchange,
     * map-side rewrite — documents never shuffle. */
-  val q169BpeMerges: Q = (s, dir) => {
-    val t0 = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-    val (t1, b1) = bpeRound(t0)
-    val (t2, b2) = bpeRound(t1)
-    def statsRow(round: Int, best: DataFrame, after: DataFrame) =
-      after.agg(sum(size(col("t"))).as("tokens_after"))
-        .crossJoin(broadcast(best))
-        .select(lit(round.toLong).as("round"),
-          concat(col("w1"), lit("_"), col("w2")).as("merged_token"),
-          col("c").as("pair_count"), col("tokens_after"))
-    statsRow(1, b1, t1).unionByName(statsRow(2, b2, t2)).orderBy(col("round"))
-  }
+  val q169BpeMerges: Q = (s, dir) =>
+    bpeTrain(Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")), rounds = 2)
 
   def queries: Map[String, Q] = Map(
     "q169_bpe_merges" -> q169BpeMerges,

@@ -292,10 +292,20 @@ object AsOf {
       right.queryExecution.analyzed.output.map(a => Alias(a, a.name)()),
       right.queryExecution.analyzed)
     def resolve(out: Seq[Attribute], name: String): Attribute =
-      out.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(s"no column '$name' in ${out.map(_.name)}"))
+      out.filter(_.name == name) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"no column '$name' in ${out.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column '$name': ${many.size} matches in ${out.map(_.name)}")
+      }
     val lk = keys.map(k => resolve(lPlan.output, k._1))
     val rk = keys.map(k => resolve(rPlan.output, k._2))
+    // mismatched key types would feed incompatible UnsafeRow layouts into
+    // one RowOrdering/hash index — fail loudly instead of grouping wrong
+    require(lk.map(_.dataType) == rk.map(_.dataType),
+      s"as-of join key types must match pairwise: " +
+        s"${lk.map(_.dataType)} vs ${rk.map(_.dataType)}")
     val lt = resolve(lPlan.output, leftTimeCol)
     val rt = resolve(rPlan.output, rightTimeCol)
     require(lt.dataType == LongType && rt.dataType == LongType,

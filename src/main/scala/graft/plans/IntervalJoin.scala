@@ -50,7 +50,7 @@ case class IntervalJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftStart: Expression, leftEnd: Expression,
     rightStart: Expression, rightEnd: Expression,
-    joinType: String = "inner")
+    joinType: String = "inner", broadcastRight: Boolean = false)
   extends BinaryNode {
   override def output: Seq[Attribute] = joinType match {
     case "left_semi" | "left_anti" => left.output
@@ -280,12 +280,132 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[IntervalJoinPlan]]; a no-op on every other node. */
+/** Broadcast keyed interval join: the right (window/dimension) side ships
+  * whole to every task and the LEFT SIDE IS NEVER SHUFFLED OR SORTED —
+  * `outputPartitioning`/`outputOrdering` pass the left child's through
+  * untouched, the same contract as [[BroadcastAsOfJoinExec]]. Per
+  * partition the broadcast rows build one hash index key → intervals
+  * sorted by start; each left interval [ls, le] binary-searches the last
+  * start ≤ le and scans that prefix for end ≥ ls — per-left cost
+  * O(#same-key rights with start ≤ le), bounded by the dimension's
+  * per-key row count (an interval tree would tighten it to
+  * O(log n + matches); at dimension size the prefix scan wins on
+  * constant factor). Because the fact side keeps its partitioning, this
+  * exec is also what makes UNKEYED (global-window) interval joins
+  * feasible: a constant key under the merge exec would funnel every row
+  * into one partition, here it just means a one-entry index. Same
+  * null/malformed and mode semantics as [[IntervalJoinExec]]; equality
+  * is law-tested per mode on randomized tables. */
+case class BroadcastIntervalJoinExec(leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftStart: Expression, leftEnd: Expression,
+    rightStart: Expression, rightEnd: Expression, joinType: String,
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode {
+  import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution,
+    IdentityBroadcastMode, UnspecifiedDistribution}
+
+  override def output: Seq[Attribute] = joinType match {
+    case "left_semi" | "left_anti" => left.output
+    case "left_outer" => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lS = leftStart; val lE = leftEnd; val rS = rightStart; val rE = rightEnd
+    val mode = joinType
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions({ lIter =>
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val rSe = BindReferences.bindReference(rS, rOut)
+      val rEe = BindReferences.bindReference(rE, rOut)
+      // key → (start, end, row) sorted by start; null/malformed rights
+      // never match, so they never enter the index
+      val index = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.ArrayBuffer[(Long, Long, InternalRow)]]()
+      broadcastRows.value.foreach { row =>
+        val sv = rSe.eval(row); val ev = rEe.eval(row)
+        if (sv != null && ev != null &&
+            ev.asInstanceOf[Long] >= sv.asInstanceOf[Long]) {
+          val k = rKeyProj(row).copy()
+          var buf = index.get(k)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, InternalRow)]
+            index.put(k, buf)
+          }
+          buf += ((sv.asInstanceOf[Long], ev.asInstanceOf[Long], row))
+        }
+      }
+      index.values().forEach { b => b.sortInPlace()(Ordering.by(_._1)); () }
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val lSe = BindReferences.bindReference(lS, lOut)
+      val lEe = BindReferences.bindReference(lE, lOut)
+      val joined = new JoinedRow
+      val nullRight = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(rOut.length)
+      lIter.flatMap { l =>
+        val sv = lSe.eval(l); val ev = lEe.eval(l)
+        val valid = sv != null && ev != null &&
+          ev.asInstanceOf[Long] >= sv.asInstanceOf[Long]
+        if (!valid) mode match {
+          case "left_outer" => Iterator.single(joined(l, nullRight))
+          case "left_anti" => Iterator.single(l)
+          case _ => Iterator.empty
+        } else {
+          val ls = sv.asInstanceOf[Long]; val le = ev.asInstanceOf[Long]
+          val buf = index.get(lKeyProj(l))
+          val matches: Iterator[InternalRow] =
+            if (buf == null) Iterator.empty
+            else {
+              // last index with start <= le; its prefix holds every candidate
+              var lo = 0; var hi = buf.length - 1; var ans = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (buf(mid)._1 <= le) { ans = mid; lo = mid + 1 } else hi = mid - 1
+              }
+              (0 to ans).iterator.filter(i => buf(i)._2 >= ls).map(i => buf(i)._3)
+            }
+          mode match {
+            case "inner" => matches.map(r => joined(l, r))
+            case "left_outer" =>
+              if (matches.hasNext) matches.map(r => joined(l, r))
+              else Iterator.single(joined(l, nullRight))
+            case "left_semi" =>
+              if (matches.hasNext) Iterator.single(l) else Iterator.empty
+            case _ => // left_anti
+              if (matches.hasNext) Iterator.empty else Iterator.single(l)
+          }
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastIntervalJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[IntervalJoinPlan]] to the merge or broadcast exec; a no-op on
+  * every other node. */
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoinPlan(l, r, lk, rk, ls, le, rs, re, jt) =>
-      IntervalJoinExec(lk, rk, ls, le, rs, re, jt,
-        planLater(l), planLater(r)) :: Nil
+    case IntervalJoinPlan(l, r, lk, rk, ls, le, rs, re, jt, bcast) =>
+      if (bcast)
+        BroadcastIntervalJoinExec(lk, rk, ls, le, rs, re, jt,
+          planLater(l), planLater(r)) :: Nil
+      else
+        IntervalJoinExec(lk, rk, ls, le, rs, re, jt,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -305,7 +425,7 @@ object IntervalJoin {
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
       leftStartCol: String, leftEndCol: String,
       rightStartCol: String, rightEndCol: String,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner", broadcast: Boolean = false): DataFrame = {
     require(Set("inner", "left_outer", "left_semi", "left_anti")(joinType),
       s"unsupported interval join type: $joinType")
     val spark = left.sparkSession
@@ -317,10 +437,20 @@ object IntervalJoin {
       right.queryExecution.analyzed.output.map(a => Alias(a, a.name)()),
       right.queryExecution.analyzed)
     def resolve(out: Seq[Attribute], name: String): Attribute =
-      out.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(s"no column '$name' in ${out.map(_.name)}"))
+      out.filter(_.name == name) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"no column '$name' in ${out.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column '$name': ${many.size} matches in ${out.map(_.name)}")
+      }
     val lk = keys.map(k => resolve(lPlan.output, k._1))
     val rk = keys.map(k => resolve(rPlan.output, k._2))
+    // mismatched key types would feed incompatible UnsafeRow layouts into
+    // one RowOrdering/hash index — fail loudly instead of grouping wrong
+    require(lk.map(_.dataType) == rk.map(_.dataType),
+      s"interval join key types must match pairwise: " +
+        s"${lk.map(_.dataType)} vs ${rk.map(_.dataType)}")
     val cols = Seq(resolve(lPlan.output, leftStartCol),
       resolve(lPlan.output, leftEndCol),
       resolve(rPlan.output, rightStartCol), resolve(rPlan.output, rightEndCol))
@@ -328,6 +458,6 @@ object IntervalJoin {
       "interval bounds must be LongType (consistent epoch unit)")
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
       IntervalJoinPlan(lPlan, rPlan, lk, rk,
-        cols(0), cols(1), cols(2), cols(3), joinType))
+        cols(0), cols(1), cols(2), cols(3), joinType, broadcast))
   }
 }

@@ -153,6 +153,74 @@ class IntervalPlanSpec extends SparkSpec {
     })
   }
 
+  test("broadcast interval exec equals the clustered-merge exec for every mode (law)") {
+    import spark.implicits._
+    val side: Gen[List[(Long, Option[Long], Option[Long], Long)]] = for {
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 2L)
+        s <- Gen.frequency(
+          9 -> Gen.choose(0L, 25L).map(Some(_): Option[Long]),
+          1 -> Gen.const(None: Option[Long]))
+        len <- Gen.choose(-3L, 10L)
+      } yield (k, s, s.map(_ + len), 0L))
+    } yield rows.zipWithIndex.map { case ((k, s, e, _), i) => (k, s, e, i.toLong) }
+    holds(Prop.forAll(side, side,
+        Gen.oneOf("inner", "left_outer", "left_semi", "left_anti")) { (l, r, mode) =>
+      val left = l.toDF("k", "s", "e", "lid")
+      val right = r.toDF("bk", "bs", "be", "rid")
+      def run(bcast: Boolean) = graft.plans.IntervalJoin.join(left, right,
+        Seq("k" -> "bk"), "s", "e", "bs", "be", mode, broadcast = bcast)
+      mode match {
+        case "inner" | "left_outer" =>
+          def pairs(bcast: Boolean) = run(bcast)
+            .select(col("lid"), col("rid")).collect()
+            .map(x => (x.getLong(0),
+              if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+          pairs(false) == pairs(true)
+        case _ =>
+          // semi additionally: each left at most once, from BOTH execs
+          def lids(bcast: Boolean) = run(bcast)
+            .select(col("lid")).collect().map(_.getLong(0)).toSeq.sorted
+          val m = lids(false); val b = lids(true)
+          m == b && b.size == b.distinct.size
+      }
+    })
+  }
+
+  test("broadcast interval join plans BroadcastExchange and never shuffles the fact side") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 10L)).toDF("k", "s", "e")
+    val b = Seq((1L, 5L, 15L)).toDF("bk", "bs", "be")
+    val df = graft.plans.IntervalJoin.join(a, b, Seq("k" -> "bk"),
+      "s", "e", "bs", "be", "inner", broadcast = true)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastIntervalJoin"), s"expected broadcast exec in:\n$p")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("hashpartitioning"),
+      s"fact side must keep its partitioning under broadcast:\n$p")
+    assert(!p.contains("Sort "), s"no side is sorted under broadcast:\n$p")
+  }
+
+  test("broadcast interval join with a constant key = feasible UNKEYED interval join") {
+    import spark.implicits._
+    // the merge exec would funnel everything into one partition on a
+    // constant key; the broadcast exec keeps the fact partitioning and
+    // resolves the global windows from a one-entry index
+    val facts = (0 until 100).map(i => (0L, i.toLong * 10, i.toLong * 10 + 5, i.toLong))
+      .toDF("g", "s", "e", "lid")
+    val windows = Seq((0L, 0L, 200L, 1L), (0L, 500L, 520L, 2L))
+      .toDF("g", "ws", "we", "wid")
+    val got = graft.plans.IntervalJoin.join(facts, windows, Seq("g" -> "g"),
+        "s", "e", "ws", "we", "inner", broadcast = true)
+      .groupBy(col("wid")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // window 1 [0,200] catches facts starting 0..200 → lid 0..20 (21 rows:
+    // s=200 touches; s=195,e=200 overlaps; lid 20 has s=200)
+    assert(got(1L) == 21L, s"got $got")
+    assert(got(2L) == 3L, s"got $got") // [500,520] ∩ {[500,505],[510,515],[520,525]}
+  }
+
   test("interval exec sweeps deep overlap stacks without quadratic state") {
     import spark.implicits._
     // 200 nested left intervals all overlapping 200 shifted right intervals

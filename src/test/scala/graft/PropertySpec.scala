@@ -327,4 +327,50 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("N-round BPE driver equals the iterated sequential greedy reference (q169 law)") {
+    import spark.implicits._
+    // the full training loop, not one step: 5 rounds over tiny alphabets so
+    // merged tokens re-merge ('a_b' + 'c' etc.) and early exhaustion occurs
+    val g = for {
+      nDocs <- Gen.choose(1, 8)
+      docs <- Gen.listOfN(nDocs, Gen.choose(0, 14).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b"))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    holds(Prop.forAll(g) { docs0 =>
+      val rounds = 5
+      // reference: iterate count→select→greedy-rewrite, stop when no pair
+      var docs: Map[Long, Seq[String]] =
+        docs0.map { case (id, t) => id -> (t: Seq[String]) }.toMap
+      val expect = Seq.newBuilder[(Long, String, Long, Long)]
+      var r = 1L
+      var done = false
+      while (r <= rounds && !done) {
+        val counts = docs.values.flatMap(_.sliding(2).filter(_.size == 2)
+          .map(p => (p(0), p(1)))).groupBy(identity).view.mapValues(_.size).toMap
+        if (counts.isEmpty) done = true
+        else {
+          val ((w1, w2), c) = counts.toSeq
+            .sortBy { case ((a, b), n) => (-n, a, b) }.head
+          docs = docs.view.mapValues { t =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < t.size) {
+              if (j < t.size - 1 && t(j) == w1 && t(j + 1) == w2) {
+                out += s"${w1}_$w2"; j += 2
+              } else { out += t(j); j += 1 }
+            }
+            out.toSeq
+          }.toMap
+          expect += ((r, s"${w1}_$w2", c.toLong, docs.values.map(_.size.toLong).sum))
+          r += 1
+        }
+      }
+      val got = graft.operators.TextQueries
+        .bpeTrain(docs0.toDF("doc_id", "t"), rounds)
+        .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+          x.getLong(3))).toSeq
+      got == expect.result()
+    })
+  }
 }
