@@ -334,8 +334,8 @@ object JoinQueries extends QueryModule {
     * hash COLLISION can only ADD a candidate pair — exact levenshtein
     * verification downstream discards it, so completeness and precision
     * are unaffected (the blocking-equivalence spec pins this). */
-  private[graft] def fuzzyPairsDeletion(names: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  private[graft] def fuzzyPairsDeletion(names: org.apache.spark.sql.DataFrame,
+      maxBucket: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     // ONE exchange, not a self-join: group the variant rows by bucket and
     // enumerate each bucket's pairs with a HOF over the sorted member
     // list. The earlier self-join formulation shuffled the 170×-exploded
@@ -354,15 +354,26 @@ object JoinQueries extends QueryModule {
     // bytes, no cache, no hint. Bucket
     // member lists are small by construction (a bucket collision forces
     // the entire remaining string to match); a pathological hot bucket
-    // (mass-duplicated entity strings) would need the LSH-style cap —
-    // which costs recall, so q79 keeps completeness and documents the
-    // trade.
+    // (mass-duplicated entity strings) explodes quadratically: the OPT-IN
+    // `maxBucket` cap (q51's LSH discipline) drops buckets above the bound
+    // BEFORE pair enumeration, bounding candidates at cap² per bucket by
+    // construction; the recall trade is exact and spec-measured
+    // (SkewStressSpec): pairs sharing ONLY capped buckets vanish — under
+    // mass duplication those are duplicate×duplicate pairs exact dedup
+    // (q50) should have collapsed first. q79 defaults to cap = None —
+    // completeness — because its fixture is already exact-deduped; the cap
+    // is the config for corpora that are not.
     val v = deletionVariants(names)
-    v.repartition(
+    val grouped = v.repartition(
         v.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
         col("wh"))
       .groupBy(col("wh")).agg(sort_array(collect_set(col("k"))).as("ks"))
       .filter(size(col("ks")) >= 2)
+    val capped = maxBucket match {
+      case Some(cap) => grouped.filter(size(col("ks")) <= cap)
+      case None => grouped
+    }
+    capped
       .select(explode(expr(
         """flatten(transform(ks, (xi, i) ->
              transform(slice(ks, i + 2, size(ks)), xj ->

@@ -721,6 +721,120 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** PQ subspace decomposition: each 64-dim vector explodes into `m`
+    * contiguous (64/m)-dim sub-vectors — the rows every PQ stage (training,
+    * coding, LUT build) operates on. `sub` is the subspace index. */
+  private[graft] def pqParts(e: DataFrame, m: Int): DataFrame = {
+    val w = 64 / m
+    e.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(CAST(s AS BIGINT) AS sub, slice(q, s * $w + 1, $w) AS sv))")).as("p"))
+      .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+  }
+
+  /** One Lloyd step over ALL subspaces at once: centroids are keyed
+    * (sub, cid), assignment joins on `sub` (broadcast — the codebook is
+    * m×k rows), argmin by exact reduced integer distance
+    * cn2 − 2·⟨sv, cv⟩ (the ‖sv‖² term is constant per row) with cid
+    * tie-break, floor-averaged integer re-estimation; empty centroids keep
+    * their previous position (q72's convention). */
+  private def pqLloydStep(sv: DataFrame, cents: DataFrame): DataFrame = {
+    val withN2 = broadcast(cents.withColumn("cn2", expr("dot_long(cv, cv)")))
+    val assigned = sv.join(withN2, Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("sv"), col("cid"),
+        (col("cn2") - lit(2L) * expr("dot_long(sv, cv)")).as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(struct(col("cid"), col("sv")), struct(col("d2"), col("cid"))).as("b"))
+    val means = assigned
+      .select(col("sub"), col("b.cid").as("cid"), posexplode(col("b.sv")).as(Seq("pos", "v")))
+      .groupBy(col("sub"), col("cid"), col("pos"))
+      .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("cv1"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv1")))).as("pc"))
+      .select(col("sub"), col("cid"), expr("transform(pc, p -> p.cv1)").as("new_cv"))
+    cents.join(means, Seq("sub", "cid"), "left")
+      .select(col("sub"), col("cid"), coalesce(col("new_cv"), col("cv")).as("cv"))
+  }
+
+  /** PQ codebook: per subspace, k centroids trained with TWO Lloyd steps
+    * from deterministic seeds (the first k vectors' sub-vectors) — the
+    * q76 convention that keeps training straight-line-expressible for the
+    * DuckDB oracle (which cannot iterate to a data-dependent fixpoint);
+    * the checked-fixpoint [[kmeans]] driver is the production variant. */
+  private[graft] def pqCodebook(e: DataFrame, m: Int, k: Int): DataFrame = {
+    val sv = pqParts(e, m)
+    val seeds = pqParts(e.filter(col("vec_id") < k), m)
+      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
+    pqLloydStep(sv, pqLloydStep(sv, seeds))
+  }
+
+  /** q184 — PRODUCT-QUANTIZED ANN with ADC lookup tables (Jégou et al.,
+    * TPAMI 2011 — the FAISS `PQ` index; q117's SQ8 is the scalar little
+    * sibling): vectors compress to m=4 subspace CODES (8-entry codebook
+    * per subspace, 2-step-Lloyd-trained — 8⁴ = 4096 distinct cells, 12
+    * bits per vector), queries build a per-query LUT of
+    * ⟨query-subvector, codebook-centroid⟩ partial dots, and the candidate
+    * scan scores a vector by TWO map lookups + an add — never touching the
+    * vector itself. Exact top-16 by ADC score, exact cosine rerank to
+    * top-3 (q117's two-stage contract). Everything is exact BIGINT, so
+    * codebook, codes, LUT and scores replay bit-identically in DuckDB —
+    * a fully oracle-checked PQ pipeline.
+    *
+    * Scale shape: the LUT (queries × m × k rows) broadcasts; the corpus
+    * side of the candidate stage carries ONLY the code arrays (2 bytes of
+    * information per vector here vs 512 full-precision: the compression
+    * PQ exists for) — at 100 TB codes live in their own parquet column,
+    * written once like q117's SQ8 column and the stored IVF index, and
+    * the approx score is map-side `aggregate` over broadcast maps; the
+    * only exchange is the per-query top-k. The code-building groupBy is
+    * index-build cost, paid once at write time, not per query. */
+  val q184KnnPq: Q = (s, dir) => {
+    val M = 4
+    val K = 8
+    val e = quantized(s, dir)
+    val book = pqCodebook(e, M, K)
+    val sv = pqParts(e, M)
+    // coding: nearest codebook centroid per (vector, subspace) — the
+    // stored representation; pk packs (sub, code) into one lookup key
+    val codes = sv
+      .join(broadcast(book.withColumn("cn2", expr("dot_long(cv, cv)"))), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        (col("cn2") - lit(2L) * expr("dot_long(sv, cv)")).as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(col("sub") * K + col("code"))).as("pks"))
+    // per-query ADC lookup table: partial dot against every codebook entry
+    val qsv = pqParts(e.filter(col("vec_id") < 5), M)
+      .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qsv"))
+    val lut = broadcast(qsv.join(book, Seq("sub"))
+      .select(col("qid"), (col("sub") * K + col("cid")).as("pk"),
+        expr("dot_long(qsv, cv)").as("pd"))
+      .groupBy(col("qid"))
+      .agg(map_from_entries(collect_list(struct(col("pk"), col("pd")))).as("lut")))
+    val approx = codes.crossJoin(lut)
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        expr("aggregate(pks, 0L, (a, p) -> a + lut[p])").as("approx"))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("cid"))
+    val cand = approx.withColumn("arnk", row_number().over(wa))
+      .filter(col("arnk") <= 16)
+      .select(col("qid"), col("cid"), col("approx"))
+    // exact rerank of the ADC top-16 (q117's discipline)
+    val full = e.select(col("vec_id"), col("q"), col("n2"))
+    val rer = cand
+      .join(broadcast(full.filter(col("vec_id") < 5))
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2")), "qid")
+      .join(full.select(col("vec_id").as("cid"), col("q").as("qc"),
+        col("n2").as("cn2")), "cid")
+      .select(col("qid"), col("cid"), col("approx"),
+        (dotExpr / (sqrt(col("qn2")) * sqrt(col("cn2")))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    rer.select(col("qid"), col("cid"), col("approx"), col("cos"),
+        row_number().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** q126 — exact GRAM MATRIX of the embedding corpus (X^T·X over the
     * integer-millionth components): the linear-algebra primitive under
     * covariance, PCA, and whitening — the preprocessing a production
@@ -775,6 +889,7 @@ object SimilarityQueries extends QueryModule {
   def queries: Map[String, Q] = Map(
     "q144_centroid_similarity" -> q144CentroidSimilarity,
     "q117_knn_sq8" -> q117KnnSq8,
+    "q184_knn_pq" -> q184KnnPq,
     "q123_knn_ivf_sq8" -> q123KnnIvfSq8,
     "q126_gram_matrix" -> q126GramMatrix,
     "q114_hard_negatives_ivf" -> q114HardNegativesIvf,
@@ -825,7 +940,77 @@ object SimilarityQueries extends QueryModule {
       SELECT vec_id, label, qv,
         CAST(list_sum([x * x for x in qv]) AS BIGINT) AS n2 FROM q)"""
 
+  /** One grouped-by-subspace DuckDB Lloyd step for the PQ oracle: codebook
+    * `$from` (sub, cid, cv) → `pb$step`, mirroring [[pqLloydStep]] exactly
+    * (reduced distance cn2 − 2·dot, (d2, cid) tie-break, floor means,
+    * empty centroid keeps its position). */
+  private def duckPqLloyd(step: Int, from: String): String = s"""
+      pd$step AS (
+        SELECT v.vec_id, v.sub, v.sv, c.cid,
+          CAST(list_sum([c.cv[k] * c.cv[k] for k in range(1, 17)]) AS BIGINT)
+            - 2 * CAST(list_sum([v.sv[k] * c.cv[k] for k in range(1, 17)]) AS BIGINT) AS d2
+        FROM sv v JOIN $from c ON v.sub = c.sub),
+      pa$step AS (
+        SELECT vec_id, sub, sv, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS r
+          FROM pd$step) WHERE r = 1),
+      pm$step AS (
+        SELECT sub, cid, pos, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cvi
+        FROM (SELECT sub, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS v
+              FROM pa$step)
+        GROUP BY sub, cid, pos),
+      pb$step AS (
+        SELECT s.sub, s.cid, coalesce(m.cv2, s.cv) AS cv
+        FROM $from s LEFT JOIN
+          (SELECT sub, cid, list(cvi ORDER BY pos) AS cv2 FROM pm$step
+           GROUP BY sub, cid) m
+          ON s.sub = m.sub AND s.cid = m.cid)"""
+
   def oracles: Map[String, String] = Map(
+    // full PQ replay: subspace split, 2 grouped Lloyd steps, coding, LUT,
+    // ADC scoring, exact rerank — every stage exact BIGINT like the engine
+    "q184_knn_pq" -> s"""
+      WITH $duckQuant,
+      sv AS (
+        SELECT vec_id, CAST(s AS BIGINT) AS sub, qv[s*16+1 : s*16+16] AS sv
+        FROM q, range(0, 4) r(s)),
+      seed AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 8),
+      ${duckPqLloyd(1, "seed")},
+      ${duckPqLloyd(2, "pb1")},
+      dc AS (
+        SELECT v.vec_id, v.sub, c.cid,
+          CAST(list_sum([c.cv[k] * c.cv[k] for k in range(1, 17)]) AS BIGINT)
+            - 2 * CAST(list_sum([v.sv[k] * c.cv[k] for k in range(1, 17)]) AS BIGINT) AS d2
+        FROM sv v JOIN pb2 c ON v.sub = c.sub),
+      codes AS (
+        SELECT vec_id, sub, cid AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS r
+          FROM dc) WHERE r = 1),
+      lut AS (
+        SELECT v.vec_id AS qid, c.sub, c.cid AS code,
+          CAST(list_sum([v.sv[k] * c.cv[k] for k in range(1, 17)]) AS BIGINT) AS pd
+        FROM sv v JOIN pb2 c ON v.sub = c.sub
+        WHERE v.vec_id < 5),
+      ap AS (
+        SELECT l.qid, x.vec_id AS cid, CAST(sum(l.pd) AS BIGINT) AS approx
+        FROM codes x JOIN lut l ON x.sub = l.sub AND x.code = l.code
+        WHERE l.qid <> x.vec_id
+        GROUP BY 1, 2),
+      cand AS (
+        SELECT qid, cid, approx FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS arnk
+          FROM ap) WHERE arnk <= 16),
+      rer AS (
+        SELECT c.qid, c.cid, c.approx,
+          CAST(list_sum([a.qv[k] * b.qv[k] for k in range(1, 65)]) AS BIGINT)
+            / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+        FROM cand c JOIN n a ON a.vec_id = c.qid JOIN n b ON b.vec_id = c.cid),
+      ranked AS (
+        SELECT qid, cid, approx, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM rer)
+      SELECT qid, cid, approx, cos, rnk FROM ranked WHERE rnk <= 3
+      ORDER BY qid, rnk""",
     "q144_centroid_similarity" -> s"""
       WITH $duckQuant,
       comp AS (

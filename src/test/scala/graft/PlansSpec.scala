@@ -201,6 +201,15 @@ class PlansSpec extends SparkSpec {
       s"expected hash exchanges under the as-of merge:\n${p.take(2000)}")
   }
 
+  test("q182 purchase latency composes the native as-of exec, not a window fallback") {
+    // the newest as-of consumer must keep riding q148's merge exec — a
+    // refactor silently rerouting it through the union-tag window twin
+    // would keep results but lose the operator's physical shape
+    val p = planString(graft.operators.WindowQueries.q182PurchaseLatency(spark, sfDir))
+    assert(p.contains("AsOfJoin"), s"q182 must plan AsOfJoinExec:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("q79 deletion-blocked fuzzy join is equi-join-shaped end to end") {
     // full-table fuzzy join: candidates come from an equi-join on the
     // hashed deletion variant, never a cartesian/BNL over the entity table

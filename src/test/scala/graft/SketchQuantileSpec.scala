@@ -55,6 +55,32 @@ class SketchQuantileSpec extends SparkSpec {
     assert(recall >= 0.2, s"absolute floor: $recall")
   }
 
+  test("q184 PQ: ADC candidates + exact rerank hold a recall floor vs brute and SQ8") {
+    val truth = SimilarityQueries.q55KnnBrute(spark, sfDir01).collect()
+      .filter(_.getLong(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = SimilarityQueries.q184KnnPq(spark, sfDir01).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.groupBy(_.getLong(0)).keySet == Set(0L, 1L, 2L, 3L, 4L))
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(4)).sorted.toSeq == Seq(1L, 2L, 3L))
+      // rerank cosines are exact, so they must be internally sorted
+      val cs = rs.sortBy(_.getLong(4)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    // 12-bit codes (m=4 × 3 bits) vs SQ8's 512: PQ trades more recall for
+    // 42× more compression — observed 0.47 vs brute; floor set below
+    // observed so it trips only on regressions
+    assert(recall >= 0.3, s"PQ recall@3 vs brute = $recall")
+    // the SQ8 parent at the same top-3 cut must stay at least as good —
+    // PQ is the coarser quantizer by construction on this fixture
+    val sq8 = SimilarityQueries.q117KnnSq8(spark, sfDir01).collect()
+      .filter(_.getLong(4) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8Recall = sq8.intersect(truth).size.toDouble / truth.size
+    assert(sq8Recall >= recall - 0.01,
+      s"SQ8 parent recall $sq8Recall fell below PQ $recall")
+  }
+
   test("q118 quantile rollup: estimates bracket independently computed exact ranks") {
     val out = AnalyticQueries.q118QuantileRollup(spark, sfDir).collect()
     assert(out.nonEmpty)
