@@ -188,6 +188,66 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(MediaCodec.decode(spliced) == (("jpeg", 1920L, 1080L)))
   }
 
+  test("JPEG entropy codec: flat blocks round-trip to the closed-form DC value") {
+    import graft.operators.JpegCodec
+    // 4 flat blocks covering both DIFF signs (values straddling 128) and
+    // odd/even level-shift parities — the closed form 2·trunc((v−128)/2)+128
+    // must come back EXACTLY through FDCT→quantize→Huffman→IDCT
+    val vals = Array(Array(0, 255), Array(127, 128)) // (by)(bx)
+    val jpeg = JpegCodec.encode(16, 16, (x, y) => vals(y / 8)(x / 8))
+    val Some((w, h, px)) = JpegCodec.decode(jpeg)
+    assert((w, h) == ((16, 16)))
+    def expect(v: Int): Int = 2 * ((v - 128) / 2) + 128 // Scala / truncates
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(px(y * 16 + x) == expect(vals(y / 8)(x / 8)), s"($x,$y)")
+  }
+
+  test("JPEG entropy codec: general images round-trip within quantization error") {
+    import graft.operators.JpegCodec
+    var sawStuffing = false
+    for (seed <- 0 until 8) {
+      val w = 24; val h = 16
+      def pixel(x: Int, y: Int): Int = ((x * 29 + y * 53 + seed * 97) % 256)
+      val jpeg = JpegCodec.encode(w, h, pixel)
+      // locate the scan (after SOS) and check for stuffed 0xFF 0x00 pairs —
+      // proof the decoder's un-stuffing path actually runs on this corpus
+      val scan = jpeg.indexOfSlice(Array(0xFF.toByte, 0xDA.toByte))
+      assert(scan > 0)
+      if (jpeg.drop(scan + 2).sliding(2).exists(p =>
+          p.length == 2 && p(0) == 0xFF.toByte && p(1) == 0x00.toByte))
+        sawStuffing = true
+      val Some((dw, dh, px)) = JpegCodec.decode(jpeg)
+      assert((dw, dh) == ((w, h)))
+      // high-frequency stripes under the Annex K table: bounded loss, not
+      // garbage — a Huffman/bit/zig-zag/DC-prediction bug explodes this
+      val errs = for (y <- 0 until h; x <- 0 until w)
+        yield math.abs(px(y * w + x) - pixel(x, y))
+      assert(errs.max <= 120, s"seed $seed max err ${errs.max}")
+      assert(errs.sum.toDouble / errs.size <= 30.0,
+        s"seed $seed mean err ${errs.sum.toDouble / errs.size}")
+    }
+    assert(sawStuffing, "fixture set must exercise 0xFF byte stuffing")
+  }
+
+  test("JPEG entropy codec: non-block-aligned edges replicate and round-trip") {
+    import graft.operators.JpegCodec
+    val Some((w, h, px)) = JpegCodec.decode(JpegCodec.encode(13, 9, (_, _) => 200))
+    assert((w, h) == ((13, 9)) && px.length == 13 * 9)
+    assert(px.forall(_ == 2 * ((200 - 128) / 2) + 128))
+  }
+
+  test("JPEG entropy codec degrades to None on garbage, truncation, and progressive") {
+    import graft.operators.JpegCodec
+    assert(JpegCodec.decode("not a jpeg".getBytes).isEmpty)
+    val good = JpegCodec.encode(16, 16, (x, y) => (x * y) % 256)
+    assert(JpegCodec.decode(good.take(good.length / 2)).isEmpty ||
+      JpegCodec.decode(good.take(good.length / 2)).isEmpty) // truncated scan
+    // flip SOF0 to SOF2 (progressive): unsupported shape must be refused
+    val sof = good.indexOfSlice(Array(0xFF.toByte, 0xC0.toByte))
+    val prog = good.clone(); prog(sof + 1) = 0xC2.toByte
+    assert(JpegCodec.decode(prog).isEmpty)
+  }
+
   test("PGM codec: round-trip, comment handling, and exact nearest-neighbour resize") {
     import graft.operators.PgmCodec
     val pgm = PgmCodec.encode(6, 4, (x, y) => x * 10 + y)
