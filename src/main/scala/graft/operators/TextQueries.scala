@@ -759,7 +759,61 @@ object TextQueries extends QueryModule {
     bpeTrain(Tables.load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t")), rounds = 2)
 
+  /** q186 — SEQUENCE PACKING: assign documents to fixed-capacity training
+    * sequences (cap = 256 whitespace tokens) by the greedy
+    * close-when-overflow scan every LLM data pipeline runs before writing
+    * training shards, then account padding efficiency per shard — the
+    * number that decides how much compute a pack wastes. Packing is
+    * SHARD-LOCAL by design (shard = doc_id % 8): real pipelines pack per
+    * output shard so the operator parallelizes perfectly — one exchange
+    * clustering docs by shard, a partition-local (shard, doc_id)-ordered
+    * sort, and ONE sequential scan per shard (the same
+    * sortWithinPartitions + mapPartitions shape as q167's pre-prune; state
+    * is two integers). Oversize docs (> cap) keep their own sequence with
+    * the overflow recorded, not silently truncated. Output: per shard,
+    * sequence/doc/token counts, padding tokens Σ max(0, cap − fill), and
+    * the oversize-sequence count. The DuckDB oracle replays the greedy
+    * scan as a recursive CTE stepping all shards in parallel — an
+    * order-dependent reset scan has no closed window form, which is
+    * exactly why the engine runs it as a partition-local fold. */
+  val q186SeqPacking: Q = (s, dir) => {
+    import s.implicits._
+    val cap = 256
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard", col("doc_id") % 8)
+    val packed = docs
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .select(col("shard"), col("doc_id"), col("n_tokens"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var seqIdx = 0L
+        var seqTokens = 0L
+        it.map { case (shard, docId, n) =>
+          if (shard != curShard) { curShard = shard; seqIdx = 1L; seqTokens = n }
+          else if (seqTokens + n > cap) { seqIdx += 1; seqTokens = n }
+          else seqTokens += n
+          (shard, seqIdx, docId, n)
+        }
+      }
+      .toDF("shard", "seq_idx", "doc_id", "n_tokens")
+    packed
+      .groupBy(col("shard"), col("seq_idx"))
+      .agg(count(lit(1)).as("docs_in_seq"), sum(col("n_tokens")).as("fill"))
+      .groupBy(col("shard"))
+      .agg(max(col("seq_idx")).as("n_seqs"),
+        sum(col("docs_in_seq")).as("n_docs"),
+        sum(col("fill")).as("total_tokens"),
+        sum(greatest(lit(0L), lit(cap.toLong) - col("fill"))).as("padding_tokens"),
+        sum(when(col("fill") > cap, 1L).otherwise(0L)).as("oversize_seqs"))
+      .orderBy(col("shard"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q186_seq_packing" -> q186SeqPacking,
     "q169_bpe_merges" -> q169BpeMerges,
     "q168_postings_query" -> q168PostingsQuery,
     "q166_postings" -> q166Postings,
@@ -957,6 +1011,37 @@ object TextQueries extends QueryModule {
           // count(*) AS BIGINT) AS novelty_ppm
       FROM gs JOIN spread s ON gs.g = s.g
       GROUP BY gs.source ORDER BY gs.source""",
+    // greedy close-when-overflow packing replayed as a recursive CTE that
+    // steps every shard's doc list in parallel, one doc per iteration
+    "q186_seq_packing" -> """
+      WITH RECURSIVE t AS (
+        SELECT doc_id % 8 AS shard, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        FROM documents),
+      pack AS (
+        SELECT shard, rn, doc_id, n_tokens,
+          CAST(1 AS BIGINT) AS seq_idx, n_tokens AS fill
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+          CASE WHEN p.fill + t.n_tokens > 256 THEN p.seq_idx + 1
+               ELSE p.seq_idx END,
+          CASE WHEN p.fill + t.n_tokens > 256 THEN t.n_tokens
+               ELSE p.fill + t.n_tokens END
+        FROM pack p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1),
+      seqs AS (
+        SELECT shard, seq_idx, count(*) AS docs_in_seq,
+          sum(n_tokens) AS fill
+        FROM pack GROUP BY shard, seq_idx)
+      SELECT shard, CAST(max(seq_idx) AS BIGINT) AS n_seqs,
+        CAST(sum(docs_in_seq) AS BIGINT) AS n_docs,
+        CAST(sum(fill) AS BIGINT) AS total_tokens,
+        CAST(sum(CASE WHEN fill < 256 THEN 256 - fill ELSE 0 END) AS BIGINT)
+          AS padding_tokens,
+        CAST(sum(CASE WHEN fill > 256 THEN 1 ELSE 0 END) AS BIGINT)
+          AS oversize_seqs
+      FROM seqs GROUP BY shard ORDER BY shard""",
     "q106_chunking" -> """
       WITH w AS (
         SELECT source, CAST(doc_id AS BIGINT) AS doc_id,

@@ -9,6 +9,36 @@ import org.apache.spark.sql.functions._
   * posture (broadcast bench side) is asserted on the physical plan. */
 class TextSpec extends SparkSpec {
 
+  test("q186 packing equals a sequential greedy reference regardless of partitioning") {
+    // independent reference: greedy close-when-overflow per shard in
+    // doc_id order — q186 must reproduce it even though Spark scatters the
+    // docs across partitions before the shard-clustered scan; covers
+    // oversize docs (own sequence, overflow recorded) and shard isolation
+    val cap = 256
+    val docs = graft.engine.Tables.load(spark, sfDir01, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expect = docs.groupBy(_._1 % 8).map { case (shard, ds) =>
+      var seqs = List.empty[(Long, Long)] // (fill, docs)
+      ds.sortBy(_._1).foreach { case (_, n) =>
+        seqs match {
+          case (fill, k) :: rest if fill + n <= cap => seqs = (fill + n, k + 1) :: rest
+          case _ => seqs = (n, 1L) :: seqs
+        }
+      }
+      shard -> (seqs.size.toLong, ds.size.toLong, ds.map(_._2).sum,
+        seqs.map(s => math.max(0L, cap - s._1)).sum,
+        seqs.count(_._1 > cap).toLong)
+    }
+    val got = graft.operators.TextQueries.q186SeqPacking(spark, sfDir01)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == expect, s"packing mismatch: $got vs $expect")
+    assert(got.nonEmpty && got.values.exists(_._4 > 0), "padding must be observable")
+  }
+
   test("BPE round: greedy left-to-right non-overlap on self-pair chains") {
     import spark.implicits._
     // 5×'a': pairs (a,a)=4 beat (b,c)=2; greedy merges offsets 0 and 2 of
