@@ -11,7 +11,8 @@ object GraftFunctions {
     "simhash64" -> (es => SimHash64(es(0))),
     "minhash_sig" -> (es => MinHashSig(es(0), es(1))),
     "chargram_minhash" -> (es => ChargramMinHash(es(0), es(1), es(2))),
-    "hamming_str" -> (es => HammingStr(es(0), es(1))))
+    "hamming_str" -> (es => HammingStr(es(0), es(1))),
+    "md5_hi60" -> (es => Md5Hi60(es(0))))
 
   /** Idempotent per-session registration; queries call this so they work on
     * any SparkSession, extension-injected or not. */
@@ -46,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hamming_str"),
       new ExpressionInfo(classOf[HammingStr].getName, "hamming_str"),
       (es: Seq[Expression]) => HammingStr(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("md5_hi60"),
+      new ExpressionInfo(classOf[Md5Hi60].getName, "md5_hi60"),
+      (es: Seq[Expression]) => Md5Hi60(es(0))))
     // whole-operator tier: plan AsOfJoinPlan nodes (graft.plans.AsOf) —
     // injection here makes the operator available on any session built with
     // this extension class; AsOf.ensureStrategy stays as the idempotent

@@ -227,9 +227,11 @@ object DedupQueries extends QueryModule {
     // 60 bits of its md5 (both engines agree bit-for-bit) and feeds
     // simhash64's array<bigint> branch; the default path lets simhash64
     // hash the strings inline with XXH64 (no md5/conv allocation).
+    // md5_hi60 = the native form of transform(sh, x ->
+    // cast(conv(substring(md5(x),1,15),16,10) as bigint)) — spec-pinned
+    // equal; digest → long directly, no hex string / conv parse per element
     val fexpr =
-      if (portableHash)
-        "simhash64(transform(sh, x -> cast(conv(substring(md5(x),1,15), 16, 10) as bigint)))"
+      if (portableHash) "simhash64(md5_hi60(sh))"
       else "simhash64(sh)"
     val simhash = sh.select(col("doc_id"), expr(fexpr).as("f"))
     val chunkCols = (0 until nChunks).map { c =>

@@ -57,6 +57,24 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq == cases.map(simhashRef))
   }
 
+  test("md5_hi60 equals the conv(substring(md5)) SQL formulation, nulls preserved") {
+    graft.functions.GraftFunctions.register(spark)
+    // corpus shingles + crafted edge strings (empty, unicode, null element)
+    val sh = graft.engine.Tables.load(spark, sfDir, "documents")
+      .selectExpr("array_distinct(split(text, ' ')) AS a")
+      .limit(50)
+      .union(spark.sql(
+        "SELECT array('', 'a', 'ü£', cast(null as string), repeat('x', 500)) AS a"))
+    val rows = sh.selectExpr(
+        "md5_hi60(a) AS fast",
+        "transform(a, x -> cast(conv(substring(md5(x),1,15), 16, 10) as bigint)) AS slow")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+        s"mismatch: ${r.getSeq[Any](0)} vs ${r.getSeq[Any](1)}") }
+    assert(rows.exists(_.getSeq[Any](0).contains(null)), "null element preserved")
+  }
+
   test("simhash64 equals the explode + 64-vote-aggregate formulation on documents") {
     graft.functions.GraftFunctions.register(spark)
     val sh = graft.engine.Tables.load(spark, sfDir, "documents")
