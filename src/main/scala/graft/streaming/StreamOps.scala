@@ -30,6 +30,15 @@ case class LastClick(c_ts: Long, click_id: Long)
 case class AsofHit(event_id: Long, user_id: Long,
     click_id: Option[Long], gap_us: Option[Long])
 
+/** One incoming document for the streaming packer. */
+case class PackDoc(shard: Long, doc_id: Long, n_tokens: Long)
+
+/** Streaming packing state: the open sequence per shard — TWO integers. */
+case class PackState(seq_idx: Long, fill: Long)
+
+/** One doc→sequence assignment, emitted exactly once (Append mode). */
+case class PackAssign(shard: Long, seq_idx: Long, doc_id: Long, n_tokens: Long)
+
 /** Structured Streaming operators (SURVEY.md §2.7: absent from the reference,
   * declared engine-first).
   *
@@ -431,6 +440,40 @@ object StreamOps {
             }
           }
           last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming twin of q186's shard-local greedy sequence packing — the
+    * CONTINUOUS shard writer: as documents arrive they append to their
+    * shard's open training sequence, closing it when the next doc would
+    * overflow the 256-token cap. State is [[PackState]] — two integers per
+    * shard, forever — and each doc's (shard, seq_idx) assignment emits
+    * exactly once in Append mode, so a downstream partitioned sink lays
+    * out the same sequences the batch pass would. In-order contract as
+    * [[sessionizeStream]]: each batch's group is sorted by doc_id; across
+    * batches the caller feeds shard-writer order. Spec pins stream ==
+    * batch q186 per-shard stats across micro-batch boundaries, oversize
+    * docs included. */
+  def packingStream(docs: Dataset[PackDoc], cap: Long = 256L): Dataset[PackAssign] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, PackAssign](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Long, it: Iterator[PackDoc], state: GroupState[PackState]) =>
+          val sorted = it.toIndexedSeq.sortBy(_.doc_id)
+          val out = Seq.newBuilder[PackAssign]
+          var st = state.getOption
+          for (d <- sorted) {
+            st = st match {
+              case Some(s) if s.fill + d.n_tokens <= cap =>
+                Some(PackState(s.seq_idx, s.fill + d.n_tokens))
+              case Some(s) => Some(PackState(s.seq_idx + 1, d.n_tokens))
+              case None => Some(PackState(1L, d.n_tokens))
+            }
+            out += PackAssign(shard, st.get.seq_idx, d.doc_id, d.n_tokens)
+          }
+          st.foreach(state.update)
           out.result().iterator
       }
   }

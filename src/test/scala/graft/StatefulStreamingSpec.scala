@@ -681,4 +681,41 @@ class StatefulStreamingSpec extends SparkSpec {
       "fixture must exercise both matched and null-extended errors")
     graft.engine.Sessions.releasePinned(spark)
   }
+
+  test("streaming sequence packing equals batch q186 across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the fixture corpus as PackDoc rows in shard-writer (doc_id) order,
+    // split into 3 batches so open sequences cross batch boundaries with
+    // partial fill carried in state
+    val docs = graft.engine.Tables.load(spark, sfDir01, "documents")
+      .select((col("doc_id") % 8).as("shard"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[graft.streaming.PackDoc].collect().toSeq.sortBy(_.doc_id)
+    val parts = docs.grouped((docs.size + 2) / 3).toSeq
+    val stream = MemoryStream[graft.streaming.PackDoc]
+    val q = StreamOps.packingStream(stream.toDS())
+      .writeStream.format("memory").queryName("packing")
+      .outputMode("append").start()
+    parts.foreach { p => stream.addData(p); q.processAllAvailable() }
+    q.stop()
+    val assigns = spark.table("packing")
+    // every doc assigned exactly once
+    assert(assigns.count() == docs.size)
+    // rolled up to per-shard stats, the stream must equal the batch query
+    val got = assigns
+      .groupBy(col("shard"), col("seq_idx"))
+      .agg(count(lit(1)).as("docs_in_seq"), sum(col("n_tokens")).as("fill"))
+      .groupBy(col("shard"))
+      .agg(max(col("seq_idx")).as("n_seqs"),
+        sum(col("docs_in_seq")).as("n_docs"),
+        sum(col("fill")).as("total_tokens"),
+        sum(greatest(lit(0L), lit(256L) - col("fill"))).as("padding_tokens"),
+        sum(when(col("fill") > 256, 1L).otherwise(0L)).as("oversize_seqs"))
+      .collect().map(_.toSeq).toSet
+    val want = graft.operators.TextQueries.q186SeqPacking(spark, sfDir01)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    graft.engine.Sessions.releasePinned(spark)
+  }
 }
