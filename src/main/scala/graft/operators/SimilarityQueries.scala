@@ -835,6 +835,89 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** q187 — IVF × PQ COMPOSED, RESIDUAL-CODED (FAISS's `IVFPQ`, the
+    * production vector-index default): the coarse quantizer (q57's
+    * per-label centroids) routes each query to its 2 nearest cells, and
+    * within cells vectors are ranked by PQ codes of their RESIDUAL
+    * x − centroid[cell] — residual coding is what separates IVFPQ from
+    * q184's flat PQ: residual magnitudes are much smaller than raw
+    * vectors, so the same codebook budget spends its resolution where the
+    * cell didn't already explain the data. One global residual codebook
+    * (FAISS default), trained with the q184 machinery (2 grouped Lloyd
+    * steps, deterministic seeds); each probed (query, cell) pair gets its
+    * OWN ADC lookup table from the query's residual against that cell —
+    * candidates score by M map lookups, top-16 union across probed cells,
+    * exact cosine rerank to top-3. All integer BIGINT throughout, so the
+    * triple composition — coarse probe × residual codebook × ADC — replays
+    * bit-identically in DuckDB. Scale shape: codes + cell labels are the
+    * only corpus-side candidate state (stored columns at 100 TB, like the
+    * IVF index + SQ8 columns); LUTs broadcast at queries × cells × m × k
+    * rows; the only exchange is the per-query top-k. */
+  val q187KnnIvfPq: Q = (s, dir) => {
+    val M = 4
+    val K = 8
+    val w = 64 / M
+    val e = quantized(s, dir)
+    val cents = broadcast(ivfCentroids(e))
+    // corpus residuals against each vector's OWN cell centroid
+    val res = e.join(cents, col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"),
+        expr("zip_with(q, cvec, (a, b) -> a - b)").as("q"))
+    val book = pqCodebook(res.select(col("vec_id"), col("q")), M, K)
+    val rsv = pqParts(res.select(col("vec_id"), col("q")), M)
+    val codes = rsv
+      .join(broadcast(book.withColumn("bn2", expr("dot_long(cv, cv)"))), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        (col("bn2") - lit(2L) * expr("dot_long(sv, cv)")).as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(col("sub") * K + col("code"))).as("pks"))
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+    // coarse probe: top-2 cells by exact centroid cosine (q123's block)
+    val q2 = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+    val assigned = broadcast(q2).join(cents)
+      .select(col("qid"), col("qq"), col("clabel"), col("cvec"),
+        (expr("dot_long(qq, cvec)") /
+          (sqrt(col("qn2")) * sqrt(col("cn2")))).as("ccos"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("clabel"))
+    val probed = assigned.withColumn("r", row_number().over(wq))
+      .filter(col("r") <= 2)
+      .select(col("qid"), col("clabel"),
+        expr("zip_with(qq, cvec, (a, b) -> a - b)").as("qr"))
+    // per-(query, cell) ADC LUT from the query's residual in that cell
+    val qrsv = probed.select(col("qid"), col("clabel"), explode(expr(
+        s"transform(sequence(0, ${M - 1}), s -> struct(CAST(s AS BIGINT) AS sub, slice(qr, s * $w + 1, $w) AS sv))")).as("p"))
+      .select(col("qid"), col("clabel"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+    val lut = broadcast(qrsv.join(book, Seq("sub"))
+      .select(col("qid"), col("clabel"), (col("sub") * K + col("cid")).as("pk"),
+        expr("dot_long(sv, cv)").as("pd"))
+      .groupBy(col("qid"), col("clabel"))
+      .agg(map_from_entries(collect_list(struct(col("pk"), col("pd")))).as("lut")))
+    val approx = codes.join(lut, col("label") === col("clabel"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        expr("aggregate(pks, 0L, (a, p) -> a + lut[p])").as("approx"))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("cid"))
+    val cand = approx.withColumn("arnk", row_number().over(wa))
+      .filter(col("arnk") <= 16)
+      .select(col("qid"), col("cid"), col("approx"))
+    val full = e.select(col("vec_id"), col("q"), col("n2"))
+    val rer = cand
+      .join(broadcast(full.filter(col("vec_id") < 5))
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2")), "qid")
+      .join(full.select(col("vec_id").as("cid"), col("q").as("qc"),
+        col("n2").as("cn2")), "cid")
+      .select(col("qid"), col("cid"), col("approx"),
+        (dotExpr / (sqrt(col("qn2")) * sqrt(col("cn2")))).as("cos"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    rer.select(col("qid"), col("cid"), col("approx"), col("cos"),
+        row_number().over(wr).cast("long").as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** q126 — exact GRAM MATRIX of the embedding corpus (X^T·X over the
     * integer-millionth components): the linear-algebra primitive under
     * covariance, PCA, and whitening — the preprocessing a production
@@ -889,6 +972,7 @@ object SimilarityQueries extends QueryModule {
   def queries: Map[String, Q] = Map(
     "q144_centroid_similarity" -> q144CentroidSimilarity,
     "q117_knn_sq8" -> q117KnnSq8,
+    "q187_knn_ivf_pq" -> q187KnnIvfPq,
     "q184_knn_pq" -> q184KnnPq,
     "q123_knn_ivf_sq8" -> q123KnnIvfSq8,
     "q126_gram_matrix" -> q126GramMatrix,
@@ -967,6 +1051,81 @@ object SimilarityQueries extends QueryModule {
           ON s.sub = m.sub AND s.cid = m.cid)"""
 
   def oracles: Map[String, String] = Map(
+    // the full IVFPQ replay: per-label coarse centroids, corpus residuals,
+    // 2 grouped Lloyd steps on residual subvectors, residual coding,
+    // per-(query, cell) LUTs, ADC over probed cells, exact rerank
+    "q187_knn_ivf_pq" -> s"""
+      WITH $duckQuant,
+      comp AS (
+        SELECT label, pos, CAST(floor(avg(v)) AS BIGINT) AS cv
+        FROM (SELECT label, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v
+              FROM n)
+        GROUP BY label, pos),
+      centn AS (
+        SELECT CAST(label AS BIGINT) AS clabel, list(cv ORDER BY pos) AS cvec,
+          CAST(list_sum([c2 * c2 for c2 in list(cv ORDER BY pos)]) AS BIGINT)
+            AS cn2
+        FROM comp GROUP BY label),
+      res AS (
+        SELECT v.vec_id, CAST(v.label AS BIGINT) AS label,
+          [v.qv[k] - c.cvec[k] for k in range(1, 65)] AS rv
+        FROM n v JOIN centn c ON CAST(v.label AS BIGINT) = c.clabel),
+      sv AS (
+        SELECT vec_id, CAST(s AS BIGINT) AS sub, rv[s*16+1 : s*16+16] AS sv
+        FROM res, range(0, 4) r(s)),
+      seed AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 8),
+      ${duckPqLloyd(1, "seed")},
+      ${duckPqLloyd(2, "pb1")},
+      dc AS (
+        SELECT v.vec_id, v.sub, c.cid,
+          CAST(list_sum([c.cv[k] * c.cv[k] for k in range(1, 17)]) AS BIGINT)
+            - 2 * CAST(list_sum([v.sv[k] * c.cv[k] for k in range(1, 17)]) AS BIGINT) AS d2
+        FROM sv v JOIN pb2 c ON v.sub = c.sub),
+      codes AS (
+        SELECT vec_id, sub, cid AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS r
+          FROM dc) WHERE r = 1),
+      qasg AS (
+        SELECT a.vec_id AS qid, c.clabel, c.cvec,
+          CAST(list_sum([a.qv[k] * c.cvec[k] for k in range(1, 65)]) AS BIGINT)
+            / (sqrt(a.n2) * sqrt(c.cn2)) AS ccos
+        FROM n a JOIN centn c ON a.vec_id < 5),
+      probed AS (
+        SELECT qid, clabel, cvec FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, clabel) AS r
+          FROM qasg) WHERE r <= 2),
+      qres AS (
+        SELECT p.qid, p.clabel, [a.qv[k] - p.cvec[k] for k in range(1, 65)] AS qr
+        FROM probed p JOIN n a ON a.vec_id = p.qid),
+      qsv AS (
+        SELECT qid, clabel, CAST(s AS BIGINT) AS sub, qr[s*16+1 : s*16+16] AS sv
+        FROM qres, range(0, 4) r(s)),
+      lut AS (
+        SELECT q2.qid, q2.clabel, c.sub, c.cid AS code,
+          CAST(list_sum([q2.sv[k] * c.cv[k] for k in range(1, 17)]) AS BIGINT) AS pd
+        FROM qsv q2 JOIN pb2 c ON q2.sub = c.sub),
+      ap AS (
+        SELECT l.qid, x.vec_id AS cid, CAST(sum(l.pd) AS BIGINT) AS approx
+        FROM codes x
+        JOIN res rr ON rr.vec_id = x.vec_id
+        JOIN lut l ON l.clabel = rr.label AND x.sub = l.sub AND x.code = l.code
+        WHERE l.qid <> x.vec_id
+        GROUP BY 1, 2),
+      cand AS (
+        SELECT qid, cid, approx FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS arnk
+          FROM ap) WHERE arnk <= 16),
+      rer AS (
+        SELECT c.qid, c.cid, c.approx,
+          CAST(list_sum([a.qv[k] * b.qv[k] for k in range(1, 65)]) AS BIGINT)
+            / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+        FROM cand c JOIN n a ON a.vec_id = c.qid JOIN n b ON b.vec_id = c.cid),
+      ranked AS (
+        SELECT qid, cid, approx, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM rer)
+      SELECT qid, cid, approx, cos, rnk FROM ranked WHERE rnk <= 3
+      ORDER BY qid, rnk""",
     // full PQ replay: subspace split, 2 grouped Lloyd steps, coding, LUT,
     // ADC scoring, exact rerank — every stage exact BIGINT like the engine
     "q184_knn_pq" -> s"""

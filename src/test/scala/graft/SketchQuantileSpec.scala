@@ -81,6 +81,29 @@ class SketchQuantileSpec extends SparkSpec {
       s"SQ8 parent recall $sq8Recall fell below PQ $recall")
   }
 
+  test("q187 IVFPQ: residual-coded composition keeps the parents' recall band") {
+    val truth = SimilarityQueries.q55KnnBrute(spark, sfDir01).collect()
+      .filter(_.getLong(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = SimilarityQueries.q187KnnIvfPq(spark, sfDir01).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.groupBy(_.getLong(0)).keySet == Set(0L, 1L, 2L, 3L, 4L))
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(4)).sorted.toSeq == Seq(1L, 2L, 3L))
+      val cs = rs.sortBy(_.getLong(4)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    // the ceiling is the 2-cell coarse probe (weakly clustered fixture —
+    // q123's acknowledged property); the law is that residual-PQ candidate
+    // selection costs at most a sliver against the same-probe IVF parent
+    val ivf = SimilarityQueries.q75KnnIvfMultiprobe(spark, sfDir01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfRecall = ivf.intersect(truth).size.toDouble / truth.size
+    assert(recall >= ivfRecall - 0.15,
+      s"IVFPQ recall@3 = $recall vs parent IVF $ivfRecall")
+    assert(recall >= 0.15, s"absolute floor: $recall")
+  }
+
   test("q118 quantile rollup: estimates bracket independently computed exact ranks") {
     val out = AnalyticQueries.q118QuantileRollup(spark, sfDir).collect()
     assert(out.nonEmpty)
