@@ -833,12 +833,14 @@ object JpegCodec {
   * spec-conformant PNG / JPEG containers (see [[MediaCodec]]) and the
   * operator detects the format and parses dimensions from the headers —
   * magic bytes, chunk CRCs, marker walking — not from metadata riding
-  * alongside. What stays out of scope is pixel decode (no codec libs in
-  * this container); at scale that is a JNI call inside the same
-  * mapPartitions batch, changing no plan shape. Payloads travel as parquet
-  * `binary`, extraction runs once per partition with zero driver
-  * involvement, and the feature schema is a typed case class so downstream
-  * ops are columnar again.
+  * alongside. Pixel decode is IN-ENGINE for every shipped format — PNG
+  * (Inflater + §9 defilter, q101), PGM (q77), PCM/WAV samples (q172), and
+  * baseline JPEG through the real Huffman entropy scan ([[JpegCodec]],
+  * q185) — all library-free; an exotic codec at scale is a JNI call inside
+  * the same mapPartitions batch, changing no plan shape. Payloads travel
+  * as parquet `binary`, extraction runs once per partition with zero
+  * driver involvement, and the feature schema is a typed case class so
+  * downstream ops are columnar again.
   */
 object MultimodalQueries extends QueryModule {
 
