@@ -765,11 +765,12 @@ object TextQueries extends QueryModule {
     * training shards, then account padding efficiency per shard — the
     * number that decides how much compute a pack wastes. Packing is
     * SHARD-LOCAL by design (shard = doc_id % 8): real pipelines pack per
-    * output shard so the operator parallelizes perfectly — one exchange
-    * clustering docs by shard, a partition-local (shard, doc_id)-ordered
-    * sort, and ONE sequential scan per shard (the same
-    * sortWithinPartitions + mapPartitions shape as q167's pre-prune; state
-    * is two integers). Oversize docs (> cap) keep their own sequence with
+    * output shard so the operator parallelizes perfectly — the doc volume
+    * shuffles ONCE (the shard-clustering exchange), then a partition-local
+    * (shard, doc_id)-ordered sort and one sequential scan per shard (the
+    * sortWithinPartitions + mapPartitions shape of q167's pre-prune; state
+    * is two integers); the only other exchange is the sequence-sized
+    * rollup, whose partial aggregation collapses map-side first. Oversize docs (> cap) keep their own sequence with
     * the overflow recorded, not silently truncated. Output: per shard,
     * sequence/doc/token counts, padding tokens Σ max(0, cap − fill), and
     * the oversize-sequence count. The DuckDB oracle replays the greedy

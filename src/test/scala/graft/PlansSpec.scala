@@ -210,6 +210,28 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("q184/q186/q187 keep scale-safe shapes: no cartesian, packing shuffles once") {
+    // the PQ family's only non-equi joins are broadcast LUT attachments
+    val p184 = planString(graft.operators.SimilarityQueries.q184KnnPq(spark, sfDir))
+    assert(!p184.contains("CartesianProduct"), "PQ must never plan a cartesian")
+    val p187 = planString(graft.operators.SimilarityQueries.q187KnnIvfPq(spark, sfDir))
+    assert(!p187.contains("CartesianProduct"), "IVFPQ must never plan a cartesian")
+    // packing: the DOC-VOLUME data shuffles exactly once (the shard
+    // clustering); the two later hash exchanges are the sequence-sized and
+    // shard-sized rollups, whose partial aggregations collapse map-side to
+    // one row per group before anything moves
+    val p186 = planString(graft.operators.TextQueries.q186SeqPacking(spark, sfDir))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p186).size
+    assert(hashEx == 3,
+      s"packing = one doc exchange + two group-sized rollups, saw $hashEx:\n" +
+        p186.take(1500))
+    // planString renders the plan twice (toString + formatted), so the one
+    // REPARTITION_BY_COL exchange appears exactly twice
+    assert("REPARTITION_BY_COL".r.findAllIn(p186).size == 2,
+      "exactly one doc-volume shard-clustering exchange")
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("q79 deletion-blocked fuzzy join is equi-join-shaped end to end") {
     // full-table fuzzy join: candidates come from an equi-join on the
     // hashed deletion variant, never a cartesian/BNL over the entity table
