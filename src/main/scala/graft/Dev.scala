@@ -198,6 +198,41 @@ object Dev {
           }
         }
       spark.stop()
+    } else if (name == "intervalbcast") {
+      // merge vs broadcast exec on the SAME keyed interval query (q174's
+      // sessions): the q164 methodology — shuffle-byte delta of shipping
+      // the window side whole vs clustering both sides
+      import org.apache.spark.sql.functions._
+      val metrics = graft.engine.MetricsListener.install(spark)
+      // clustered = sessions straight off the per-user window (already
+      // hash-clustered on the key: merge adds NO exchange, only sorts);
+      // scattered = the same frames PERSISTED AND RE-READ round-robin —
+      // the 100-TB case where interval inputs come off storage unaligned
+      for (scattered <- Seq(false, true); bcast <- Seq(false, true)) {
+        (1 to reps).foreach { i =>
+          graft.engine.Sessions.releasePinned(spark)
+          def side(pfx: String) = {
+            val df = graft.operators.JoinQueries.typedSessionsProbe(spark, sfDir, pfx)
+            if (scattered) {
+              val path = s"/tmp/graft_ivb_$pfx"
+              df.write.mode("overwrite").parquet(path)
+              spark.read.parquet(path)
+            } else df
+          }
+          val a = side("a"); val b = side("b")
+          graft.engine.MetricsListener.drain(spark); metrics.reset()
+          val t0 = System.nanoTime()
+          val n = graft.plans.IntervalJoin.join(a, b, Seq("a_user" -> "b_user"),
+              "a_start", "a_end", "b_start", "b_end", "inner", broadcast = bcast)
+            .count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.engine.MetricsListener.drain(spark)
+          val m = metrics.snapshot
+          println(f"[dev] scattered=$scattered bcast=$bcast rep$i: $dt%.2fs pairs=$n " +
+            s"shuffleRead=${m.shuffleReadBytes} shuffleWrite=${m.shuffleWriteBytes}")
+        }
+      }
+      spark.stop()
     } else if (name == "q135prof") {
       // stage timings for the containment pipeline
       import org.apache.spark.sql.functions._

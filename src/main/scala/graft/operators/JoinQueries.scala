@@ -747,6 +747,13 @@ object JoinQueries extends QueryModule {
   /** Per-user activity runs for a subset of event types: hour-gap
     * sessionization (split at gap > 3600 s) with the end padded to the
     * run's gap horizon — the interval form q174/q175 join on. */
+  /** Dev-probe access to the two session interval frames (a = browse,
+    * b = transact) for the merge-vs-broadcast byte measurement. */
+  private[graft] def typedSessionsProbe(s: org.apache.spark.sql.SparkSession,
+      dir: String, pfx: String): org.apache.spark.sql.DataFrame =
+    typedSessions(s, dir,
+      if (pfx == "a") Seq("click", "view") else Seq("purchase", "error"), pfx)
+
   private def typedSessions(s: org.apache.spark.sql.SparkSession, dir: String,
       types: Seq[String], pfx: String): org.apache.spark.sql.DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
