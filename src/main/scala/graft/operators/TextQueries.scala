@@ -813,7 +813,39 @@ object TextQueries extends QueryModule {
       .orderBy(col("shard"))
   }
 
+  /** q188 — DETERMINISTIC EPOCH SHUFFLE: the per-epoch corpus reshuffle
+    * every trainer runs between passes, as a pure HASH-RANGE reshard — no
+    * global sort, no random state: each (epoch, doc) gets the portable
+    * md5-top-60-bit key of "epoch:doc_id" (the q52/md5_hi60 hash both
+    * engines compute identically), and the key's top bits ARE the shard
+    * (k div 2⁵⁵ → 32 hash-range shards). Different epochs scatter docs into
+    * different shard/neighbour sets — the decorrelation epoch shuffling
+    * exists for — while every assignment is reproducible from (epoch,
+    * doc_id) alone, which is how production pipelines make training order
+    * restartable. One map-side key computation + one bounded (epoch ×
+    * shard) aggregation; nothing is ranked or sorted, so the plan is the
+    * same at 100 TB. Output per (epoch, shard): doc/token counts, id
+    * checksum, and a mod-sum of the keys (pins the exact membership
+    * without shipping 60-bit sums past BIGINT). */
+  val q188EpochShuffle: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    docs.crossJoin(broadcast(s.range(0, 3).select(col("id").as("epoch"))))
+      .withColumn("k", expr(
+        "element_at(md5_hi60(array(concat(cast(epoch AS string), ':', cast(doc_id AS string)))), 1)"))
+      .withColumn("shard", expr("k div 36028797018963968")) // 2^55: 32 range shards
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("k") % 1000000007L).as("key_mod_sum"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q188_epoch_shuffle" -> q188EpochShuffle,
     "q186_seq_packing" -> q186SeqPacking,
     "q169_bpe_merges" -> q169BpeMerges,
     "q168_postings_query" -> q168PostingsQuery,
@@ -1012,6 +1044,21 @@ object TextQueries extends QueryModule {
           // count(*) AS BIGINT) AS novelty_ppm
       FROM gs JOIN spread s ON gs.g = s.g
       GROUP BY gs.source ORDER BY gs.source""",
+    // the portable md5 hash replayed per (epoch, doc); shard = key div 2^55
+    "q188_epoch_shuffle" -> """
+      WITH d AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      e AS (
+        SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, n_tokens,
+          ('0x' || substr(md5(epoch || ':' || doc_id), 1, 15))::BIGINT AS k
+        FROM d, range(0, 3) r(epoch))
+      SELECT epoch, k // 36028797018963968 AS shard,
+        count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        CAST(sum(k % 1000000007) AS BIGINT) AS key_mod_sum
+      FROM e GROUP BY 1, 2 ORDER BY epoch, shard""",
     // greedy close-when-overflow packing replayed as a recursive CTE that
     // steps every shard's doc list in parallel, one doc per iteration
     "q186_seq_packing" -> """

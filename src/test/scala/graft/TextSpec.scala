@@ -39,6 +39,26 @@ class TextSpec extends SparkSpec {
     assert(got.nonEmpty && got.values.exists(_._4 > 0), "padding must be observable")
   }
 
+  test("q188 epoch shuffle: reproducible, epochs decorrelate, shards cover the corpus") {
+    val out = graft.operators.TextQueries.q188EpochShuffle(spark, sfDir01).collect()
+    val again = graft.operators.TextQueries.q188EpochShuffle(spark, sfDir01).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "assignment must be a pure function of (epoch, doc_id)")
+    val byEpoch = out.groupBy(_.getLong(0))
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    // every epoch partitions the whole corpus (doc counts and id checksums
+    // sum to the same totals), but into DIFFERENT shard memberships —
+    // the key_mod_sum profile must not repeat across epochs
+    val nDocs = graft.engine.Tables.load(spark, sfDir01, "documents").count()
+    byEpoch.values.foreach { rows =>
+      assert(rows.map(_.getLong(2)).sum == nDocs)
+      assert(rows.map(_.getLong(1)).toSet.subsetOf((0L until 32L).toSet))
+    }
+    val profiles = byEpoch.values
+      .map(_.map(r => (r.getLong(1), r.getLong(5))).toSet).toSeq
+    assert(profiles.distinct.size == 3, "epochs must scatter docs differently")
+  }
+
   test("BPE round: greedy left-to-right non-overlap on self-pair chains") {
     import spark.implicits._
     // 5×'a': pairs (a,a)=4 beat (b,c)=2; greedy merges offsets 0 and 2 of
