@@ -1115,6 +1115,79 @@ object AnalyticQueries extends QueryModule {
     materialized
   }
 
+  /** q189 — WEIGHTED single-source shortest paths (multi-source Bellman–Ford)
+    * over the q128 co-purchase graph, edge cost = 1000000 div supp (strong
+    * co-purchase ties are cheap) — the distance primitive q152's BFS cannot
+    * answer once edges carry weights: the cheapest ≤4-edge path can use MORE
+    * hops than the hop-minimal one. Semantics are the textbook bounded
+    * Bellman–Ford: after round k, dist(v) = exact min cost over paths of
+    * ≤ k edges (well-defined, engine-portable — no convergence race).
+    *
+    * Scale shape: rounds relax FRONTIER-incident edges only (nodes whose
+    * distance improved last round), never the whole edge set — the delta
+    * optimization that makes distributed Bellman–Ford viable; provably equal
+    * to full relaxation (an improvement at round j propagates at round j+1,
+    * so every ≤k-edge path is realized by round k — law-tested vs a plain
+    * Scala full-relaxation reference in GraphCdcSpec). Each round is one
+    * frontier⋈edges join + one min-merge full-outer join on v; Pin
+    * discipline pins round N+1 and frees round N, O(1) storage at any
+    * depth. Costs are positive BIGINTs (floor div of positives — truncate
+    * == floor, the q170 sign-safety rule). Oracle: 4 unrolled MATERIALIZED
+    * relaxation layers, min over (carry, edge-extend) per layer. */
+  val q189Sssp: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
+      .select(col("a"), col("b"), expr("1000000L div supp").as("w"))
+    val (sym, symPin) = graft.engine.Pin.pin(
+      e.select(col("a").as("v"), col("b").as("u"), col("w"))
+        .union(e.select(col("b").as("v"), col("a").as("u"), col("w"))))
+    val (nodes, nodesPin) = graft.engine.Pin.pin(sym.select(col("v")).distinct())
+    val seeds = nodes.join(broadcast(Tables.load(s, dir, "part")
+        .filter(col("p_size") === 1).select(col("p_partkey"))),
+      col("v") === col("p_partkey")).select(col("v"))
+    val (out, distPin) = ssspRounds(sym, nodes, seeds, rounds = 4)
+    val materialized = out.cache()
+    materialized.count()
+    Seq(symPin, nodesPin, distPin).foreach(_.unpersist(blocking = false))
+    materialized
+  }
+
+  /** Frontier-relaxation Bellman–Ford core (spec-driven on crafted graphs,
+    * fixture-driven by q189). `sym` is the symmetric weighted edge list
+    * (v, u, w); returns every node of `nodes` with its exact min-cost path
+    * of ≤ `rounds` edges from `seeds` (−1 when unreached), plus the final
+    * pinned handle the caller frees after materializing. */
+  private[graft] def ssspRounds(sym: DataFrame, nodes: DataFrame,
+      seeds: DataFrame, rounds: Int)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val inf = Long.MaxValue
+    var (dist, distPin) = graft.engine.Pin.pin(
+      seeds.select(col("v"), lit(0L).as("d")))
+    var frontier = dist
+    (1 to rounds).foreach { _ =>
+      val cand = sym.as("e").join(frontier.as("f"), col("e.v") === col("f.v"))
+        .groupBy(col("e.u").as("v"))
+        .agg(min(col("f.d") + col("e.w")).as("nd"))
+      val merged = dist.join(cand, Seq("v"), "full_outer")
+        .select(col("v"),
+          least(coalesce(col("d"), lit(inf)), coalesce(col("nd"), lit(inf))).as("d"),
+          (coalesce(col("nd"), lit(inf)) < coalesce(col("d"), lit(inf))).as("improved"))
+      val (next, nextPin) = graft.engine.Pin.pin(merged)
+      distPin.unpersist(blocking = false)
+      dist = next.select(col("v"), col("d"))
+      distPin = nextPin
+      frontier = next.filter(col("improved")).select(col("v"), col("d"))
+    }
+    val out = nodes.join(dist, Seq("v"), "left")
+      .select(col("v"), coalesce(col("d"), lit(-1L)).as("dist"))
+      .orderBy(col("v"))
+    (out, distPin)
+  }
+
   /** q160 — EXACT WEIGHTED median/quartiles per group: the smallest price
     * whose cumulative quantity-weight reaches half (resp. ¼, ¾) of the
     * group total — "the price at which half the UNITS ship", which a
