@@ -4,6 +4,14 @@ package graft
   * robust to one-off GC/scheduler/ambient-load stalls); prints a single JSON
   * line for the driver.
   *
+  * The artifact carries BOTH the per-query minimum ("queries" — the
+  * cross-round comparable) and all three raw pass times ("passes") —
+  * ambient load is then diagnosable from the artifact alone: a genuine
+  * regression is slow in EVERY pass, a noisy-neighbour stall is one
+  * outlier pass against two quiet ones (r10's q79 burned judge time on
+  * exactly this adjudication; the min-of-3 already recorded the truth, but
+  * the evidence wasn't in the file).
+  *
   * A query that throws in either timed pass is reported as `null` timing and
   * listed under "failed" — a fast failure must never fold into the total as
   * a near-zero "win". */
@@ -81,6 +89,15 @@ object Bench {
       case (k, Left(_))  => s"\"" + k + "\":null"
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // every raw pass time per query, in pass order — the load-adjudication
+    // evidence (see scaladoc); a failed pass records null in its slot
+    val passesJson = ordered.map { case (name, _) =>
+      val arr = passes.map(_(name)).map {
+        case Right(v) => v.toString
+        case Left(_)  => "null"
+      }.mkString("[", ",", "]")
+      s""""$name":$arr"""
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     // per-query cost counters: deterministic (plan+data), so cross-round
     // regressions are attributable even when driver wall-clock is
@@ -96,7 +113,7 @@ object Bench {
       }
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passesJson,"metrics":$ms,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // also write the full timing map to a file: the driver's stdout capture
     // truncates long runs (r5/r6 both lost the head of the per-query map),

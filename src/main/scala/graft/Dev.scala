@@ -223,7 +223,7 @@ object Dev {
           graft.engine.MetricsListener.drain(spark); metrics.reset()
           val t0 = System.nanoTime()
           val n = graft.plans.IntervalJoin.join(a, b, Seq("a_user" -> "b_user"),
-              "a_start", "a_end", "b_start", "b_end", "inner", broadcast = bcast)
+              "a_start", "a_end", "b_start", "b_end", "inner", broadcast = Some(bcast))
             .count()
           val dt = (System.nanoTime() - t0) / 1e9
           graft.engine.MetricsListener.drain(spark)

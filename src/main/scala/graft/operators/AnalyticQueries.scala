@@ -1956,6 +1956,7 @@ object AnalyticQueries extends QueryModule {
     "q130_bootstrap_ci" -> q130BootstrapCi,
     "q128_label_propagation" -> q128LabelPropagation,
     "q152_bfs_hops" -> q152BfsHops,
+    "q189_sssp" -> q189Sssp,
     "q159_link_prediction" -> q159LinkPrediction,
     "q160_weighted_median" -> q160WeightedMedian,
     "q118_quantile_rollup" -> q118QuantileRollup,
@@ -2027,7 +2028,33 @@ object AnalyticQueries extends QueryModule {
         SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
         FROM v$n) WHERE rn = 1)"""
 
+  /** One unrolled Bellman–Ford relaxation layer as a CTE, `$from` → `d$n`:
+    * dist after layer n = min over (carry `$from`, one-edge extension) —
+    * FULL relaxation, which q189's frontier engine provably equals (an
+    * improvement at layer j propagates at j+1). */
+  private def duckSsspLayer(n: Int, from: String): String = s"""
+      d$n AS MATERIALIZED (SELECT v, min(d) AS d FROM (
+        SELECT v, d FROM $from UNION ALL
+        SELECT e.u, p.d + e.w FROM edges e JOIN $from p ON e.v = p.v)
+        GROUP BY v)"""
+
   def oracles: Map[String, String] = Map(
+    "q189_sssp" -> s"""
+      WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+      e0 AS (SELECT x.p a, y.p b, count(*) supp FROM li x JOIN li y
+        ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+      ew AS (SELECT a, b, 1000000 // supp AS w FROM e0 WHERE supp >= 2),
+      edges AS MATERIALIZED (
+        SELECT a v, b u, w FROM ew UNION ALL SELECT b v, a u, w FROM ew),
+      nodes AS MATERIALIZED (SELECT DISTINCT v FROM edges),
+      d0 AS MATERIALIZED (SELECT n.v, 0 AS d FROM nodes n
+        JOIN part p ON n.v = p.p_partkey WHERE p.p_size = 1),
+      ${duckSsspLayer(1, "d0")},
+      ${duckSsspLayer(2, "d1")},
+      ${duckSsspLayer(3, "d2")},
+      ${duckSsspLayer(4, "d3")}
+      SELECT n.v, CAST(coalesce(d4.d, -1) AS BIGINT) AS dist
+      FROM nodes n LEFT JOIN d4 ON n.v = d4.v ORDER BY n.v""",
     "q180_freshness" -> """
       WITH t AS (
         SELECT event_type, count(*) AS n_events,

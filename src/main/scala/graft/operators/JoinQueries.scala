@@ -721,7 +721,7 @@ object JoinQueries extends QueryModule {
     val sess = gapSessions(s, dir).withColumn("g", lit(0L))
     val camps = campaignWindows(s).withColumn("g", lit(0L))
     graft.plans.IntervalJoin.join(sess, camps, Seq("g" -> "g"),
-        "a_start", "a_end", "b_start", "b_end", "inner", broadcast = true)
+        "a_start", "a_end", "b_start", "b_end", "inner", broadcast = Some(true))
       .groupBy(col("camp"))
       .agg(count(lit(1)).as("n_sessions"),
         countDistinct(col("user_id")).as("n_users"),

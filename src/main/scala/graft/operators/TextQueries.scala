@@ -709,12 +709,23 @@ object TextQueries extends QueryModule {
     * rows. Returns one (round, merged_token, pair_count, tokens_after) row
     * per executed round; law-tested against an N-iterated sequential greedy
     * reference, and q169 (rounds = 2) stays on the DuckDB oracle. */
-  private[graft] def bpeTrain(toks0: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def bpeTrain(toks0: DataFrame, rounds: Int): DataFrame =
+    bpeTrainFull(toks0, rounds)
+      .select(col("round"), col("merged_token"), col("pair_count"),
+        col("tokens_after"))
+      .orderBy(col("round"))
+
+  /** [[bpeTrain]] with the adopted pair's halves kept as separate columns
+    * (round, w1, w2, merged_token, pair_count, tokens_after) — the shape a
+    * MERGE TABLE persists: `merged_token` alone is ambiguous once merged
+    * tokens themselves contain '_', so the apply path (q190) needs (w1,
+    * w2) verbatim. */
+  private[graft] def bpeTrainFull(toks0: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "bpeTrain needs at least one round")
     val spark = toks0.sparkSession
     import spark.implicits._
     var (cur, curPin) = graft.engine.Pin.pin(toks0)
-    val stats = Seq.newBuilder[(Long, String, Long, Long)]
+    val stats = Seq.newBuilder[(Long, String, String, String, Long, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
@@ -728,14 +739,46 @@ object TextQueries extends QueryModule {
         curPin.unpersist(blocking = false)
         cur = next; curPin = nextPin
         val after = cur.agg(sum(size(col("t"))).cast("long")).head().getLong(0)
-        stats += ((r.toLong, b(0).getString(0) + "_" + b(0).getString(1),
-          b(0).getLong(2), after))
+        stats += ((r.toLong, b(0).getString(0), b(0).getString(1),
+          b(0).getString(0) + "_" + b(0).getString(1), b(0).getLong(2), after))
         r += 1
       }
     }
     curPin.unpersist(blocking = false)
-    stats.result().toDF("round", "merged_token", "pair_count", "tokens_after")
+    stats.result()
+      .toDF("round", "w1", "w2", "merged_token", "pair_count", "tokens_after")
       .orderBy(col("round"))
+  }
+
+  /** TOKENIZER APPLY: segment a corpus with an already-trained, RANK-ORDERED
+    * merge table (rank, w1, w2) — the inference half of the BPE tokenizer,
+    * factored out of [[bpeRound]]'s greedy rewrite. Where training pays one
+    * corpus-wide pair count PER round, apply pays ZERO exchanges: the merge
+    * table (vocab-sized, kilobytes at any corpus scale) broadcasts as one
+    * collected array, and each document folds through all merges in rank
+    * order in a single map-side pass — nested `aggregate` HOFs, the outer
+    * over merges, the inner the exact greedy left-to-right non-overlapping
+    * rewrite training used (so apply(trained merges) reproduces the
+    * training loop's own final segmentation, spec-pinned in TextSpec).
+    * This is the half a 100-TB pipeline runs a thousand times per training
+    * run: index once (q74's store discipline), apply many, never re-count. */
+  private[graft] def bpeApply(toks: DataFrame, merges: DataFrame): DataFrame = {
+    val mlist = merges.agg(sort_array(collect_list(
+      struct(col("rank"), col("w1"), col("w2")))).as("ms"))
+    toks.crossJoin(broadcast(mlist))
+      .select(col("doc_id"), expr(
+        """aggregate(ms, t, (ts, m) ->
+          |CASE WHEN size(ts) < 2 THEN ts ELSE aggregate(
+          |  sequence(0, size(ts) - 1),
+          |  named_struct('acc', cast(array() as array<string>), 'skip', false),
+          |  (s, i) -> CASE
+          |    WHEN s.skip THEN named_struct('acc', s.acc, 'skip', false)
+          |    WHEN i < size(ts) - 1 AND ts[i] = m.w1 AND ts[i+1] = m.w2
+          |      THEN named_struct('acc',
+          |        array_append(s.acc, concat(m.w1, '_', m.w2)), 'skip', true)
+          |    ELSE named_struct('acc', array_append(s.acc, ts[i]), 'skip', false)
+          |  END,
+          |  s -> s.acc) END)""".stripMargin).as("t"))
   }
 
   /** q169 — BPE MERGE INDUCTION: the tokenizer-training inner loop —
@@ -758,6 +801,35 @@ object TextQueries extends QueryModule {
   val q169BpeMerges: Q = (s, dir) =>
     bpeTrain(Tables.load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t")), rounds = 2)
+
+  /** q190 — TOKENIZER APPLY FROM A STORED MERGE TABLE: train BPE merges on
+    * HALF the corpus (even doc_ids, 2 rounds — q169's oracle-replayable
+    * depth), persist the rank-ordered merge table to parquet, then
+    * re-segment the FULL corpus — including documents training never saw —
+    * by reading the store back and applying every merge in rank order
+    * ([[bpeApply]]). The parquet round trip is INSIDE the checked path
+    * (q74/q168's index-once-apply-many discipline): what the oracle
+    * validates is the stored artifact driving a one-pass, zero-exchange
+    * map-side re-segmentation, which is the tokenizer operation a 100-TB
+    * pipeline actually runs per shard, per epoch — training amortizes,
+    * apply is the hot path. Output per document: final token count and the
+    * re-segmented text (merged tokens joined by '_'), both exact-matched.
+    * The DuckDB oracle replays training on the even half (the q169 CTE
+    * machinery), then applies b1 and b2 as FIXED pairs to the full corpus
+    * via the same run-grouped greedy formulation. */
+  val q190BpeApplyStored: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val trained = bpeTrainFull(docs.filter(col("doc_id") % 2 === 0), rounds = 2)
+    val path = graft.engine.Scratch.dir(s, "q190_merges")
+    trained.select(col("round").as("rank"), col("w1"), col("w2"))
+      .write.mode("overwrite").parquet(path)
+    val merges = s.read.parquet(path)
+    bpeApply(docs, merges)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        array_join(col("t"), " ").as("retok"))
+      .orderBy(col("doc_id"))
+  }
 
   /** q186 — SEQUENCE PACKING: assign documents to fixed-capacity training
     * sequences (cap = 256 whitespace tokens) by the greedy
@@ -848,6 +920,7 @@ object TextQueries extends QueryModule {
     "q188_epoch_shuffle" -> q188EpochShuffle,
     "q186_seq_packing" -> q186SeqPacking,
     "q169_bpe_merges" -> q169BpeMerges,
+    "q190_bpe_apply" -> q190BpeApplyStored,
     "q168_postings_query" -> q168PostingsQuery,
     "q166_postings" -> q166Postings,
     "q120_bigram_lm" -> q120BigramLm,
@@ -871,13 +944,18 @@ object TextQueries extends QueryModule {
   /** One unrolled BPE round as CTEs, `$from` → `s$n`: pair count → best
     * (count DESC, pair ASC) → greedy non-overlap apply via run-grouping
     * (occurrences at consecutive positions — only self-pairs — keep even
-    * offsets within each run, which equals the engine's sequential fold). */
-  private def duckBpeRound(n: Int, from: String): String = s"""
+    * offsets within each run, which equals the engine's sequential fold).
+    * `pairSql`, when set, replaces the count-and-select with a FIXED pair
+    * source — the APPLY mode (q190): same rewrite machinery, the merge
+    * comes from an earlier training CTE instead of this corpus's counts. */
+  private def duckBpeRound(n: Int, from: String, pairSql: String = ""): String = {
+    val best = if (pairSql.nonEmpty) pairSql else s"""SELECT w1, w2, c FROM (
+      SELECT tok AS w1, nt AS w2, count(*) AS c FROM x$n WHERE nt IS NOT NULL
+      GROUP BY 1, 2) ORDER BY c DESC, w1, w2 LIMIT 1"""
+    s"""
   x$n AS MATERIALIZED (SELECT doc_id, pos, tok,
       lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nt FROM $from),
-  b$n AS MATERIALIZED (SELECT w1, w2, c FROM (
-      SELECT tok AS w1, nt AS w2, count(*) AS c FROM x$n WHERE nt IS NOT NULL
-      GROUP BY 1, 2) ORDER BY c DESC, w1, w2 LIMIT 1),
+  b$n AS MATERIALIZED ($best),
   o$n AS MATERIALIZED (SELECT x.doc_id, x.pos FROM x$n x, b$n b
       WHERE x.tok = b.w1 AND x.nt = b.w2),
   r$n AS (SELECT doc_id, pos,
@@ -893,8 +971,23 @@ object TextQueries extends QueryModule {
       LEFT JOIN m$n m ON x.doc_id = m.doc_id AND x.pos = m.pos
       LEFT JOIN m$n mp ON x.doc_id = mp.doc_id AND x.pos = mp.pos + 1
       WHERE mp.pos IS NULL))"""
+  }
 
   def oracles: Map[String, String] = Map(
+    "q190_bpe_apply" -> s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      s0 AS (SELECT doc_id, u.pos, u.tok FROM (
+        SELECT doc_id,
+          unnest([{'pos': i, 'tok': t[i]} for i in range(1, len(t)+1)]) AS u
+        FROM d)),
+      t0 AS MATERIALIZED (SELECT * FROM s0 WHERE doc_id % 2 = 0),
+      ${duckBpeRound(1, "t0")},
+      ${duckBpeRound(2, "s1")},
+      ${duckBpeRound(3, "s0", "SELECT w1, w2 FROM b1")},
+      ${duckBpeRound(4, "s3", "SELECT w1, w2 FROM b2")}
+      SELECT doc_id, count(*) AS n_tokens,
+        string_agg(tok, ' ' ORDER BY pos) AS retok
+      FROM s4 GROUP BY doc_id ORDER BY doc_id""",
     "q169_bpe_merges" -> s"""
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       s0 AS (SELECT doc_id, u.pos, u.tok FROM (

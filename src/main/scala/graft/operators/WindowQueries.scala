@@ -743,7 +743,7 @@ object WindowQueries extends QueryModule {
     val errors = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("event_id"), col("ts_us"))
     graft.plans.AsOf.join(errors, clicks, Seq("user_id" -> "c_user"),
-        "ts_us", "c_ts", broadcast = true)
+        "ts_us", "c_ts", broadcast = Some(true))
       .select(col("event_id"), col("user_id"), col("click_id"),
         (col("ts_us") - col("c_ts")).as("gap_us"))
       .orderBy(col("event_id"))

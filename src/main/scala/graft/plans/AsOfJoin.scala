@@ -43,7 +43,7 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     strict: Boolean = true, tolerance: Option[Long] = None,
-    broadcastRight: Boolean = false)
+    broadcastRight: Option[Boolean] = None)
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -61,7 +61,22 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * `tolerance` (same unit as the time columns) null-extends a match whose
   * gap `l.t - r.t` exceeds it; because the candidate is already the
   * LARGEST qualifying right time, every other same-key right row is
-  * farther away, so the in-merge check equals a post-join null-out. */
+  * farther away, so the in-merge check equals a post-join null-out.
+  *
+  * AQE interaction — what holds and what does not (PlansSpec pins both):
+  * the ClusteredDistribution exchanges EnsureRequirements plans under this
+  * node are ordinary ENSURE_REQUIREMENTS shuffles, so AQE's partition
+  * COALESCING folds their near-empty post-shuffle partitions exactly as it
+  * does for sort-merge join (both sides consistently — co-partitioning is
+  * preserved). AQE's SKEW-JOIN SPLIT does NOT apply: `OptimizeSkewedJoin`
+  * pattern-matches `SortMergeJoinExec`/`ShuffledHashJoinExec` only, so a
+  * hot key through this exec keeps its straggler partition no matter the
+  * thresholds. At 100 TB, handle a known-hot key the pre-AQE way: SALT —
+  * extend the left key with `pmod(hash(salt_source), S)` and replicate
+  * each right row to all S salts of its key (right rows must reach every
+  * salt because any left row of the key may land on any of them); as-of
+  * semantics survive salting unchanged since each (key, salt) partition
+  * still sees the full right-side timeline for that key. */
 case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     strict: Boolean, tolerance: Option[Long],
@@ -84,6 +99,13 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
+    // the result projection needs nullability WIDENED on both ends: the
+    // target is the exec's output (right side nullable), and the input
+    // schema must widen rOut too — BoundReference takes its null-check
+    // flag from the INPUT attribute, so a non-nullable right attr would
+    // skip the check and read garbage from the null-extension row
+    // (caught by the brute-equality laws)
+    val outAttrs = output
     val lKeyExprs = leftKeys
     val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
@@ -99,6 +121,11 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.length)
+      // downstream consumers (collect's byte-array serializer, exchanges)
+      // require UnsafeRow — a bare JoinedRow only survives under a parent
+      // projection, so flatten here like SortMergeJoinExec's resultProj
+      val resultProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
 
       new Iterator[InternalRow] {
         // right-side cursor: the NEXT unconsumed right row (+ its key/time),
@@ -150,7 +177,7 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
           val matched = lt != null && candidate != null &&
             candidateKey != null && keyOrd.compare(candidateKey, lk) == 0 &&
             tol.forall(lt.asInstanceOf[Long] - candidateTime <= _)
-          joined(l, if (matched) candidate else nullRight)
+          resultProj(joined(l, if (matched) candidate else nullRight))
         }
       }
     }
@@ -192,6 +219,13 @@ case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
+    // the result projection needs nullability WIDENED on both ends: the
+    // target is the exec's output (right side nullable), and the input
+    // schema must widen rOut too — BoundReference takes its null-check
+    // flag from the INPUT attribute, so a non-nullable right attr would
+    // skip the check and read garbage from the null-extension row
+    // (caught by the brute-equality laws)
+    val outAttrs = output
     val lKeyExprs = leftKeys
     val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
@@ -222,6 +256,9 @@ case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
       val lTimeEval = BindReferences.bindReference(lTimeExpr, lOut)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.length)
+      // flatten to UnsafeRow (SMJ's resultProj contract — see the merge exec)
+      val resultProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
       lIter.map { l =>
         val lt = lTimeEval.eval(l)
         var matched: InternalRow = null
@@ -241,7 +278,7 @@ case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
               matched = buf(ans)._2
           }
         }
-        joined(l, if (matched != null) matched else nullRight)
+        resultProj(joined(l, if (matched != null) matched else nullRight))
       }
     }, preservesPartitioning = true)
   }
@@ -252,11 +289,34 @@ case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
 }
 
 /** Plans [[AsOfJoinPlan]] to the merge or broadcast exec; a no-op on every
-  * other node. */
+  * other node.
+  *
+  * Exec selection is STATS-DRIVEN by default, the same consultation
+  * Catalyst's own JoinSelection applies to equi-joins
+  * (`SparkStrategies.scala`, `canBroadcastBySize`): when the caller passed
+  * no explicit flag, the right side broadcasts iff its Catalyst size
+  * estimate (`LogicalPlan.stats.sizeInBytes` — file sizes for scans,
+  * row-width products for in-memory relations, filter/project-adjusted
+  * under CBO) fits under `spark.sql.autoBroadcastJoinThreshold`, and a
+  * non-positive threshold disables auto-broadcast entirely — Spark's own
+  * `-1`-disables convention. An explicit `Some(true/false)` from the API
+  * always wins, so a caller can still force the merge exec for a
+  * known-underestimated right side or force broadcast past a conservative
+  * threshold. The measured stake (SCALING.md, `Dev intervalbcast`): a
+  * dimension-sized right under the merge exec pays a full fact-side hash
+  * exchange that broadcast avoids (−99.99% join wire cost) — that win
+  * must not depend on the caller remembering a boolean. */
 object AsOfJoinStrategy extends SparkStrategy {
+  private[plans] def pickBroadcast(
+      requested: Option[Boolean], right: LogicalPlan): Boolean =
+    requested.getOrElse {
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      threshold > 0 && right.stats.sizeInBytes <= threshold
+    }
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, tol, bcast) =>
-      if (bcast)
+      if (pickBroadcast(bcast, r))
         BroadcastAsOfJoinExec(lk, rk, lt, rt, strict, tol,
           planLater(l), planLater(r)) :: Nil
       else
@@ -279,10 +339,13 @@ object AsOf {
       em.extraStrategies = AsOfJoinStrategy +: em.extraStrategies
   }
 
+  /** `broadcast = None` (the default) lets [[AsOfJoinStrategy]] pick the
+    * exec from the right side's stats vs `autoBroadcastJoinThreshold`;
+    * `Some(true)`/`Some(false)` forces broadcast/merge regardless. */
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
       leftTimeCol: String, rightTimeCol: String,
       strict: Boolean = true, tolerance: Option[Long] = None,
-      broadcast: Boolean = false): DataFrame = {
+      broadcast: Option[Boolean] = None): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
@@ -325,13 +388,14 @@ object AsOf {
     * same as the backward operator; tolerance bounds `r.t - l.t`. */
   def joinForward(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
       leftTimeCol: String, rightTimeCol: String,
-      strict: Boolean = true, tolerance: Option[Long] = None): DataFrame = {
+      strict: Boolean = true, tolerance: Option[Long] = None,
+      broadcast: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     val lNeg = "__asof_l_neg"
     val rNeg = "__asof_r_neg"
     val l2 = left.withColumn(lNeg, expr(s"-`$leftTimeCol`"))
     val r2 = right.withColumn(rNeg, expr(s"-`$rightTimeCol`"))
-    join(l2, r2, keys, lNeg, rNeg, strict, tolerance)
+    join(l2, r2, keys, lNeg, rNeg, strict, tolerance, broadcast)
       .drop(lNeg, rNeg)
   }
 }

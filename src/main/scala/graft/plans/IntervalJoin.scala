@@ -50,7 +50,7 @@ case class IntervalJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftStart: Expression, leftEnd: Expression,
     rightStart: Expression, rightEnd: Expression,
-    joinType: String = "inner", broadcastRight: Boolean = false)
+    joinType: String = "inner", broadcastRight: Option[Boolean] = None)
   extends BinaryNode {
   override def output: Seq[Attribute] = joinType match {
     case "left_semi" | "left_anti" => left.output
@@ -74,7 +74,21 @@ case class IntervalJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * FIRST proof of overlap, and drops it from state immediately;
   * `left_anti` emits exactly the lefts that survive to eviction unmatched.
   * Left rows with null/malformed bounds count as never-matching: outer and
-  * anti emit them (null-extended / bare) at arrival. */
+  * anti emit them (null-extended / bare) at arrival.
+  *
+  * AQE interaction — what holds and what does not (PlansSpec pins both on
+  * the as-of sibling; the mechanism is identical because both nodes
+  * declare the same ClusteredDistribution): AQE partition COALESCING folds
+  * the node's post-shuffle partitions consistently on both sides, as for
+  * sort-merge join. AQE's SKEW-JOIN SPLIT does NOT apply —
+  * `OptimizeSkewedJoin` rewrites `SortMergeJoinExec`/`ShuffledHashJoinExec`
+  * only — so a hot key keeps its straggler. At 100 TB the remedies, in
+  * preference order: a dimension-sized right makes the strategy pick
+  * [[BroadcastIntervalJoinExec]] (no left shuffle at all, so no skew);
+  * otherwise SALT — extend the left key with `pmod(hash(salt_source), S)`
+  * and replicate each right interval to all S salts of its key; the sweep
+  * is correct per (key, salt) partition because every partition still
+  * holds the key's full right-side interval set. */
 case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftStart: Expression, leftEnd: Expression,
     rightStart: Expression, rightEnd: Expression, joinType: String,
@@ -97,6 +111,13 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
+    // the result projection needs nullability WIDENED on both ends: the
+    // target is the exec's output (right side nullable), and the input
+    // schema must widen rOut too — BoundReference takes its null-check
+    // flag from the INPUT attribute, so a non-nullable right attr would
+    // skip the check and read garbage from the null-extension row
+    // (caught by the brute-equality laws)
+    val outAttrs = output
     val lKeyExprs = leftKeys
     val rKeyExprs = rightKeys
     val lS = leftStart; val lE = leftEnd; val rS = rightStart; val rE = rightEnd
@@ -110,6 +131,12 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
       val rEe = BindReferences.bindReference(rE, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val joined = new JoinedRow
+      // flatten joined pairs to UnsafeRow before they enter `pending`
+      // (collect's serializer and exchanges require UnsafeRow — SMJ's
+      // resultProj contract); also cheaper than JoinedRow.copy()'s
+      // generic-row materialization
+      val resultProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
 
       // one side's buffered cursor: the NEXT unconsumed row + its key/bounds
       final class Cursor(it: Iterator[InternalRow],
@@ -148,7 +175,7 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
         /** Emit a proven-dead unmatched left per mode (outer/anti). */
         private def emitDeadLeft(e: ActiveL): Unit =
           if (!e.matched) mode match {
-            case "left_outer" => pending.addLast(joined(e.row, nullRight).copy())
+            case "left_outer" => pending.addLast(resultProj(joined(e.row, nullRight)).copy())
             case "left_anti" => pending.addLast(e.row)
             case _ => ()
           }
@@ -212,7 +239,7 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
                 case "inner" | "left_outer" =>
                   var i = 0
                   while (i < activeR.length) {
-                    pending.addLast(joined(c.row, activeR(i)._2).copy())
+                    pending.addLast(resultProj(joined(c.row, activeR(i)._2)).copy())
                     i += 1
                   }
                 case "left_semi" =>
@@ -233,7 +260,7 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
               // null/malformed bounds never match — outer/anti emit now
               mode match {
                 case "left_outer" =>
-                  pending.addLast(joined(c.row, nullRight).copy())
+                  pending.addLast(resultProj(joined(c.row, nullRight)).copy())
                 case "left_anti" =>
                   pending.addLast(c.row.asInstanceOf[UnsafeRow].copy())
                 case _ => ()
@@ -247,7 +274,7 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
               val e = activeL(i)
               mode match {
                 case "inner" | "left_outer" =>
-                  pending.addLast(joined(e.row, c.row).copy())
+                  pending.addLast(resultProj(joined(e.row, c.row)).copy())
                 case "left_semi" =>
                   if (!e.matched) pending.addLast(e.row)
                 case _ => ()
@@ -320,6 +347,13 @@ case class BroadcastIntervalJoinExec(leftKeys: Seq[Expression],
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
+    // the result projection needs nullability WIDENED on both ends: the
+    // target is the exec's output (right side nullable), and the input
+    // schema must widen rOut too — BoundReference takes its null-check
+    // flag from the INPUT attribute, so a non-nullable right attr would
+    // skip the check and read garbage from the null-extension row
+    // (caught by the brute-equality laws)
+    val outAttrs = output
     val lKeyExprs = leftKeys
     val rKeyExprs = rightKeys
     val lS = leftStart; val lE = leftEnd; val rS = rightStart; val rE = rightEnd
@@ -353,12 +387,15 @@ case class BroadcastIntervalJoinExec(leftKeys: Seq[Expression],
       val joined = new JoinedRow
       val nullRight = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(rOut.length)
+      // flatten to UnsafeRow (SMJ's resultProj contract — see the merge exec)
+      val resultProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
       lIter.flatMap { l =>
         val sv = lSe.eval(l); val ev = lEe.eval(l)
         val valid = sv != null && ev != null &&
           ev.asInstanceOf[Long] >= sv.asInstanceOf[Long]
         if (!valid) mode match {
-          case "left_outer" => Iterator.single(joined(l, nullRight))
+          case "left_outer" => Iterator.single(resultProj(joined(l, nullRight)))
           case "left_anti" => Iterator.single(l)
           case _ => Iterator.empty
         } else {
@@ -376,10 +413,10 @@ case class BroadcastIntervalJoinExec(leftKeys: Seq[Expression],
               (0 to ans).iterator.filter(i => buf(i)._2 >= ls).map(i => buf(i)._3)
             }
           mode match {
-            case "inner" => matches.map(r => joined(l, r))
+            case "inner" => matches.map(r => resultProj(joined(l, r)))
             case "left_outer" =>
-              if (matches.hasNext) matches.map(r => joined(l, r))
-              else Iterator.single(joined(l, nullRight))
+              if (matches.hasNext) matches.map(r => resultProj(joined(l, r)))
+              else Iterator.single(resultProj(joined(l, nullRight)))
             case "left_semi" =>
               if (matches.hasNext) Iterator.single(l) else Iterator.empty
             case _ => // left_anti
@@ -396,11 +433,22 @@ case class BroadcastIntervalJoinExec(leftKeys: Seq[Expression],
 }
 
 /** Plans [[IntervalJoinPlan]] to the merge or broadcast exec; a no-op on
-  * every other node. */
+  * every other node.
+  *
+  * Exec selection is STATS-DRIVEN by default (the [[AsOfJoinStrategy]]
+  * contract, shared via its `pickBroadcast`): with no explicit caller
+  * flag, the right side broadcasts iff `right.stats.sizeInBytes` fits
+  * under `spark.sql.autoBroadcastJoinThreshold` (non-positive threshold
+  * disables — Spark's `-1` convention), exactly how JoinSelection sizes
+  * equi-joins; `Some(true/false)` from the API always overrides. The
+  * measured stake is SCALING.md's `Dev intervalbcast` probe: broadcasting
+  * a dimension-sized window table cut the join's wire cost −99.99% vs
+  * hashing the fact side — a win that should come from the planner, not
+  * from the caller remembering a boolean. */
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case IntervalJoinPlan(l, r, lk, rk, ls, le, rs, re, jt, bcast) =>
-      if (bcast)
+      if (AsOfJoinStrategy.pickBroadcast(bcast, r))
         BroadcastIntervalJoinExec(lk, rk, ls, le, rs, re, jt,
           planLater(l), planLater(r)) :: Nil
       else
@@ -422,10 +470,14 @@ object IntervalJoin {
       em.extraStrategies = IntervalJoinStrategy +: em.extraStrategies
   }
 
+  /** `broadcast = None` (the default) lets [[IntervalJoinStrategy]] pick
+    * the exec from the right side's stats vs `autoBroadcastJoinThreshold`;
+    * `Some(true)`/`Some(false)` forces broadcast/merge regardless. */
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
       leftStartCol: String, leftEndCol: String,
       rightStartCol: String, rightEndCol: String,
-      joinType: String = "inner", broadcast: Boolean = false): DataFrame = {
+      joinType: String = "inner",
+      broadcast: Option[Boolean] = None): DataFrame = {
     require(Set("inner", "left_outer", "left_semi", "left_anti")(joinType),
       s"unsupported interval join type: $joinType")
     val spark = left.sparkSession

@@ -90,19 +90,53 @@ class AsOfPlanSpec extends SparkSpec {
       .toDF("rk", "rt", "rtag")
     def run(bcast: Boolean) =
       graft.plans.AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
-          broadcast = bcast)
+          broadcast = Some(bcast))
         .select(col("tag"), col("rtag")).collect()
         .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
         .toSet
     assert(run(bcast = true) == run(bcast = false))
     val df = graft.plans.AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
-      broadcast = true)
+      broadcast = Some(true))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastAsOfJoin"), s"expected broadcast exec:\n$plan")
     assert(plan.contains("BroadcastExchange"),
       "the right side must ship via a broadcast exchange")
     assert(!plan.contains("Exchange hashpartitioning"),
       s"the broadcast variant must not shuffle either side:\n$plan")
+  }
+
+  test("strategy picks broadcast vs merge from right-side stats, flag overrides") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "l1"), (2L, 5L, "l2")).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, "r5"), (2L, 1L, "r1")).toDF("rk", "rt", "rtag")
+    def plan(threshold: String, flag: Option[Boolean]) = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      try graft.plans.AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
+        broadcast = flag).queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    // dimension-sized right under the default 10 MB threshold → broadcast,
+    // without the caller saying anything
+    val auto = plan("10485760", None)
+    assert(auto.contains("BroadcastAsOfJoin") && auto.contains("BroadcastExchange"),
+      s"stats say broadcast, strategy must pick it:\n$auto")
+    // right side's size estimate exceeds a 1-byte threshold → merge exec;
+    // this is the STATS COMPARISON, not a constant choice
+    val above = plan("1", None)
+    assert(above.contains("AsOfJoin") && !above.contains("BroadcastAsOfJoin"),
+      s"stats above threshold must pick the merge exec:\n$above")
+    // -1 disables auto-broadcast entirely (Spark's convention)
+    val disabled = plan("-1", None)
+    assert(!disabled.contains("BroadcastAsOfJoin"),
+      s"threshold -1 must never auto-broadcast:\n$disabled")
+    // the explicit flag overrides stats in BOTH directions
+    val forced = plan("-1", Some(true))
+    assert(forced.contains("BroadcastAsOfJoin"),
+      s"Some(true) must beat a disabled threshold:\n$forced")
+    val suppressed = plan("10485760", Some(false))
+    assert(!suppressed.contains("BroadcastAsOfJoin"),
+      s"Some(false) must beat a qualifying size:\n$suppressed")
   }
 
   test("q148 equals q26 row for row, and its executed plan contains AsOfJoinExec") {

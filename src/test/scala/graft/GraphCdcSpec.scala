@@ -110,6 +110,45 @@ class GraphCdcSpec extends SparkSpec {
     graft.engine.Sessions.releasePinned(spark)
   }
 
+  test("q189 frontier Bellman-Ford equals a plain Scala full-relaxation reference (law)") {
+    import spark.implicits._
+    // deterministic pseudo-random weighted graph: 40 nodes, ~120 edges,
+    // weights 1..9 chosen so cheapest paths routinely use MORE hops than
+    // the hop-minimal route (the case BFS cannot answer); plus an
+    // unreachable island {100,101}
+    val rnd = new scala.util.Random(42)
+    val edges0 = (Seq.tabulate(39)(i => (i.toLong, i + 1L, 9L)) ++ // spine, costly
+      Seq.fill(80)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong,
+        1L + rnd.nextInt(9))) ++ Seq((100L, 101L, 1L)))
+      .filter(e => e._1 != e._2)
+    val symSeq = edges0.flatMap(e => Seq(e, (e._2, e._1, e._3)))
+    val nodeSeq = symSeq.map(_._1).distinct
+    val seedSeq = Seq(0L, 17L)
+    for (rounds <- Seq(1, 3, 5)) {
+      // reference: full relaxation — after k layers, dist(v) is the exact
+      // min cost over paths of <= k edges (the textbook bounded invariant)
+      var ref = nodeSeq.map(v =>
+        v -> (if (seedSeq.contains(v)) 0L else Long.MaxValue)).toMap
+      (1 to rounds).foreach { _ =>
+        val next = scala.collection.mutable.Map(ref.toSeq: _*)
+        symSeq.foreach { case (v, u, w) =>
+          if (ref(v) != Long.MaxValue && ref(v) + w < next(u))
+            next(u) = ref(v) + w
+        }
+        ref = next.toMap
+      }
+      val expect = nodeSeq.map(v =>
+        v -> (if (ref(v) == Long.MaxValue) -1L else ref(v))).toMap
+      val (out, pin) = AnalyticQueries.ssspRounds(
+        symSeq.toDF("v", "u", "w"), nodeSeq.toDF("v"), seedSeq.toDF("v"),
+        rounds)
+      val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      pin.unpersist(blocking = false)
+      assert(got == expect, s"rounds=$rounds: frontier engine diverged")
+    }
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("q140 sf0.01 peel depth stays within the oracle 16-round unroll") {
     // the bounded-unroll oracle is only valid if the data converges within
     // its layers: recompute the peel depth in plain Scala on the same

@@ -170,7 +170,7 @@ class IntervalPlanSpec extends SparkSpec {
       val left = l.toDF("k", "s", "e", "lid")
       val right = r.toDF("bk", "bs", "be", "rid")
       def run(bcast: Boolean) = graft.plans.IntervalJoin.join(left, right,
-        Seq("k" -> "bk"), "s", "e", "bs", "be", mode, broadcast = bcast)
+        Seq("k" -> "bk"), "s", "e", "bs", "be", mode, broadcast = Some(bcast))
       mode match {
         case "inner" | "left_outer" =>
           def pairs(bcast: Boolean) = run(bcast)
@@ -193,13 +193,42 @@ class IntervalPlanSpec extends SparkSpec {
     val a = Seq((1L, 0L, 10L)).toDF("k", "s", "e")
     val b = Seq((1L, 5L, 15L)).toDF("bk", "bs", "be")
     val df = graft.plans.IntervalJoin.join(a, b, Seq("k" -> "bk"),
-      "s", "e", "bs", "be", "inner", broadcast = true)
+      "s", "e", "bs", "be", "inner", broadcast = Some(true))
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastIntervalJoin"), s"expected broadcast exec in:\n$p")
     assert(p.contains("BroadcastExchange"))
     assert(!p.contains("hashpartitioning"),
       s"fact side must keep its partitioning under broadcast:\n$p")
     assert(!p.contains("Sort "), s"no side is sorted under broadcast:\n$p")
+  }
+
+  test("strategy picks broadcast vs merge from right-side stats, flag overrides") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 10L)).toDF("k", "s", "e")
+    val b = Seq((1L, 5L, 15L)).toDF("bk", "bs", "be")
+    def plan(threshold: String, flag: Option[Boolean]) = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      try graft.plans.IntervalJoin.join(a, b, Seq("k" -> "bk"),
+        "s", "e", "bs", "be", "inner", broadcast = flag)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    // dimension-sized right under the default threshold → auto-broadcast
+    val auto = plan("10485760", None)
+    assert(auto.contains("BroadcastIntervalJoin") && auto.contains("BroadcastExchange"),
+      s"stats say broadcast, strategy must pick it:\n$auto")
+    // size estimate exceeds a 1-byte threshold → merge exec (the stats
+    // COMPARISON is live, not a constant choice)
+    val above = plan("1", None)
+    assert(above.contains("IntervalJoin") && !above.contains("BroadcastIntervalJoin"),
+      s"stats above threshold must pick the merge exec:\n$above")
+    // -1 disables auto-broadcast (Spark's convention); flag still wins both ways
+    assert(!plan("-1", None).contains("BroadcastIntervalJoin"))
+    assert(plan("-1", Some(true)).contains("BroadcastIntervalJoin"),
+      "Some(true) must beat a disabled threshold")
+    assert(!plan("10485760", Some(false)).contains("BroadcastIntervalJoin"),
+      "Some(false) must beat a qualifying size")
   }
 
   test("broadcast interval join with a constant key = feasible UNKEYED interval join") {
@@ -212,7 +241,7 @@ class IntervalPlanSpec extends SparkSpec {
     val windows = Seq((0L, 0L, 200L, 1L), (0L, 500L, 520L, 2L))
       .toDF("g", "ws", "we", "wid")
     val got = graft.plans.IntervalJoin.join(facts, windows, Seq("g" -> "g"),
-        "s", "e", "ws", "we", "inner", broadcast = true)
+        "s", "e", "ws", "we", "inner", broadcast = Some(true))
       .groupBy(col("wid")).count().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     // window 1 [0,200] catches facts starting 0..200 → lid 0..20 (21 rows:

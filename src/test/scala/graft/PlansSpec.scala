@@ -195,10 +195,15 @@ class PlansSpec extends SparkSpec {
     val p = planString(df)
     assert(p.contains("AsOfJoin"), "PIT lookup must plan the custom operator")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
-    // the operator must ride planned exchanges, not a repartition hack:
-    // EnsureRequirements satisfies ClusteredDistribution with hash shuffles
-    assert(p.contains("Exchange hashpartitioning") || p.contains("hashpartitioning"),
-      s"expected hash exchanges under the as-of merge:\n${p.take(2000)}")
+    // the operator must ride PLANNED infrastructure, not a repartition
+    // hack: under stats-driven selection a dimension-sized version table
+    // broadcasts (BroadcastExchange), and a big one merges over
+    // EnsureRequirements' hash exchanges — either is the planner's call,
+    // never a manual repartition
+    assert(p.contains("BroadcastAsOfJoin")
+        && p.contains("BroadcastExchange")
+        || p.contains("hashpartitioning"),
+      s"expected a broadcast exchange or hash exchanges under the as-of:\n${p.take(2000)}")
   }
 
   test("q182 purchase latency composes the native as-of exec, not a window fallback") {
@@ -244,6 +249,58 @@ class PlansSpec extends SparkSpec {
     val p80 = planString(graft.operators.SimilarityQueries.q80SemanticDedup(spark, sfDir))
     assert(!p80.contains("CartesianProduct"),
       "within-cluster all-pairs must materialize via the tile equi-join")
+  }
+
+  test("native as-of/interval exchanges ride AQE coalescing; skew split does NOT apply") {
+    import spark.implicits._
+    // (a) WHAT HOLDS: the ClusteredDistribution exchanges EnsureRequirements
+    // plans under the native execs are ordinary ENSURE_REQUIREMENTS
+    // shuffles, so AQE's CoalesceShufflePartitions folds their near-empty
+    // post-shuffle partitions exactly as it does for sort-merge join —
+    // and must fold BOTH sides consistently, or co-partitioning breaks
+    val left = spark.range(0, 20000)
+      .select(pmod(col("id"), lit(97)).as("k"), col("id").as("t"))
+    val right = spark.range(0, 5000)
+      .select(pmod(col("id"), lit(97)).as("rk"), (col("id") * lit(3)).as("rt"))
+    val asof = graft.plans.AsOf.join(left, right, Seq("k" -> "rk"), "t", "rt",
+      broadcast = Some(false)) // pin the merge exec: broadcast has no exchange to coalesce
+    assert(asof.collect().length == 20000)
+    val p = asof.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"merge exec expected:\n${p.take(1200)}")
+    assert(p.contains("isFinalPlan=true"), "adaptive plan not finalized")
+    assert(p.contains("AQEShuffleRead coalesced"),
+      s"AQE did not coalesce the native exec's exchanges:\n${p.take(2000)}")
+    assert(asof.rdd.getNumPartitions <
+        spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      "coalescing must really shrink the post-shuffle partition count")
+    // (b) WHAT DOES NOT: OptimizeSkewedJoin pattern-matches SMJ/SHJ only —
+    // a hot key through the native exec keeps its straggler partition even
+    // with skew thresholds floored (the honest 100-TB caveat the operator
+    // scaladoc carries, with the salting remedy). Results stay correct;
+    // the plan just shows no skew= rewrite.
+    val keys = Seq("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      val hotLeft = spark.range(0, 60000).select(
+        when(col("id") % 3 =!= 0, lit(0L)) // ~2/3 of rows on key 0
+          .otherwise(pmod(col("id"), lit(500))).as("k"),
+        col("id").as("t"), md5(col("id").cast("string")).as("pay"))
+      val dims = spark.range(0, 1000)
+        .select(pmod(col("id"), lit(500)).as("rk"), (col("id") * lit(40)).as("rt"))
+      val skewed = graft.plans.AsOf.join(hotLeft, dims, Seq("k" -> "rk"),
+        "t", "rt", broadcast = Some(false))
+      val agg = skewed.agg(count(lit(1)).as("n"),
+        count(col("rt")).as("matched"))
+      val row = agg.collect()(0)
+      assert(row.getLong(0) == 60000L && row.getLong(1) > 0L)
+      val sp = agg.queryExecution.executedPlan.toString
+      assert(!sp.contains("skew=true"),
+        s"if AQE ever learns to split the native exec, update its scaladoc:\n$sp")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
   test("AQE skew-join split actually engages on a skewed join (and results match)") {

@@ -242,7 +242,7 @@ class PropertySpec extends SparkSpec {
       val left = l.toDF("k", "t", "lid")
       val right = r.toDF("rk", "rt", "rid")
       val got = graft.plans.AsOf.join(left, right, Seq("k" -> "rk"),
-          "t", "rt", strict, tol, broadcast = bcast)
+          "t", "rt", strict, tol, broadcast = Some(bcast))
         .select(col("lid"), col("rid")).collect()
         .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
         .toMap

@@ -75,6 +75,45 @@ class TextSpec extends SparkSpec {
     assert(got(2L) == Seq("b", "c", "b", "c"), "non-matching doc must pass through")
   }
 
+  test("q190 stored-merge apply equals the training loop's final segmentation (law)") {
+    import spark.implicits._
+    // corpus chosen to exercise the rewrite's hard cases: self-pair runs
+    // (odd/even lengths), merges whose OUTPUT participates in later merges
+    // (nested '_' tokens), singleton docs, and docs untouched by any merge
+    val docs = Seq(
+      (1L, Seq("a", "a", "a", "a", "a")),
+      (2L, Seq("a", "a", "b", "a", "a", "b")),
+      (3L, Seq("x")),
+      (4L, Seq("q", "r", "s")),
+      (5L, Seq("a", "a", "a", "a", "b", "b", "a", "a"))).toDF("doc_id", "t")
+    // training loop: iterate bpeRound, keeping the adopted merges AND the
+    // successively rewritten corpus — the segmentation training itself ends at
+    var cur = docs
+    val merges = Seq.newBuilder[(Long, String, String)]
+    (1 to 3).foreach { r =>
+      val (rewritten, best) = graft.operators.TextQueries.bpeRound(cur)
+      val b = best.collect()
+      if (b.nonEmpty) {
+        merges += ((r.toLong, b(0).getString(0), b(0).getString(1)))
+        cur = rewritten.cache()
+        cur.count()
+      }
+    }
+    val trained = cur.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // apply path: the SAME merges as a rank-ordered table, folded over the
+    // ORIGINAL corpus in one pass — must land on the identical segmentation
+    val applied = graft.operators.TextQueries.bpeApply(
+        docs, merges.result().toDF("rank", "w1", "w2"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(applied == trained,
+      s"apply(stored merges) diverged from training:\n$applied\nvs\n$trained")
+    // and the merges really nested (round 2+ consumed a round-1 output),
+    // otherwise this law never exercised rank ordering
+    assert(merges.result().exists(m => m._2.contains("_") || m._3.contains("_")),
+      s"fixture too weak: ${merges.result()}")
+  }
+
   test("q70 decontamination equals brute-force pairwise gram intersection") {
     val g = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
