@@ -953,7 +953,21 @@ object DedupQueries extends QueryModule {
     * — such text is corpus boilerplate, q115's department — and the oracle
     * replicates the cap, so the contract itself is what's checked. Both
     * directions emit independently (A-in-B and B-in-A are different
-    * facts); precision of the emitted rows is exact. */
+    * facts); precision of the emitted rows is exact.
+    *
+    * 100-TB CONFIG CARD — `dfCap` (default 20, oracle-replicated):
+    *  - cap: grams with document frequency > dfCap never enter the
+    *    postings self-join;
+    *  - candidate bound: Σ_{df ≤ cap} df² by construction — SkewStressSpec
+    *    measures a 400-doc corpus sharing one boilerplate shingle emitting
+    *    ALL 79 800 pairs uncapped vs exactly the 1 rare-gram pair at
+    *    cap 20;
+    *  - recall trade, exact and part of the checked contract: pairs
+    *    sharing ONLY ubiquitous grams are invisible — such text is corpus
+    *    boilerplate (q115's department), and the DuckDB oracle applies the
+    *    same cap, so the contract itself is what the hash-compare checks.
+    *    Raise dfCap for higher recall at Σdf² cost; the knob moves the
+    *    bound, never the exactness of verification. */
   /** q135's df-capped candidate generator, factored for the skew-stress
     * spec: pairs of docs sharing at least one gram with document frequency
     * ≤ `dfCap`. The cap IS the scale control — an ultra-common gram

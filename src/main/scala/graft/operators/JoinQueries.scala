@@ -452,7 +452,21 @@ object JoinQueries extends QueryModule {
     * dimension-sized; Catalyst broadcasts under the threshold, shuffles
     * above — both correct). Output aggregates per distance with key
     * checksums, so the oracle pins which pairs matched, not just how
-    * many. */
+    * many.
+    *
+    * 100-TB CONFIG CARD — `maxBucket` (opt-in, default None):
+    *  - cap: drop deletion-variant buckets with > maxBucket members
+    *    BEFORE pair enumeration;
+    *  - candidate bound: ≤ maxBucket² per surviving bucket by
+    *    construction (uncapped, a hot bucket enumerates C(n,2) —
+    *    SkewStressSpec measures 300 copies of one string emitting all
+    *    44 850 duplicate pairs uncapped vs < 449 candidates at cap 16);
+    *  - recall trade, exact and spec-pinned: ONLY pairs whose every
+    *    shared bucket is capped vanish — under mass duplication those are
+    *    duplicate×duplicate pairs that exact dedup (q50) should have
+    *    collapsed first; pairs riding any small bucket survive untouched.
+    *    q79 runs uncapped because its fixture is exact-deduped; set the
+    *    cap on corpora that are not. */
   val q79FuzzyJoin: Q = (s, dir) => {
     val c = Tables.load(s, dir, "customer")
       .select(col("c_custkey").as("k"), col("c_name").as("nm"))

@@ -708,28 +708,35 @@ object JpegCodec {
       if (o + 3 >= b.length || b(o) != 0xFF.toByte) return None
       val m = b(o + 1) & 0xFF
       if (m == 0xD9) return None // EOI before any scan
-      val len = rd16(b, o + 2)
-      if (o + 2 + len > b.length) return None
-      val payload = java.util.Arrays.copyOfRange(b, o + 4, o + 2 + len)
-      m match {
-        case 0xDB =>
-          if (payload.length < 65 || ((payload(0) >> 4) & 0xF) != 0) return None
-          quant = new Array[Int](64)
-          var i = 0
-          while (i < 64) { quant(Zigzag(i)) = payload(1 + i) & 0xFF; i += 1 }
-        case 0xC0 =>
-          if (payload.length < 8 || payload(0) != 8 || payload(5) != 1) return None
-          h = rd16(payload, 1); w = rd16(payload, 3)
-        case 0xC4 => if (!parseDht(payload)) return None
-        case 0xDA =>
-          if (payload(0) != 1) return None // single-component scans only
-          scanAt = o + 2 + len
-        case x if x >= 0xC1 && x <= 0xCF && x != 0xC4 && x != 0xC8 =>
-          return None // progressive/arithmetic/other frame types unsupported
-        case 0xDD => return None // restart intervals unsupported
-        case _ => () // APPn/COM/etc: skip
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+        // standalone markers (TEM, RSTn) carry NO length field — reading
+        // the next two bytes as one would desync the whole walk
+        o += 2
+      } else {
+        val len = rd16(b, o + 2)
+        if (o + 2 + len > b.length) return None
+        val payload = java.util.Arrays.copyOfRange(b, o + 4, o + 2 + len)
+        m match {
+          case 0xDB =>
+            if (payload.length < 65 || ((payload(0) >> 4) & 0xF) != 0) return None
+            quant = new Array[Int](64)
+            var i = 0
+            while (i < 64) { quant(Zigzag(i)) = payload(1 + i) & 0xFF; i += 1 }
+          case 0xC0 =>
+            if (payload.length < 8 || payload(0) != 8 || payload(5) != 1) return None
+            h = rd16(payload, 1); w = rd16(payload, 3)
+          case 0xC4 => if (!parseDht(payload)) return None
+          case 0xDA =>
+            // degrade, never throw: an empty SOS payload is malformed input
+            if (payload.isEmpty || payload(0) != 1) return None // single-component scans only
+            scanAt = o + 2 + len
+          case x if x >= 0xC1 && x <= 0xCF && x != 0xC4 && x != 0xC8 =>
+            return None // progressive/arithmetic/other frame types unsupported
+          case 0xDD => return None // restart intervals unsupported
+          case _ => () // APPn/COM/etc: skip
+        }
+        o = o + 2 + len
       }
-      o = o + 2 + len
     }
     if (quant == null || dcDec == null || acDec == null || w <= 0 || h <= 0)
       return None

@@ -250,6 +250,60 @@ class IntervalPlanSpec extends SparkSpec {
     assert(got(2L) == 3L, s"got $got") // [500,520] ∩ {[500,505],[510,515],[520,525]}
   }
 
+  test("broadcast probe's max-end prefix cut: equal results, measured scan drop") {
+    import spark.implicits._
+    // crafted dead-head fixture: one key holds 4000 SHORT early intervals
+    // [i, i+1] (i < 4000) that all die long before the probes, plus 10
+    // later long-lived windows [50000+j, 70000+j]. Probes live at
+    // [60000, 60050]: the naive candidate prefix is ALL 4010 entries
+    // (start <= le), but the prefix max-end over the 4000 shorts never
+    // reaches the probes — the binary search must skip them all. (A
+    // long-lived interval at start 0 would defeat the cut by raising the
+    // prefix max immediately — the scaladoc's declared limit vs a full
+    // interval tree; this fixture is the cut's win case.)
+    val shorts = (0 until 4000).map(i => (1L, i.toLong, i + 1L, -1L))
+    val lates = (0 until 10).map(j => (1L, 50000L + j, 70000L + j, 200L + j))
+    val right = (shorts ++ lates).toDF("bk", "bs", "be", "rid")
+    val nProbes = 50
+    val left = (0 until nProbes).map(i => (1L, 60000L + i, 60050L + i, i.toLong))
+      .toDF("k", "s", "e", "lid")
+    val df = graft.plans.IntervalJoin.join(left, right, Seq("k" -> "bk"),
+        "s", "e", "bs", "be", "inner", broadcast = Some(true))
+      .select(col("lid"), col("rid"))
+    // execute THIS dataset — the metric lives on the exec instance of the
+    // query execution that actually ran
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute expectation, recomputed pairwise (no shortcuts)
+    val rightSeq = (shorts ++ lates)
+    val want = (for {
+      (k, s, e, lid) <- (0 until nProbes).map(i => (1L, 60000L + i, 60050L + i, i.toLong))
+      (bk, bs, be, rid) <- rightSeq
+      if bk == k && s <= be && bs <= e
+    } yield (lid, rid)).toSet
+    assert(got == want, s"prefix cut changed results: got ${got.size}, want ${want.size}")
+    // measured drop: the exec's candidatesScanned metric vs the naive
+    // prefix volume (every probe would visit all 4010 start<=le entries)
+    // QueryStageExec/AdaptiveSparkPlanExec are traversal LEAVES — unwrap
+    // them by hand to reach the exec instance that actually ran
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(q.plan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: allNodes(a.executedPlan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val top = df.queryExecution.executedPlan
+    val execs = allNodes(top).collect {
+      case b: graft.plans.BroadcastIntervalJoinExec => b }
+    assert(execs.nonEmpty, s"broadcast exec not found in executed plan:\n$top")
+    val visited = execs.map(_.metrics("candidatesScanned").value).max
+    val naive = nProbes.toLong * (shorts.size + lates.size)
+    assert(visited > 0, "metric must record the scanned entries")
+    assert(visited * 200 <= naive,
+      s"dead-head cut too weak: visited $visited of naive $naive")
+  }
+
   test("interval exec sweeps deep overlap stacks without quadratic state") {
     import spark.implicits._
     // 200 nested left intervals all overlapping 200 shifted right intervals

@@ -246,6 +246,19 @@ class SimilarityMultimodalSpec extends SparkSpec {
     val sof = good.indexOfSlice(Array(0xFF.toByte, 0xC0.toByte))
     val prog = good.clone(); prog(sof + 1) = 0xC2.toByte
     assert(JpegCodec.decode(prog).isEmpty)
+    // an SOS with an EMPTY payload (len=2) must return None, not throw —
+    // the degrade-never-throw contract on the component-count read
+    val soi = Array(0xFF, 0xD8).map(_.toByte)
+    val emptySos = soi ++ Array(0xFF, 0xDA, 0x00, 0x02).map(_.toByte)
+    assert(JpegCodec.decode(emptySos).isEmpty)
+    // standalone pre-scan markers (TEM 0x01, RSTn 0xD0-D7) carry no length
+    // field; a walk that reads one as length-bearing desyncs and rejects
+    // the otherwise-valid stream that follows
+    val withTem = soi ++ Array(0xFF, 0x01, 0xFF, 0xD3).map(_.toByte) ++ good.drop(2)
+    val Some((tw, th, tpx)) = JpegCodec.decode(withTem)
+    val Some((gw, gh, gpx)) = JpegCodec.decode(good)
+    assert((tw, th) == (gw, gh) && tpx.sameElements(gpx),
+      "TEM/RSTn before the tables must not change the decode")
   }
 
   test("PGM codec: round-trip, comment handling, and exact nearest-neighbour resize") {
