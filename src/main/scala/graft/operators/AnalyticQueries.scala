@@ -886,6 +886,46 @@ object AnalyticQueries extends QueryModule {
     * Ranks are integer-exact on both engines: r_q = ceil(q·n) computed as
     * (n·q% + 99) div 100. Only the nation-level bin aggregation ever sees
     * event volume; the merge and the quantile read run over sketch rows. */
+  /** q191 — ROLLUP revenue cube over (region, nation): the multi-grain
+    * reporting aggregate every curation ledger ends in — per-nation,
+    * per-region subtotal, and grand total in ONE pass, each row tagged
+    * with `grouping_id()` so downstream consumers distinguish a real NULL
+    * group from a subtotal row. This exercises the one Catalyst operator
+    * shape the engine didn't yet cover: `Expand` — rollup multiplies each
+    * input row into one copy per grouping set BEFORE the hash aggregate.
+    * Scale shape: the expansion happens MAP-SIDE and the partial
+    * aggregation collapses it immediately (3 grouping sets × the
+    * (region, nation) grain ≤ 3 × 25 partial rows per task, regardless of
+    * fact volume), so the exchange carries the multi-grain GROUP COUNT,
+    * never 3× the corpus — the reason ROLLUP beats three separate
+    * aggregations + union (one fact scan instead of three, one shuffle of
+    * subtotal-grain rows). Dimensions broadcast (q15's star shape).
+    * Money is exact integer cents (Num.cents). The DuckDB oracle replays
+    * GROUP BY ROLLUP with the standard GROUPING() bit vector — both
+    * engines put the first rollup column in the high bit. */
+  val q191RevenueRollup: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_suppkey"), Num.cents(col("l_extendedprice")).as("v"))
+    val sup = broadcast(Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val nat = broadcast(Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+    val reg = broadcast(Tables.load(s, dir, "region")
+      .select(col("r_regionkey"), col("r_name")))
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name").as("region"), col("n_name").as("nat"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(col("v")).as("revenue_cents"),
+        min(col("v")).as("min_cents"),
+        max(col("v")).as("max_cents"))
+      .select(col("region"), col("nat"), col("gid"), col("n_rows"),
+        col("revenue_cents"), col("min_cents"), col("max_cents"))
+      .orderBy(col("gid"), col("region"), col("nat"))
+  }
+
   val q118QuantileRollup: Q = (s, dir) => {
     val W = 65536L
     val li = Tables.load(s, dir, "lineitem")
@@ -1960,6 +2000,7 @@ object AnalyticQueries extends QueryModule {
     "q159_link_prediction" -> q159LinkPrediction,
     "q160_weighted_median" -> q160WeightedMedian,
     "q118_quantile_rollup" -> q118QuantileRollup,
+    "q191_revenue_rollup" -> q191RevenueRollup,
     "q119_cms_estimate" -> q119CmsEstimate,
     "q122_join_size_estimate" -> q122JoinSizeEstimate,
     "q112_attribution" -> q112Attribution,
@@ -2039,6 +2080,19 @@ object AnalyticQueries extends QueryModule {
         GROUP BY v)"""
 
   def oracles: Map[String, String] = Map(
+    "q191_revenue_rollup" -> """
+      SELECT r.r_name AS region, n.n_name AS nat,
+        CAST(GROUPING(r.r_name, n.n_name) AS BIGINT) AS gid,
+        count(*) AS n_rows,
+        CAST(sum(round(l.l_extendedprice * 100, 0)) AS BIGINT) AS revenue_cents,
+        CAST(min(round(l.l_extendedprice * 100, 0)) AS BIGINT) AS min_cents,
+        CAST(max(round(l.l_extendedprice * 100, 0)) AS BIGINT) AS max_cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY ROLLUP(r.r_name, n.n_name)
+      ORDER BY gid, region, nat""",
     "q189_sssp" -> s"""
       WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
       e0 AS (SELECT x.p a, y.p b, count(*) supp FROM li x JOIN li y

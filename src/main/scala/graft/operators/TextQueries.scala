@@ -831,6 +831,51 @@ object TextQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** q192 — LM QUALITY SCORING FROM A STORED MODEL: train an add-1
+    * smoothed bigram LM on HALF the corpus (even doc_ids — q190's
+    * train/apply split), persist the model as two parquet tables (bigram
+    * counts, unigram counts; vocab size derives from the unigram store),
+    * then score EVERY document — unseen ones included — against the
+    * stored model: mean log-probability over the doc's bigrams,
+    * `ln((c2+1)/(c1+V))` with stored counts defaulting to 0 for n-grams
+    * the model never saw. This is q120/q129's in-corpus LM turned into
+    * the index-once-score-many operator a 100-TB pipeline actually runs:
+    * the model trains once (two vocab²-bounded aggregations), and scoring
+    * is a pure map-side pass — the vocab-sized count tables BROADCAST, so
+    * the corpus-sized bigram stream joins them without a shuffle and the
+    * only exchange is the per-doc rollup. Scores are micro-nats as exact
+    * BIGINT (q129's rounding discipline) so the oracle hash-compares. */
+  val q192LmScoreStored: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    def bigrams(d: DataFrame) = d.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val store = graft.engine.Scratch.dir(s, "q192_lm")
+    bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .write.mode("overwrite").parquet(store + "/bigrams")
+    train.select(explode(col("t")).as("w1")).groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"))
+      .write.mode("overwrite").parquet(store + "/unigrams")
+    val sb = s.read.parquet(store + "/bigrams")
+    val su = s.read.parquet(store + "/unigrams")
+    val vRow = su.agg(count(lit(1)).as("v")) // vocab = stored unigram rows
+    bigrams(docs)
+      .join(broadcast(sb), Seq("w1", "w2"), "left")
+      .join(broadcast(su), Seq("w1"), "left")
+      .crossJoin(broadcast(vRow))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (round(sum(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
+          / count(lit(1)) * 1000000, 0).cast("long") + 10000000L).as("lm_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q186 — SEQUENCE PACKING: assign documents to fixed-capacity training
     * sequences (cap = 256 whitespace tokens) by the greedy
     * close-when-overflow scan every LLM data pipeline runs before writing
@@ -921,6 +966,7 @@ object TextQueries extends QueryModule {
     "q186_seq_packing" -> q186SeqPacking,
     "q169_bpe_merges" -> q169BpeMerges,
     "q190_bpe_apply" -> q190BpeApplyStored,
+    "q192_lm_score_stored" -> q192LmScoreStored,
     "q168_postings_query" -> q168PostingsQuery,
     "q166_postings" -> q166Postings,
     "q120_bigram_lm" -> q120BigramLm,
@@ -974,6 +1020,29 @@ object TextQueries extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q192_lm_score_stored" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      tr AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+      bgt AS (SELECT u.w1, u.w2 FROM (
+        SELECT doc_id,
+          unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS u
+        FROM tr)),
+      c2x AS (SELECT w1, w2, count(*) AS c2 FROM bgt GROUP BY 1, 2),
+      c1x AS (SELECT w1, count(*) AS c1 FROM (
+        SELECT unnest(t) AS w1 FROM tr) GROUP BY 1),
+      vx AS (SELECT count(*) AS v FROM c1x),
+      bga AS (SELECT doc_id, u.w1, u.w2 FROM (
+        SELECT doc_id,
+          unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS u
+        FROM d))
+      SELECT doc_id, count(*) AS n_bigrams,
+        CAST(round(sum(ln((coalesce(c2x.c2, 0) + 1)
+              / CAST(coalesce(c1x.c1, 0) + vx.v AS DOUBLE)))
+            / count(*) * 1000000, 0) AS BIGINT) + 10000000 AS lm_micro
+      FROM bga
+      LEFT JOIN c2x USING (w1, w2)
+      LEFT JOIN c1x USING (w1), vx
+      GROUP BY doc_id ORDER BY doc_id""",
     "q190_bpe_apply" -> s"""
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       s0 AS (SELECT doc_id, u.pos, u.tok FROM (

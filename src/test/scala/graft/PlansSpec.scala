@@ -303,6 +303,26 @@ class PlansSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("q191 rollup rides Expand + partial agg; q192 scores through broadcast joins only") {
+    // rollup's Expand multiplies rows map-side; the partial HashAggregate
+    // must collapse the multi-grain copies BEFORE the exchange (the whole
+    // reason ROLLUP beats three aggregations + union), and the star
+    // dimensions broadcast
+    val p191 = planString(graft.operators.AnalyticQueries.q191RevenueRollup(spark, sfDir))
+    assert(p191.contains("Expand"), s"rollup must plan Expand:\n${p191.take(1200)}")
+    assert(p191.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      "expected partial+final HashAggregate around the expand")
+    assert(p191.contains("BroadcastHashJoin") && !p191.contains("SortMergeJoin"))
+    // q192's scoring pass: the corpus-sized bigram stream joins the stored
+    // vocab-sized count tables via broadcast — a sort-merge join here would
+    // shuffle the whole corpus per scoring run
+    val p192 = planString(graft.operators.TextQueries.q192LmScoreStored(spark, sfDir))
+    assert(p192.contains("BroadcastHashJoin"),
+      s"stored-model joins must broadcast:\n${p192.take(1200)}")
+    assert(!p192.contains("SortMergeJoin"),
+      "the bigram stream must never shuffle against the model store")
+  }
+
   test("AQE skew-join split actually engages on a skewed join (and results match)") {
     // the reference's partition-range reader API exists to serve AQE skew
     // splits (RemoteShuffleManager.scala:91-110); config alone proves
