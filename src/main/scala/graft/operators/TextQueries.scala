@@ -845,26 +845,34 @@ object TextQueries extends QueryModule {
     * the corpus-sized bigram stream joins them without a shuffle and the
     * only exchange is the per-doc rollup. Scores are micro-nats as exact
     * BIGINT (q129's rounding discipline) so the oracle hash-compares. */
-  val q192LmScoreStored: Q = (s, dir) => {
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-    def bigrams(d: DataFrame) = d.filter(size(col("t")) >= 2)
+  /** (doc_id, w1, w2) adjacent-bigram stream of a (doc_id, t) corpus;
+    * docs with < 2 tokens contribute nothing (no bigram to score). */
+  private[graft] def docBigrams(d: DataFrame): DataFrame =
+    d.filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
         .as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val train = docs.filter(col("doc_id") % 2 === 0)
-    val store = graft.engine.Scratch.dir(s, "q192_lm")
-    bigrams(train).groupBy(col("w1"), col("w2"))
+
+  /** Train the q192 model over a (doc_id, t) corpus: write the bigram and
+    * unigram count tables under `store` (the persisted LM). */
+  private[graft] def lmTrain(train: DataFrame, store: String): Unit = {
+    docBigrams(train).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
       .write.mode("overwrite").parquet(store + "/bigrams")
     train.select(explode(col("t")).as("w1")).groupBy(col("w1"))
       .agg(count(lit(1)).as("c1"))
       .write.mode("overwrite").parquet(store + "/unigrams")
-    val sb = s.read.parquet(store + "/bigrams")
-    val su = s.read.parquet(store + "/unigrams")
+  }
+
+  /** Score a (doc_id, t) corpus against stored count tables: mean add-1
+    * log-prob per doc, micro-nat BIGINT (q129's rounding). Map-side pure —
+    * the vocab-sized stores broadcast; only the per-doc rollup exchanges.
+    * Shared verbatim by batch q192 and the streaming per-batch scorer. */
+  private[graft] def lmScore(docs: DataFrame, sb: DataFrame,
+      su: DataFrame): DataFrame = {
     val vRow = su.agg(count(lit(1)).as("v")) // vocab = stored unigram rows
-    bigrams(docs)
+    docBigrams(docs)
       .join(broadcast(sb), Seq("w1", "w2"), "left")
       .join(broadcast(su), Seq("w1"), "left")
       .crossJoin(broadcast(vRow))
@@ -873,6 +881,15 @@ object TextQueries extends QueryModule {
         (round(sum(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
             (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
           / count(lit(1)) * 1000000, 0).cast("long") + 10000000L).as("lm_micro"))
+  }
+
+  val q192LmScoreStored: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val store = graft.engine.Scratch.dir(s, "q192_lm")
+    lmTrain(docs.filter(col("doc_id") % 2 === 0), store)
+    lmScore(docs, s.read.parquet(store + "/bigrams"),
+        s.read.parquet(store + "/unigrams"))
       .orderBy(col("doc_id"))
   }
 

@@ -444,6 +444,33 @@ object StreamOps {
       }
   }
 
+  /** STREAMING LM quality gate over the stored model (q192's twin): each
+    * micro-batch of (doc_id, text) documents scores against the persisted
+    * bigram/unigram count tables — [[graft.operators.TextQueries.lmScore]]
+    * verbatim, so stream and batch scores are bit-identical — and lands
+    * under its own `ingest_batch` partition in the score store (dynamic
+    * overwrite: an at-least-once replay rewrites its partition instead of
+    * duplicating, the q81/q121 discipline). The model is STATIC, so the
+    * operator is stateless — no watermark, no state store, executor memory
+    * flat over an unbounded stream; re-reading the store per batch picks
+    * up a retrained model on the next batch for free (file-source replan,
+    * the [[enrichWithDim]] property). `batchIdBase` contract as
+    * [[incrementalDedupStream]]: with a checkpoint, ids continue
+    * monotonically and the base stays 0. */
+  def lmScoreStream(docs: DataFrame, lmStorePath: String, scoresPath: String,
+      batchIdBase: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      graft.operators.TextQueries.lmScore(
+          batch.select(col("doc_id"), split(col("text"), " ").as("t")),
+          s.read.parquet(lmStorePath + "/bigrams"),
+          s.read.parquet(lmStorePath + "/unigrams"))
+        .withColumn("ingest_batch", lit(batchIdBase + batchId))
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .option("partitionOverwriteMode", "dynamic").parquet(scoresPath)
+      ()
+    }.start()
+
   /** Streaming twin of q186's shard-local greedy sequence packing — the
     * CONTINUOUS shard writer: as documents arrive they append to their
     * shard's open training sequence, closing it when the next doc would

@@ -682,6 +682,39 @@ class StatefulStreamingSpec extends SparkSpec {
     graft.engine.Sessions.releasePinned(spark)
   }
 
+  test("streaming LM scoring from the stored model equals batch q192 over all batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = graft.engine.Tables.load(spark, sfDir01, "documents")
+      .select(col("doc_id"), col("text"))
+    val toks = docsDf.select(col("doc_id"), split(col("text"), " ").as("t"))
+    // train the model ONCE on the even half (q192's split), persisted
+    val dir = java.nio.file.Files.createTempDirectory("graft_lmstream").toString
+    graft.operators.TextQueries.lmTrain(
+      toks.filter(col("doc_id") % 2 === 0), s"$dir/lm")
+    // stream the FULL corpus in 3 batches through the stateless scorer
+    val docs = docsDf.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val parts = docs.grouped((docs.size + 2) / 3).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.lmScoreStream(stream.toDF().toDF("doc_id", "text"),
+      s"$dir/lm", s"$dir/scores")
+    parts.foreach { p => stream.addData(p); q.processAllAvailable() }
+    q.stop()
+    val got = spark.read.parquet(s"$dir/scores")
+      .select(col("doc_id"), col("n_bigrams"), col("lm_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.operators.TextQueries.lmScore(toks,
+        spark.read.parquet(s"$dir/lm/bigrams"),
+        spark.read.parquet(s"$dir/lm/unigrams"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"stream scores diverged: ${got.size} vs ${want.size}")
+    assert(got.nonEmpty)
+    // replay idempotence: re-scoring batch partitions is an overwrite, so
+    // each doc appears exactly once in the store
+    assert(got.size == got.map(_._1).size)
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("streaming sequence packing equals batch q186 across micro-batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
