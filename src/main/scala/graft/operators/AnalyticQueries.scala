@@ -926,6 +926,46 @@ object AnalyticQueries extends QueryModule {
       .orderBy(col("gid"), col("region"), col("nat"))
   }
 
+  /** q193 — PIVOT (long → wide): revenue cents per returnflag with one
+    * column per linestatus — the reshape every reporting sink wants.
+    * Pivot values are passed EXPLICITLY (`Seq("F", "O")`): Spark's
+    * values-omitted form runs a driver-side distinct collect to discover
+    * the columns before planning — fine on a dimension, a full extra job
+    * on 100 TB of facts, and a nondeterministic schema besides. With
+    * values given, pivot plans as one ordinary partial/final aggregate
+    * whose buffer holds the 2 pivoted sums per group: one shuffle of
+    * (group × pivot-width) rows, no extra pass. A (flag, status) pair
+    * with no rows stays NULL in both engines (the oracle's conditional
+    * aggregation replays the reshape exactly). */
+  val q193Pivot: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_linestatus"),
+        Num.cents(col("l_extendedprice")).as("cents"))
+      .groupBy(col("flag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("cents")))
+      .select(col("flag"), col("F").as("f_cents"), col("O").as("o_cents"))
+      .orderBy(col("flag"))
+
+  /** q194 — UNPIVOT (wide → long, `Dataset.unpivot` / melt): the inverse
+    * reshape — a wide per-priority metrics row becomes (prio, metric,
+    * value) triples, the shape metric stores and plotting layers ingest.
+    * Unpivot is a pure MAP-SIDE Expand (one input row → one output row per
+    * metric column, no shuffle of its own); the only exchange here is the
+    * upstream aggregate that built the wide frame. Metric columns must
+    * share a least-common type — all exact BIGINT here, which is also what
+    * keeps the oracle hash-stable. */
+  val q194Unpivot: Q = (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(sum(Num.cents(col("o_totalprice"))).as("revenue_cents"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+      .unpivot(Array(col("prio")),
+        Array(col("revenue_cents"), col("n_orders"), col("n_custs")),
+        "metric", "value")
+      .orderBy(col("prio"), col("metric"))
+
   val q118QuantileRollup: Q = (s, dir) => {
     val W = 65536L
     val li = Tables.load(s, dir, "lineitem")
@@ -2001,6 +2041,8 @@ object AnalyticQueries extends QueryModule {
     "q160_weighted_median" -> q160WeightedMedian,
     "q118_quantile_rollup" -> q118QuantileRollup,
     "q191_revenue_rollup" -> q191RevenueRollup,
+    "q193_pivot" -> q193Pivot,
+    "q194_unpivot" -> q194Unpivot,
     "q119_cms_estimate" -> q119CmsEstimate,
     "q122_join_size_estimate" -> q122JoinSizeEstimate,
     "q112_attribution" -> q112Attribution,
@@ -2080,6 +2122,23 @@ object AnalyticQueries extends QueryModule {
         GROUP BY v)"""
 
   def oracles: Map[String, String] = Map(
+    "q193_pivot" -> """
+      SELECT l_returnflag AS flag,
+        CAST(sum(CASE WHEN l_linestatus = 'F'
+          THEN round(l_extendedprice * 100, 0) END) AS BIGINT) AS f_cents,
+        CAST(sum(CASE WHEN l_linestatus = 'O'
+          THEN round(l_extendedprice * 100, 0) END) AS BIGINT) AS o_cents
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q194_unpivot" -> """
+      WITH w AS (SELECT o_orderpriority AS prio,
+        CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS revenue_cents,
+        count(*) AS n_orders,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        FROM orders GROUP BY 1)
+      SELECT prio, 'revenue_cents' AS metric, revenue_cents AS value FROM w
+      UNION ALL SELECT prio, 'n_orders', n_orders FROM w
+      UNION ALL SELECT prio, 'n_custs', n_custs FROM w
+      ORDER BY prio, metric""",
     "q191_revenue_rollup" -> """
       SELECT r.r_name AS region, n.n_name AS nat,
         CAST(GROUPING(r.r_name, n.n_name) AS BIGINT) AS gid,

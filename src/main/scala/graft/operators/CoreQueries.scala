@@ -106,6 +106,30 @@ object CoreQueries extends QueryModule {
     u.crossJoin(i).crossJoin(e)
   }
 
+  /** q195 — MULTISET set operations (EXCEPT ALL / INTERSECT ALL): the
+    * duplicate-sensitive completion of q07's distinct-semantics family.
+    * `exceptAll` keeps max(0, n_left − n_right) copies per row and
+    * `intersectAll` min(n_left, n_right) — the semantics that matter when
+    * the row IS an occurrence (supplier shipments here: "shipments of
+    * returned lines beyond those of clean lines" is a bag difference, not
+    * a membership test). Catalyst rewrites both into a counted aggregate +
+    * replicate-generate (RewriteExceptAll/RewriteIntersectAll) — ONE
+    * shuffle on the row value, no join — and the per-key rollup collapses
+    * the replicated rows right back map-side. DuckDB runs the literal
+    * EXCEPT ALL / INTERSECT ALL. */
+  val q195MultisetSetOps: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+    val a = li.filter(col("l_returnflag") === "A").select(col("l_suppkey"))
+    val r = li.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+    val ex = a.exceptAll(r).groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val in = a.intersectAll(r).groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    ex.union(in).select(col("op"), col("l_suppkey").cast("long").as("suppkey"),
+        col("n"))
+      .orderBy(col("op"), col("suppkey"))
+  }
+
   /** q08 — groupBy().sum() SQL-path shape the reference tests end-to-end with
     * AQE coalescing (RemoteShuffleManagerSuite.scala:180-191). */
   val q08GroupBySum: Q = (s, dir) =>
@@ -550,6 +574,7 @@ object CoreQueries extends QueryModule {
       .orderBy(col("shard"))
 
   def queries: Map[String, Q] = Map(
+    "q195_multiset_setops" -> q195MultisetSetOps,
     "q163_table_digest"   -> q163TableDigest,
     "q110_key_skew"       -> q110KeySkew,
     "q109_mixture_sample" -> q109MixtureSample,
@@ -574,6 +599,17 @@ object CoreQueries extends QueryModule {
     "q10_cogroup"        -> q10Cogroup)
 
   def oracles: Map[String, String] = Map(
+    "q195_multiset_setops" -> """
+      WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'),
+      r AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+      ex AS (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM r),
+      inx AS (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM r)
+      SELECT 'except_all' AS op, CAST(l_suppkey AS BIGINT) AS suppkey,
+        count(*) AS n FROM ex GROUP BY 2
+      UNION ALL
+      SELECT 'intersect_all', CAST(l_suppkey AS BIGINT), count(*)
+      FROM inx GROUP BY 2
+      ORDER BY op, suppkey""",
     "q163_table_digest" -> """
       WITH r AS (
         SELECT o_orderkey,

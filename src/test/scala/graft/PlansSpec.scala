@@ -323,6 +323,24 @@ class PlansSpec extends SparkSpec {
       "the bigram stream must never shuffle against the model store")
   }
 
+  test("q193/q194/q195 reshape family keeps one-exchange, join-free shapes") {
+    // pivot with explicit values = one ordinary partial/final aggregate
+    // (no driver-side value-discovery job, no join)
+    val p193 = planString(graft.operators.AnalyticQueries.q193Pivot(spark, sfDir))
+    assert(p193.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      s"pivot must plan partial+final aggregation:\n${p193.take(1200)}")
+    assert(!p193.contains("Join"), "pivot must not join")
+    // unpivot is a map-side Expand — no shuffle of its own
+    val p194 = planString(graft.operators.AnalyticQueries.q194Unpivot(spark, sfDir))
+    assert(p194.contains("Expand"), s"unpivot must plan Expand:\n${p194.take(1200)}")
+    // exceptAll/intersectAll rewrite to counted aggregate + replicate
+    // generate — one shuffle on the row value, never a join
+    val p195 = planString(graft.operators.CoreQueries.q195MultisetSetOps(spark, sfDir))
+    assert(p195.contains("Generate"),
+      s"multiset ops must plan the replicate-rows generate:\n${p195.take(1200)}")
+    assert(!p195.contains("Join"), "multiset ops must not plan a join")
+  }
+
   test("AQE skew-join split actually engages on a skewed join (and results match)") {
     // the reference's partition-range reader API exists to serve AQE skew
     // splits (RemoteShuffleManager.scala:91-110); config alone proves
