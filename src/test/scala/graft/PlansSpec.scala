@@ -138,6 +138,36 @@ class PlansSpec extends SparkSpec {
       s"bucketed join should not shuffle, found: ${shuffles.map(_.nodeName)}")
   }
 
+  test("native as-of join over bucketed tables plans zero shuffle exchanges") {
+    // the operator scaladoc claims EnsureRequirements inserts exchanges
+    // "or none, if bucketing already satisfies them" — pin that: both
+    // sides bucketed on the join key with equal bucket counts must feed
+    // AsOfJoinExec with NO ShuffleExchange (sorts on (key, time) remain,
+    // exactly like bucketed-but-unsorted SMJ). This is the 100-TB as-of
+    // story: bucket the fact and version tables once, pay zero exchanges
+    // on every subsequent as-of run.
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_bkt_asof").toString
+    spark.sql("DROP TABLE IF EXISTS b_facts"); spark.sql("DROP TABLE IF EXISTS b_vers")
+    (0 until 5000).map(i => (i.toLong % 97, i.toLong * 10))
+      .toDF("k", "t")
+      .write.bucketBy(8, "k").option("path", s"$wh/facts").saveAsTable("b_facts")
+    (0 until 1000).map(j => (j.toLong % 97, j.toLong * 40))
+      .toDF("rk", "rt")
+      .write.bucketBy(8, "rk").option("path", s"$wh/vers").saveAsTable("b_vers")
+    val df = graft.plans.AsOf.join(spark.table("b_facts"), spark.table("b_vers"),
+      Seq("k" -> "rk"), "t", "rt", broadcast = Some(false))
+    assert(df.collect().length == 5000)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.isEmpty,
+      s"bucketed as-of must not shuffle, found: ${shuffles.map(_.nodeName)}")
+    assert(plan.toString.contains("AsOfJoin"), "merge exec expected")
+  }
+
   test("AQE actually coalesces post-shuffle partitions (not just enabled)") {
     // the reference asserts the post-shuffle partition count really shrank
     // (RemoteShuffleManagerSuite.scala:186-191) — config alone proves
