@@ -96,6 +96,10 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
   override def outputOrdering: Seq[SortOrder] =
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -113,6 +117,7 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     val isStrict = strict
     val tol = tolerance
     val keyTypes = leftKeys.map(_.dataType)
+    val numOutput = longMetric("numOutputRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
@@ -177,6 +182,7 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
           val matched = lt != null && candidate != null &&
             candidateKey != null && keyOrd.compare(candidateKey, lk) == 0 &&
             tol.forall(lt.asInstanceOf[Long] - candidateTime <= _)
+          numOutput += 1
           resultProj(joined(l, if (matched) candidate else nullRight))
         }
       }
@@ -216,7 +222,12 @@ case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
   override def outputPartitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutput = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
     // the result projection needs nullability WIDENED on both ends: the
@@ -278,6 +289,7 @@ case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
               matched = buf(ans)._2
           }
         }
+        numOutput += 1
         resultProj(joined(l, if (matched != null) matched else nullRight))
       }
     }, preservesPartitioning = true)

@@ -108,6 +108,10 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftStart, Ascending),
     rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightStart, Ascending))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -122,6 +126,7 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
     val rKeyExprs = rightKeys
     val lS = leftStart; val lE = leftEnd; val rS = rightStart; val rE = rightEnd
     val keyTypes = leftKeys.map(_.dataType)
+    val numOutput = longMetric("numOutputRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
@@ -297,7 +302,7 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
           if (pending.isEmpty && !flushed) { flushLeft(); flushed = true }
           !pending.isEmpty
         }
-        override def next(): InternalRow = pending.pollFirst()
+        override def next(): InternalRow = { numOutput += 1; pending.pollFirst() }
       }
     }
   }
@@ -353,6 +358,8 @@ case class BroadcastIntervalJoinExec(leftKeys: Seq[Expression],
   // scanned = prefix entries actually visited per probe AFTER the dead-head
   // cut; the spec pins the cut's effect against the naive prefix length
   override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
     "candidatesScanned" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "candidate prefix entries scanned"))
 
@@ -371,6 +378,7 @@ case class BroadcastIntervalJoinExec(leftKeys: Seq[Expression],
     val lS = leftStart; val lE = leftEnd; val rS = rightStart; val rE = rightEnd
     val mode = joinType
     val scanned = longMetric("candidatesScanned")
+    val numOutput = longMetric("numOutputRows")
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions({ lIter =>
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
@@ -451,7 +459,7 @@ case class BroadcastIntervalJoinExec(leftKeys: Seq[Expression],
               if (ans >= j0) scanned += (ans - j0 + 1)
               (j0 to ans).iterator.filter(i => buf(i)._2 >= ls).map(i => buf(i)._3)
             }
-          mode match {
+          val out: Iterator[InternalRow] = mode match {
             case "inner" => matches.map(r => resultProj(joined(l, r)))
             case "left_outer" =>
               if (matches.hasNext) matches.map(r => resultProj(joined(l, r)))
@@ -461,6 +469,7 @@ case class BroadcastIntervalJoinExec(leftKeys: Seq[Expression],
             case _ => // left_anti
               if (matches.hasNext) Iterator.empty else Iterator.single(l)
           }
+          out.map { r => numOutput += 1; r }
         }
       }
     }, preservesPartitioning = true)
