@@ -303,6 +303,18 @@ class PlansSpec extends SparkSpec {
     assert(asof.rdd.getNumPartitions <
         spark.conf.get("spark.sql.shuffle.partitions").toInt,
       "coalescing must really shrink the post-shuffle partition count")
+    // same mechanism on the interval exec (identical ClusteredDistribution)
+    val la = spark.range(0, 20000).select(pmod(col("id"), lit(97)).as("k"),
+      (col("id") * lit(5)).as("s"), (col("id") * lit(5) + 9).as("e"))
+    val rb = spark.range(0, 5000).select(pmod(col("id"), lit(97)).as("bk"),
+      (col("id") * lit(20)).as("bs"), (col("id") * lit(20) + 9).as("be"))
+    val ivl = graft.plans.IntervalJoin.join(la, rb, Seq("k" -> "bk"),
+      "s", "e", "bs", "be", "left_semi", broadcast = Some(false))
+    assert(ivl.collect().nonEmpty)
+    val pi = ivl.queryExecution.executedPlan.toString
+    assert(pi.contains("IntervalJoin") && !pi.contains("BroadcastIntervalJoin"))
+    assert(pi.contains("AQEShuffleRead coalesced"),
+      s"AQE did not coalesce the interval exec's exchanges:\n${pi.take(2000)}")
     // (b) WHAT DOES NOT: OptimizeSkewedJoin pattern-matches SMJ/SHJ only —
     // a hot key through the native exec keeps its straggler partition even
     // with skew thresholds floored (the honest 100-TB caveat the operator
