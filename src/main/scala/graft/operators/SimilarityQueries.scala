@@ -969,7 +969,139 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** q198 — RANDOM-PROJECTION (Johnson–Lindenstrauss) ANN with recall
+    * audit: project the 64-dim corpus to 16 dims through a deterministic
+    * ±1 sign matrix (Achlioptas 2003's database-friendly JL variant —
+    * sign(b) from the portable md5 hash of "jl:i:j", so BOTH engines
+    * derive the identical matrix with no stored artifact), run the brute
+    * top-10 in the PROJECTED space, and mark each hit against the exact
+    * top-10 (q55's truth) — the recall audit a pipeline runs before
+    * trusting a cheaper index. Every projected component is an exact
+    * BIGINT (±1 × integer-millionth components, |p_i| ≤ 64e6, dot ≤
+    * 6.6e16 — overflow-safe), so cosines are the usual deterministic
+    * double over exact ints.
+    *
+    * Shape at 100 TB: the matrix is 16×64 LITERALS broadcast once;
+    * projection is pure map-side array arithmetic at the scan (a 4×
+    * narrower vector into every downstream exchange/index — the point of
+    * JL), and the audit joins two per-query top-10 lists. The projected
+    * column is what q57/q117/q187's index family would ingest; this query
+    * IS the measurement that says whether 16 dims kept enough recall. */
+  val q198KnnJl: Q = (s, dir) => {
+    val e = quantized(s, dir)
+    val signs = s.range(16).select(col("id").as("i"))
+      .crossJoin(s.range(64).select(col("id").as("j")))
+      .withColumn("sgn", when(expr(
+        "CAST(conv(substring(md5(concat('jl:', i, ':', j)), 1, 15), 16, 10) AS BIGINT) % 2 = 0"),
+        lit(1L)).otherwise(lit(-1L)))
+    val mat = broadcast(signs
+      .groupBy(col("i"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, sgn))), x -> x.sgn)").as("r"))
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(i, r))), x -> x.r)").as("mat")))
+    val proj = e.crossJoin(mat)
+      .withColumn("p", expr(
+        """transform(mat, r -> aggregate(zip_with(r, q, (a, b) -> a * b),
+          |CAST(0 AS BIGINT), (acc, x) -> acc + x))""".stripMargin))
+      .withColumn("pn2", expr("dot_long(p, p)"))
+      .select(col("vec_id"), col("p"), col("pn2"))
+    val queries = broadcast(proj.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("p").as("pq"), col("pn2").as("qn2")))
+    val corpus = proj.select(col("vec_id").as("cid"), col("p").as("pc"),
+      col("pn2").as("cn2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosp").desc, col("cid"))
+    val jl = queries.join(corpus, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (expr("dot_long(pq, pc)") / (sqrt(col("qn2")) * sqrt(col("cn2")))).as("cosp"))
+      .select(col("qid"), col("cid"), col("cosp"),
+        row_number().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 10)
+    val exact = q55KnnBrute(s, dir)
+      .select(col("qid"), col("cid"), lit(1L).as("in_exact"))
+    jl.join(exact, Seq("qid", "cid"), "left")
+      .select(col("qid"), col("rnk"), col("cid"), col("cosp"),
+        coalesce(col("in_exact"), lit(0L)).as("in_exact"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** q199 — MMR DIVERSIFIED RERANK (Maximal Marginal Relevance, Carbonell
+    * & Goldstein, SIGIR 1998): from each query's exact top-10 (q55's
+    * candidate list), greedily select 3 results maximizing
+    * λ·rel(c) − (1−λ)·max_{p∈picked} sim(c,p) with λ = 0.7 — the
+    * standard redundancy-removal step between retrieval and a training /
+    * RAG consumer, which plain top-k lacks (its hits cluster). The greedy
+    * argmax is UNROLLED into 3 fixed rounds (the q189 relaxation-layer
+    * discipline): round 1 is the rel-argmax, each later round joins the
+    * remaining candidates to the picked set's pairwise-similarity rows
+    * and takes the windowed top-1. rel and sim are the usual
+    * deterministic doubles over exact-integer dots; ordering ties break
+    * on cid, and scores surface as integer micros.
+    *
+    * Shape at 100 TB: candidate generation is the already-scaled
+    * retrieval operator; everything after it touches only 5 queries ×
+    * 10 candidates — the k×k similarity frame and every round-join are
+    * broadcast-sized and CORPUS-INDEPENDENT, so reranking cost is O(k²)
+    * per query no matter how big the corpus that produced the
+    * candidates. Fixed unroll depth = fixed plan depth, no iteration. */
+  val q199MmrRerank: Q = (s, dir) => {
+    val e = quantized(s, dir)
+    val queries = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2")))
+    val wRel = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))
+    val cand = queries
+      .join(e.select(col("vec_id").as("cid"), col("q").as("qc"),
+        col("n2").as("cn2")), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qc"), col("cn2"),
+        (expr("dot_long(qq, qc)") / (sqrt(col("qn2")) * sqrt(col("cn2")))).as("rel"))
+      .withColumn("rnk", row_number().over(wRel))
+      .filter(col("rnk") <= 10)
+    val simsA = cand.select(col("qid"), col("cid").as("ca"),
+      col("qc").as("va"), col("cn2").as("na"))
+    val simsB = cand.select(col("qid"), col("cid").as("cb"),
+      col("qc").as("vb"), col("cn2").as("nb"))
+    val sims = simsA.join(broadcast(simsB), Seq("qid"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("qid"), col("ca"), col("cb"),
+        (expr("dot_long(va, vb)") / (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
+    val p1 = cand.filter(col("rnk") === 1)
+      .select(col("qid"), col("cid").as("pc1"), col("rel").as("mmr1"))
+    val wMmr = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("cid"))
+    val s1 = sims.select(col("qid").as("sq1"), col("ca").as("ca1"),
+      col("cb").as("cb1"), col("sim").as("sim1"))
+    val s2 = sims.select(col("qid").as("sq2"), col("ca").as("ca2"),
+      col("cb").as("cb2"), col("sim").as("sim2"))
+    val r2 = cand.select(col("qid"), col("cid"), col("rel"))
+      .join(broadcast(p1), Seq("qid"))
+      .filter(col("cid") =!= col("pc1"))
+      .join(broadcast(s1), col("sq1") === col("qid") &&
+        col("ca1") === col("cid") && col("cb1") === col("pc1"))
+      .select(col("qid"), col("cid"), expr("0.7 * rel - 0.3 * sim1").as("mmr"))
+    val p2 = r2.withColumn("rk", row_number().over(wMmr)).filter(col("rk") === 1)
+      .select(col("qid"), col("cid").as("pc2"), col("mmr").as("mmr2"))
+    val r3 = cand.select(col("qid"), col("cid"), col("rel"))
+      .join(broadcast(p1), Seq("qid")).join(broadcast(p2), Seq("qid"))
+      .filter(col("cid") =!= col("pc1") && col("cid") =!= col("pc2"))
+      .join(broadcast(s1), col("sq1") === col("qid") &&
+        col("ca1") === col("cid") && col("cb1") === col("pc1"))
+      .join(broadcast(s2), col("sq2") === col("qid") &&
+        col("ca2") === col("cid") && col("cb2") === col("pc2"))
+      .select(col("qid"), col("cid"),
+        expr("0.7 * rel - 0.3 * greatest(sim1, sim2)").as("mmr"))
+    val p3 = r3.withColumn("rk", row_number().over(wMmr)).filter(col("rk") === 1)
+      .select(col("qid"), col("cid").as("pc3"), col("mmr").as("mmr3"))
+    val micro = (c: org.apache.spark.sql.Column) =>
+      round(c * 1000000, 0).cast("long").as("mmr_micro")
+    p1.select(col("qid"), lit(1L).as("pick"), col("pc1").as("cid"), micro(col("mmr1")))
+      .unionByName(p2.select(col("qid"), lit(2L).as("pick"),
+        col("pc2").as("cid"), micro(col("mmr2"))))
+      .unionByName(p3.select(col("qid"), lit(3L).as("pick"),
+        col("pc3").as("cid"), micro(col("mmr3"))))
+      .orderBy(col("qid"), col("pick"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q199_mmr_rerank" -> q199MmrRerank,
+    "q198_knn_jl" -> q198KnnJl,
     "q144_centroid_similarity" -> q144CentroidSimilarity,
     "q117_knn_sq8" -> q117KnnSq8,
     "q187_knn_ivf_pq" -> q187KnnIvfPq,
@@ -1446,6 +1578,97 @@ object SimilarityQueries extends QueryModule {
           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
         FROM scored)
       SELECT * FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "q199_mmr_rerank" -> s"""
+      WITH $duckQuant,
+      scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid, b.qv AS qc, b.n2 AS cn2,
+          CAST(list_sum([a.qv[k] * b.qv[k] for k in range(1, len(a.qv)+1)]) AS BIGINT)
+            / (sqrt(a.n2) * sqrt(b.n2)) AS rel
+        FROM n a JOIN n b ON a.vec_id < 5 AND a.vec_id != b.vec_id),
+      cand AS (
+        SELECT * FROM (
+          SELECT qid, cid, qc, cn2, rel,
+            row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rnk
+          FROM scored) WHERE rnk <= 10),
+      sims AS (
+        SELECT a.qid, a.cid AS ca, b.cid AS cb,
+          CAST(list_sum([a.qc[k] * b.qc[k] for k in range(1, len(a.qc)+1)]) AS BIGINT)
+            / (sqrt(a.cn2) * sqrt(b.cn2)) AS sim
+        FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid != b.cid),
+      p1 AS (SELECT qid, cid AS pc1, rel AS mmr1 FROM cand WHERE rnk = 1),
+      r2 AS (
+        SELECT c.qid, c.cid, 0.7 * c.rel - 0.3 * s.sim AS mmr
+        FROM cand c
+        JOIN p1 ON c.qid = p1.qid AND c.cid != p1.pc1
+        JOIN sims s ON s.qid = c.qid AND s.ca = c.cid AND s.cb = p1.pc1),
+      p2 AS (
+        SELECT qid, cid AS pc2, mmr AS mmr2 FROM (
+          SELECT qid, cid, mmr,
+            row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, cid) AS rk
+          FROM r2) WHERE rk = 1),
+      r3 AS (
+        SELECT c.qid, c.cid, 0.7 * c.rel - 0.3 * greatest(s1.sim, s2.sim) AS mmr
+        FROM cand c
+        JOIN p1 ON c.qid = p1.qid
+        JOIN p2 ON c.qid = p2.qid
+        JOIN sims s1 ON s1.qid = c.qid AND s1.ca = c.cid AND s1.cb = p1.pc1
+        JOIN sims s2 ON s2.qid = c.qid AND s2.ca = c.cid AND s2.cb = p2.pc2
+        WHERE c.cid != p1.pc1 AND c.cid != p2.pc2),
+      p3 AS (
+        SELECT qid, cid AS pc3, mmr AS mmr3 FROM (
+          SELECT qid, cid, mmr,
+            row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, cid) AS rk
+          FROM r3) WHERE rk = 1)
+      SELECT qid, pick, cid, mmr_micro FROM (
+        SELECT qid, CAST(1 AS BIGINT) AS pick, pc1 AS cid,
+          CAST(round(mmr1 * 1000000, 0) AS BIGINT) AS mmr_micro FROM p1
+        UNION ALL
+        SELECT qid, CAST(2 AS BIGINT), pc2,
+          CAST(round(mmr2 * 1000000, 0) AS BIGINT) FROM p2
+        UNION ALL
+        SELECT qid, CAST(3 AS BIGINT), pc3,
+          CAST(round(mmr3 * 1000000, 0) AS BIGINT) FROM p3)
+      ORDER BY qid, pick""",
+    "q198_knn_jl" -> s"""
+      WITH $duckQuant,
+      sg AS (
+        SELECT i, j,
+          CASE WHEN ('0x' || substr(md5('jl:' || i || ':' || j), 1, 15))::BIGINT % 2 = 0
+               THEN 1 ELSE -1 END AS sgn
+        FROM range(16) t1(i), range(64) t2(j)),
+      rws AS (SELECT i, list(sgn ORDER BY j) AS r FROM sg GROUP BY i),
+      matx AS (SELECT list(r ORDER BY i) AS mat FROM rws),
+      pn AS (
+        SELECT vec_id, p, CAST(list_sum([x * x for x in p]) AS BIGINT) AS pn2
+        FROM (
+          SELECT vec_id,
+            [CAST(list_sum([mat[i+1][j+1] * qv[j+1] for j in range(64)]) AS BIGINT)
+             for i in range(16)] AS p
+          FROM n, matx)),
+      scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+          CAST(list_sum([a.p[k] * b.p[k] for k in range(1, len(a.p)+1)]) AS BIGINT)
+            / (sqrt(a.pn2) * sqrt(b.pn2)) AS cosp
+        FROM pn a JOIN pn b ON a.vec_id < 5 AND a.vec_id != b.vec_id),
+      jl AS (
+        SELECT qid, cid, cosp, CAST(rnk AS BIGINT) AS rnk FROM (
+          SELECT qid, cid, cosp,
+            row_number() OVER (PARTITION BY qid ORDER BY cosp DESC, cid) AS rnk
+          FROM scored) WHERE rnk <= 10),
+      escored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+          CAST(list_sum([a.qv[k] * b.qv[k] for k in range(1, len(a.qv)+1)]) AS BIGINT)
+            / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+        FROM n a JOIN n b ON a.vec_id < 5 AND a.vec_id != b.vec_id),
+      exact AS (
+        SELECT qid, cid, 1 AS in_exact FROM (
+          SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+          FROM escored) WHERE rnk <= 10)
+      SELECT jl.qid, jl.rnk, jl.cid, jl.cosp,
+        CAST(coalesce(exact.in_exact, 0) AS BIGINT) AS in_exact
+      FROM jl LEFT JOIN exact ON jl.qid = exact.qid AND jl.cid = exact.cid
+      ORDER BY jl.qid, jl.rnk""",
     "q55_knn_brute" -> s"""
       WITH $duckQuant,
       scored AS (

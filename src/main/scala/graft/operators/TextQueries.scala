@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryModule
 import graft.engine.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -230,6 +230,30 @@ object TextQueries extends QueryModule {
   private def bm25ScoreSql: String =
     s"CAST(round((${bm25Terms.map(bm25ContribSql).mkString(" + ")}) * 1000000) AS BIGINT)"
 
+  /** DuckDB twin of [[bm25ScoredFrame]]'s inputs: tokenize, pivot the query
+    * terms' tf per matching doc, and the df/N/Σdl stat frames — shared by
+    * the q95 and q196 oracles so both replay the ONE scorer. */
+  private def duckBm25Ctes: String = {
+    val inList = bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val tfCols = bm25Terms.map(t =>
+      s"NULLIF(count(*) FILTER (x.t = '$t'), 0) AS tf_$t").mkString(",\n          ")
+    val dfCols = bm25Terms.map(t => s"count(tf_$t) AS df_$t").mkString(", ")
+    s"""d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        FROM documents),
+      docs AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+      toksx AS (SELECT doc_id, unnest(toks) AS t FROM d),
+      tfp AS (
+        SELECT x.doc_id, any_value(dl) AS dl,
+          $tfCols
+        FROM toksx x JOIN docs USING (doc_id)
+        WHERE x.t IN $inList
+        GROUP BY x.doc_id),
+      dfs AS (SELECT $dfCols FROM tfp),
+      stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+                FROM docs)"""
+  }
+
   /** q95 — BM25 RANKED RETRIEVAL: score every document against a fixed
     * 3-term query and return the top 20 — the search-engine scoring
     * operator (Robertson & Zaragoza 2009) that completes the text family
@@ -241,7 +265,16 @@ object TextQueries extends QueryModule {
     * MATCHING document. Scores are deterministic across engines: shared
     * expression text, fixed-order term sum, integer-micro rounding (see
     * [[bm25ContribSql]]). */
-  val q95Bm25: Q = (s, dir) => {
+  val q95Bm25: Q = (s, dir) =>
+    bm25ScoredFrame(s, dir)
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(20)
+
+  /** Shared BM25 scorer (q95's pre-top-k frame): every matching document
+    * with its integer-micro score and per-term tfs. Factored so the hybrid
+    * fusion (q196) ranks the SAME scored frame q95 returns — one scorer,
+    * two consumers, identical semantics. */
+  private[graft] def bm25ScoredFrame(s: SparkSession, dir: String): DataFrame = {
     val termsSql = bm25Terms.map(t => s"'$t'").mkString("array(", ", ", ")")
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
@@ -260,8 +293,101 @@ object TextQueries extends QueryModule {
     tfp.crossJoin(broadcast(dfs)).crossJoin(broadcast(stats))
       .select(col("doc_id") +: expr(bm25ScoreSql).as("score_micro") +:
         bm25Terms.map(t => coalesce(col(s"tf_$t"), lit(0L)).as(s"tf_$t")): _*)
-      .orderBy(col("score_micro").desc, col("doc_id"))
-      .limit(20)
+  }
+
+  /** q196 — HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION (Cormack,
+    * Clarke & Buettcher, SIGIR 2009): fuse a lexical BM25 ranking with a
+    * dense-embedding cosine ranking by summing 1/(60+rank) over the legs —
+    * the standard first-stage retriever of a RAG / retrieval-augmented
+    * training pipeline, where neither leg alone is robust (BM25 misses
+    * paraphrase, dense misses rare exact terms). Legs: q95's BM25 scorer
+    * over `documents` (top-50 by score) and a cosine scan of `embeddings`
+    * against the vec_id-0 query vector (top-50), fused on doc_id = vec_id;
+    * a document missing from one leg simply contributes nothing for it —
+    * RRF's defining robustness property, expressed as a full-outer join of
+    * the two 50-row rank lists.
+    *
+    * Shape at 100 TB: each leg is the ALREADY-scaled retrieval operator
+    * (BM25: one corpus scan + 1-row stat broadcasts; dense: brute scan
+    * here, q57/q187's IVF family when the corpus is large) and each ends
+    * in a TakeOrdered top-50 — so fusion itself joins two ≤50-row frames:
+    * driver-free, broadcast-sized, O(k) regardless of corpus size. Ranks
+    * are exact integers with deterministic tie-breaks (score DESC, id),
+    * so the fused score is a closed-form double over exact ints, rounded
+    * to micros — bit-identical across engines (q39 discipline). */
+  val q196HybridRrf: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    val wTop = Window.orderBy(col("score_micro").desc, col("doc_id"))
+    val sparse = bm25ScoredFrame(s, dir)
+      .select(col("doc_id"), col("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
+      .select(col("doc_id"), row_number().over(wTop).cast("long").as("rs"))
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
+      .withColumn("n2", expr("dot_long(q, q)"))
+    val qv = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("n2").as("qn2")))
+    val wCos = Window.orderBy(col("cos").desc, col("doc_id"))
+    val dense = e.filter(col("vec_id") =!= 0).crossJoin(qv)
+      .select(col("vec_id").as("doc_id"),
+        (expr("dot_long(q, qq)") / (sqrt(col("n2")) * sqrt(col("qn2")))).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(50)
+      .select(col("doc_id"), row_number().over(wCos).cast("long").as("rd"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rs"), col("rd"),
+        expr("""CAST(round(coalesce(1000000.0 / (60 + rs), 0.0)
+                         + coalesce(1000000.0 / (60 + rd), 0.0)) AS BIGINT)""")
+          .as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  /** q197 — DSIR DATA SELECTION (Data Selection via Importance Resampling,
+    * Xie et al., NeurIPS 2023): rank a raw pool by how much its hashed
+    * n-gram profile looks like a small curated target corpus — THE
+    * published recipe for picking pretraining data that matches a quality
+    * distribution without training a classifier. Target = `src0`'s
+    * documents; features = unigrams hashed into 64 buckets via the
+    * portable md5 top-60-bit hash (`md5_hi60`, q52's trick — both engines
+    * reproduce the bucket ids bit-for-bit); per-bucket importance
+    * log-weight = ln(p̂_target(b)) − ln(p̂_raw(b)) with add-1 smoothing,
+    * rounded ONCE to integer micros; per-document score = Σ over its
+    * tokens of the bucket weight — an EXACT BIGINT sum of pre-rounded
+    * integers, so ln's platform jitter never compounds (the q129/q192
+    * discipline). Top-30 raw documents by score = the resampled batch.
+    *
+    * Shape at 100 TB: the importance-weight table is 64 ROWS — built by
+    * two bucket-count aggregates (map-side-combined to ≤64 rows per
+    * partition) and broadcast back; scoring is then a map-side hash-join
+    * over the token stream with ONE partial-agg shuffle carrying a single
+    * (doc_id, n_tok, score) row per document, and a TakeOrdered top-k.
+    * Nothing driver-side, nothing corpus×corpus; the bucket width (64
+    * here, 10k in the paper) only changes the broadcast's row count. */
+  val q197DsirSelect: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    val tok = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(expr("md5_hi60(split(text, ' '))")).as("h"))
+      .withColumn("b", pmod(col("h"), lit(64L))).drop("h")
+    val tc = tok.filter(col("source") === "src0")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rc = tok.filter(col("source") =!= "src0")
+      .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val ntF = tc.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    val nrF = rc.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"))
+    val lw = tc.join(rc, Seq("b"), "full_outer")
+      .crossJoin(broadcast(ntF)).crossJoin(broadcast(nrF))
+      .select(col("b"), expr(
+        """CAST(round((ln((coalesce(ct, 0) + 1.0) / (nt + 64.0))
+          |         - ln((coalesce(cr, 0) + 1.0) / (nr + 64.0))) * 1000000)
+          |AS BIGINT)""".stripMargin).as("lw"))
+    tok.filter(col("source") =!= "src0")
+      .join(broadcast(lw), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lw")).as("dsir_micro"))
+      .orderBy(col("dsir_micro").desc, col("doc_id"))
+      .limit(30)
   }
 
   /** Scrub patterns shared by query and doc: character classes only ([.]
@@ -994,6 +1120,8 @@ object TextQueries extends QueryModule {
     "q105_repetition" -> q105Repetition,
     "q104_pii_scrub"  -> q104PiiScrub,
     "q95_bm25"        -> q95Bm25,
+    "q196_hybrid_rrf" -> q196HybridRrf,
+    "q197_dsir_select" -> q197DsirSelect,
     "q64_tfidf"       -> q64TfIdf,
     "q60_lang_id"     -> q60LangId,
     "q61_quality"     -> q61Quality,
@@ -1343,30 +1471,65 @@ object TextQueries extends QueryModule {
         CAST(sum(length(clean)) AS BIGINT) AS clean_len
       FROM sc GROUP BY source ORDER BY source""",
     "q95_bm25" -> {
-      val inList = bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
-      val tfCols = bm25Terms.map(t =>
-        s"NULLIF(count(*) FILTER (x.t = '$t'), 0) AS tf_$t").mkString(",\n          ")
-      val dfCols = bm25Terms.map(t => s"count(tf_$t) AS df_$t").mkString(", ")
       val outTf = bm25Terms.map(t => s"coalesce(tf_$t, 0) AS tf_$t").mkString(", ")
       s"""
-      WITH d AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
-        FROM documents),
-      docs AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
-      toksx AS (SELECT doc_id, unnest(toks) AS t FROM d),
-      tfp AS (
-        SELECT x.doc_id, any_value(dl) AS dl,
-          $tfCols
-        FROM toksx x JOIN docs USING (doc_id)
-        WHERE x.t IN $inList
-        GROUP BY x.doc_id),
-      dfs AS (SELECT $dfCols FROM tfp),
-      stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
-                FROM docs)
+      WITH $duckBm25Ctes
       SELECT doc_id, $bm25ScoreSql AS score_micro, $outTf
       FROM tfp CROSS JOIN dfs CROSS JOIN stats
       ORDER BY score_micro DESC, doc_id LIMIT 20"""
     },
+    "q197_dsir_select" -> """
+      WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      tok AS (
+        SELECT doc_id, source,
+          ('0x' || substr(md5(u), 1, 15))::BIGINT % 64 AS b
+        FROM (SELECT doc_id, source, unnest(t) AS u FROM d)),
+      tc AS (SELECT b, count(*) AS ct FROM tok WHERE source = 'src0' GROUP BY b),
+      rc AS (SELECT b, count(*) AS cr FROM tok WHERE source != 'src0' GROUP BY b),
+      ntx AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM tc),
+      nrx AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS nr FROM rc),
+      lw AS (
+        SELECT coalesce(tc.b, rc.b) AS b,
+          CAST(round((ln((coalesce(ct, 0) + 1.0) / (nt + 64.0))
+                    - ln((coalesce(cr, 0) + 1.0) / (nr + 64.0))) * 1000000)
+          AS BIGINT) AS lw
+        FROM tc FULL JOIN rc ON tc.b = rc.b, ntx, nrx)
+      SELECT doc_id, count(*) AS n_tok, CAST(sum(lw.lw) AS BIGINT) AS dsir_micro
+      FROM tok JOIN lw USING (b) WHERE source != 'src0'
+      GROUP BY doc_id ORDER BY dsir_micro DESC, doc_id LIMIT 30""",
+    "q196_hybrid_rrf" -> s"""
+      WITH $duckBm25Ctes,
+      sp AS (
+        SELECT doc_id, $bm25ScoreSql AS score_micro
+        FROM tfp CROSS JOIN dfs CROSS JOIN stats
+        ORDER BY score_micro DESC, doc_id LIMIT 50),
+      spr AS (
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rs
+        FROM sp),
+      eq AS (
+        SELECT vec_id,
+          [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS qv
+        FROM embeddings),
+      en AS (
+        SELECT vec_id, qv,
+          CAST(list_sum([x * x for x in qv]) AS BIGINT) AS n2 FROM eq),
+      qv0 AS (SELECT qv AS qq, n2 AS qn2 FROM en WHERE vec_id = 0),
+      den AS (
+        SELECT b.vec_id AS doc_id,
+          CAST(list_sum([qv0.qq[k] * b.qv[k] for k in range(1, len(b.qv)+1)]) AS BIGINT)
+            / (sqrt(b.n2) * sqrt(qv0.qn2)) AS cos
+        FROM en b, qv0 WHERE b.vec_id != 0
+        ORDER BY cos DESC, doc_id LIMIT 50),
+      der AS (
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rd
+        FROM den)
+      SELECT doc_id, rs, rd,
+        CAST(round(coalesce(1000000.0 / (60 + rs), 0.0)
+                 + coalesce(1000000.0 / (60 + rd), 0.0)) AS BIGINT) AS rrf_micro
+      FROM spr FULL JOIN der USING (doc_id)
+      ORDER BY rrf_micro DESC, doc_id LIMIT 15""",
     "q64_tfidf" -> """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -354,4 +354,87 @@ class SimilarityMultimodalSpec extends SparkSpec {
       assert(r.getLong(5) >= 16 && r.getLong(5) < 480 + 16, "max_height range")
     }
   }
+
+  /** Quantized vectors straight off the parquet, for JL/MMR references. */
+  private def rawVecs(): Array[(Long, Array[Long])] =
+    graft.engine.Tables.load(spark, sfDir01, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000000)).toArray))
+
+  private def cosine(a: Array[Long], b: Array[Long]): Double = {
+    var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  private def topK(scored: Seq[(Long, Double)], k: Int): Seq[Long] =
+    scored.sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+
+  test("q198 JL projection equals the md5 sign matrix applied by hand") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val mat = Array.tabulate(16, 64) { (i, j) =>
+      if (graft.functions.Md5Hi60.hash(UTF8String.fromString(s"jl:$i:$j")) % 2 == 0) 1L
+      else -1L
+    }
+    val vecs = rawVecs()
+    val proj = vecs.map { case (id, v) =>
+      (id, mat.map(r => r.zip(v).map { case (s, x) => s * x }.sum))
+    }
+    val exact = vecs.filter(_._1 < 5).map { case (qid, qv) =>
+      qid -> topK(vecs.filter(_._1 != qid).map { case (cid, cv) =>
+        (cid, cosine(qv, cv)) }.toSeq, 10).toSet
+    }.toMap
+    val expect = proj.filter(_._1 < 5).flatMap { case (qid, qp) =>
+      val ranked = proj.filter(_._1 != qid).map { case (cid, cp) =>
+        (cid, cosine(qp, cp)) }.toSeq.sortBy { case (id, c) => (-c, id) }.take(10)
+      ranked.zipWithIndex.map { case ((cid, _), i) =>
+        (qid, i + 1L, cid, if (exact(qid).contains(cid)) 1L else 0L)
+      }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = SimilarityQueries.q198KnnJl(spark, sfDir01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSeq
+    assert(got == expect, s"JL mismatch:\n$got\nvs\n$expect")
+    // the audit must be non-trivial: the 16-dim space keeps most but not
+    // necessarily all of the exact neighbours — recall is in (0, 1]
+    val hits = got.count(_._4 == 1L)
+    assert(hits > 0, "JL recall collapsed to zero — projection broken")
+  }
+
+  test("q199 MMR picks equal a sequential greedy reference") {
+    val vecs = rawVecs()
+    val byId = vecs.toMap
+    val got = SimilarityQueries.q199MmrRerank(spark, sfDir01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    vecs.filter(_._1 < 5).foreach { case (qid, qv) =>
+      val cand = vecs.filter(_._1 != qid).map { case (cid, cv) =>
+        (cid, cosine(qv, cv)) }.toSeq.sortBy { case (id, c) => (-c, id) }.take(10)
+      var picked = List.empty[Long]
+      val expect = (1 to 3).map { round =>
+        val scored = cand.filter { case (cid, _) => !picked.contains(cid) }
+          .map { case (cid, rel) =>
+            (cid, if (picked.isEmpty) rel
+              else 0.7 * rel - 0.3 * picked.map(p => cosine(byId(cid), byId(p))).max)
+          }
+        val (cid, mmr) = scored.minBy { case (id, m) => (-m, id) }
+        picked = cid :: picked
+        (qid, round.toLong, cid, math.round(mmr * 1000000))
+      }
+      val gotQ = got.filter(_._1 == qid).sortBy(_._2).toSeq
+      assert(gotQ == expect, s"MMR mismatch for query $qid:\n$gotQ\nvs\n$expect")
+      // diversification is real: picks are distinct and not simply rel-top-3
+      assert(picked.distinct.size == 3)
+    }
+    // at least one query must have reordered vs pure relevance, otherwise
+    // the fixture no longer exercises the penalty term
+    val pureTop3 = vecs.filter(_._1 < 5).map { case (qid, qv) =>
+      qid -> topK(vecs.filter(_._1 != qid).map { case (cid, cv) =>
+        (cid, cosine(qv, cv)) }.toSeq, 3)
+    }.toMap
+    val reordered = got.groupBy(_._1).exists { case (qid, rows) =>
+      rows.sortBy(_._2).map(_._3).toSeq != pureTop3(qid)
+    }
+    assert(reordered, "MMR output identical to plain top-3 for every query")
+  }
 }

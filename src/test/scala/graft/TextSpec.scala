@@ -169,6 +169,76 @@ class TextSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q196 RRF equals an independent fusion of the two legs") {
+    // rebuild both rank lists OUTSIDE the operator: the sparse leg from the
+    // shared BM25 scorer collected and ranked in Scala, the dense leg
+    // straight off the parquet embeddings — then fuse with the RRF formula
+    // and compare the full 15-row result
+    val sparse = graft.operators.TextQueries.bm25ScoredFrame(spark, sfDir01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, sc) => (-sc, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val vecs = graft.engine.Tables.load(spark, sfDir01, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000000)).toArray))
+    val q0 = vecs.find(_._1 == 0L).get._2
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val dense = vecs.filter(_._1 != 0L).map { case (id, v) => (id, cos(q0, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val expect = (sparse.keySet ++ dense.keySet).toSeq.map { id =>
+      val score = sparse.get(id).map(r => 1000000.0 / (60 + r)).getOrElse(0.0) +
+        dense.get(id).map(r => 1000000.0 / (60 + r)).getOrElse(0.0)
+      (id, sparse.get(id), dense.get(id), math.round(score))
+    }.sortBy { case (id, _, _, sc) => (-sc, id) }.take(15)
+    val got = graft.operators.TextQueries.q196HybridRrf(spark, sfDir01)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3))).toSeq
+    assert(got == expect, s"fusion mismatch:\n$got\nvs\n$expect")
+    // genuine fusion: both legs must be represented, and at least one doc
+    // must score from both legs at once
+    assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined))
+    assert(got.exists(r => r._2.isDefined && r._3.isDefined),
+      "no document was retrieved by both legs — fixture no longer exercises fusion")
+  }
+
+  test("q197 DSIR equals an independent hashed-importance reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = graft.engine.Tables.load(spark, sfDir01, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def buckets(text: String): Seq[Long] =
+      text.split(" ", -1).toSeq.map(t =>
+        graft.functions.Md5Hi60.hash(UTF8String.fromString(t)) % 64)
+    val tgt = docs.filter(_._2 == "src0").flatMap(d => buckets(d._3))
+    val raw = docs.filter(_._2 != "src0").flatMap(d => buckets(d._3))
+    val tc = tgt.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val rc = raw.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val (nt, nr) = (tgt.size.toLong, raw.size.toLong)
+    def lw(b: Long): Long = {
+      val x = (math.log((tc.getOrElse(b, 0L) + 1.0) / (nt + 64.0)) -
+        math.log((rc.getOrElse(b, 0L) + 1.0) / (nr + 64.0))) * 1000000
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expect = docs.filter(_._2 != "src0").map { case (id, _, text) =>
+      val bs = buckets(text)
+      (id, bs.size.toLong, bs.map(lw).sum)
+    }.sortBy { case (id, _, sc) => (-sc, id) }.take(30).toSeq
+    val got = graft.operators.TextQueries.q197DsirSelect(spark, sfDir01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"DSIR mismatch:\n$got\nvs\n$expect")
+    // the selection must actually discriminate: scores are not all equal
+    assert(got.map(_._3).distinct.size > 1)
+  }
+
   test("q70 plans the bench gram set as the broadcast side") {
     val p = graft.operators.TextQueries.q70Decontaminate(spark, sfDir)
       .queryExecution.executedPlan.toString
