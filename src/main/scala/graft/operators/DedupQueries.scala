@@ -1168,7 +1168,83 @@ object DedupQueries extends QueryModule {
       .orderBy(col("csize"))
   }
 
+  /** q200 — EXACT SUBSTRING DUPLICATE COVERAGE (Lee et al., ACL 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): mark, for
+    * every document, the maximal character spans covered by some ≥30-char
+    * substring that also occurs elsewhere in the corpus (another document OR
+    * another offset of the same document) — the character-level, UNALIGNED
+    * dedup that q115's aligned 8-word blocks cannot express: a copied
+    * sentence starting mid-block is invisible to block dedup but is exactly
+    * a run of duplicated 30-grams here. The published implementation builds
+    * a corpus suffix array; the identity this operator uses instead is that
+    * the union of duplicated-L-gram windows IS the set of characters inside
+    * duplicated substrings of length ≥ L — so hashed L-gram multiplicity +
+    * interval merge computes the same coverage with only equi-shuffles.
+    *
+    * Every position's 30-gram is hashed map-side to 60 bits (`md5_hi60`, the
+    * q52/q197 portable hash — DuckDB replays it bit-for-bit, so collisions,
+    * were any to occur, affect both engines identically); a gram is
+    * duplicated iff its hash occurs at ≥ 2 (doc, pos) sites. Coverage
+    * windows [pos, pos+29] then merge per document by the classic
+    * gaps-and-islands fold: a running max of covered-end over a
+    * pos-ordered window, a new island when a window starts past it, and a
+    * prefix-sum island id — pure window arithmetic, no self-join.
+    *
+    * Shape at 100 TB: the position stream is O(total chars) rows of
+    * (doc_id, pos, hash) — 20 bytes each, the same order of bytes the
+    * suffix-array approach sorts — crossing ONE exchange keyed on the hash
+    * and one keyed on doc_id for the merge. Multiplicity is a map-side-
+    * combined groupBy joined back (NOT a count-over-hash window: a
+    * boilerplate gram repeated 10⁹ times would pin one window partition,
+    * while the groupBy collapses it map-side and AQE skew-splits the join).
+    * Output is per-document accounting (spans, duplicated chars, micro
+    * ratio, an exact span-boundary checksum), never the text. */
+  val q200SubstringDedup: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    substringCoverage(Tables.load(s, dir, "documents"), 30)
+  }
+
+  /** q200's engine over any (doc_id, text) frame — factored so the spec can
+    * drive crafted fixtures (mid-block copies, overlapping-gram merges,
+    * intra-document repeats) through the exact production path. */
+  private[graft] def substringCoverage(docsIn: DataFrame, L: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docsIn.sparkSession)
+    val docs = docsIn
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("doc_len"))
+    val grams = docs
+      .filter(col("doc_len") >= L)
+      .select(col("doc_id"), col("doc_len"), posexplode(expr(
+        s"md5_hi60(transform(sequence(1, length(text) - ${L - 1}), i -> substring(text, i, $L)))")))
+      .select(col("doc_id"), col("doc_len"), (col("pos") + 1L).as("pos"), col("col").as("h"))
+    val dupH = grams.groupBy(col("h")).agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("h"))
+    val dup = grams.join(dupH, Seq("h")).select(col("doc_id"), col("doc_len"), col("pos"))
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val islands = dup
+      .withColumn("cov_end", col("pos") + lit(L - 1L))
+      .withColumn("new_isl",
+        when(col("pos") > coalesce(max(col("cov_end")).over(wRun), lit(-1L)) + 1L, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("new_isl")).over(wIsl))
+    islands.groupBy(col("doc_id"), col("isl"))
+      .agg(max(col("doc_len")).as("doc_len"),
+        min(col("pos")).as("span_start"), max(col("cov_end")).as("span_end"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1L).as("dup_chars"),
+        max(col("doc_len")).as("doc_len"),
+        sum(col("span_start") * 100003L + col("span_end")).as("span_checksum"))
+      .select(col("doc_id"), col("n_spans"), col("dup_chars"), col("doc_len"),
+        expr("CAST(round(dup_chars * 1000000.0 / doc_len) AS BIGINT)").as("dup_micro"),
+        col("span_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q200_substring_dedup" -> q200SubstringDedup,
     "q181_dedup_yield" -> q181DedupYield,
     "q137_dedup_survivors" -> q137DedupSurvivors,
     "q138_allpairs_jaccard" -> q138AllPairsJaccard,
@@ -1208,6 +1284,40 @@ object DedupQueries extends QueryModule {
       ORDER BY i, j"""
 
   def oracles: Map[String, String] = Map(
+    "q200_substring_dedup" -> """
+      WITH d AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS doc_len
+        FROM documents WHERE length(text) >= 30),
+      g AS (
+        SELECT doc_id, doc_len, CAST(pos AS BIGINT) AS pos,
+          ('0x' || substr(md5(substr(text, pos, 30)), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, doc_len, text,
+                unnest(range(1, length(text) - 28)) AS pos FROM d)),
+      duph AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+      dup AS (SELECT doc_id, doc_len, pos FROM g SEMI JOIN duph USING (h)),
+      isl AS (
+        SELECT doc_id, doc_len, pos, pos + 29 AS cov_end,
+          CASE WHEN pos > coalesce(max(pos + 29) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+               THEN 1 ELSE 0 END AS new_isl
+        FROM dup),
+      isl2 AS (
+        SELECT doc_id, doc_len, pos, cov_end,
+          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+        FROM isl),
+      spans AS (
+        SELECT doc_id, i, max(doc_len) AS doc_len,
+          min(pos) AS span_start, max(cov_end) AS span_end
+        FROM isl2 GROUP BY doc_id, i)
+      SELECT doc_id, count(*) AS n_spans,
+        CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_chars,
+        max(doc_len) AS doc_len,
+        CAST(round(sum(span_end - span_start + 1) * 1000000.0 / max(doc_len))
+          AS BIGINT) AS dup_micro,
+        CAST(sum(span_start * 100003 + span_end) AS BIGINT) AS span_checksum
+      FROM spans GROUP BY doc_id ORDER BY doc_id""",
     "q181_dedup_yield" -> s"""
       WITH RECURSIVE $duckShingles,
       pairs AS (

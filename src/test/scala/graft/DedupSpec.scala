@@ -271,4 +271,30 @@ class DedupSpec extends SparkSpec {
     assert(got.exists { case (_, nDocs, nKept, _, _) => nKept < nDocs })
     graft.engine.Sessions.releasePinned(spark)
   }
+
+  test("q200 substring coverage: unaligned copies, overlap merge, intra-doc repeats") {
+    import spark.implicits._
+    // L=10 fixture. Doc 1/2 share a 14-char string at DIFFERENT offsets
+    // (prefix padding of different length = unaligned, q115's blind spot);
+    // doc 3 repeats a 12-char string within itself; doc 4 is all-unique.
+    val shared = "SHAREDRUN14CH!"             // 14 chars -> 5 dup 10-gram starts
+    val rep = "REPEATED12go"                  // 12 chars, twice inside doc 3
+    val d1 = "abc" + shared + "Xtail-one"     // shared at pos 4, context differs
+    val d2 = "zyxwvu" + shared + "Ytailtwo"   // shared at pos 7, on BOTH sides
+    val d3 = rep + "-middle-" + rep + "end"   // rep at pos 1 and 21
+    val d4 = "entirely unique text with no repeats at all"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)).toDF("doc_id", "text")
+    val rows = DedupQueries.substringCoverage(docs, 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    // Doc 1: dup 10-grams start at 4..8 (inside `shared`), covering [4, 17]
+    // exactly the shared run — ONE merged span, 14 chars.
+    assert(rows(1L) == ((1L, 14L, 4L * 100003L + 17L)))
+    // Doc 2: same span shifted to [7, 20] — unaligned offsets both found.
+    assert(rows(2L) == ((1L, 14L, 7L * 100003L + 20L)))
+    // Doc 3: intra-document repeat — both occurrences of `rep` covered,
+    // TWO spans of 12 chars each ([1,12] and [21,32]).
+    assert(rows(3L) == ((2L, 24L, (1L * 100003L + 12L) + (21L * 100003L + 32L))))
+    // Doc 4: no duplicated substring -> absent from the output.
+    assert(!rows.contains(4L))
+  }
 }
