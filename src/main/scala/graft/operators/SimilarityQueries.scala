@@ -1099,7 +1099,90 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("qid"), col("pick"))
   }
 
+  /** q201 — DOMINANT PRINCIPAL COMPONENT by distributed POWER ITERATION,
+    * with the ABTT variance accounting (Mu & Viswanath, ICLR 2018,
+    * "All-but-the-Top": embedding quality improves when the dominant
+    * direction — which encodes corpus-wide frequency bias, not meaning —
+    * is measured and removed). Four unrolled rounds of v ← CᵀCv over the
+    * mean-centered quantized corpus, then the explained-variance share of
+    * the final direction — the measurement a pipeline runs before deciding
+    * to debias, whiten, or drop a projection dimension.
+    *
+    * Determinism discipline (the q126/q184 exact-integer playbook, extended
+    * to an iterated matvec): the mean vector rounds ONCE to integer micros;
+    * every per-row projection c·v is an exact BIGINT dot (`dot_long`);
+    * the only unbounded aggregation — u_j = Σᵢ c_ij·eᵢ — sums 64-key
+    * DECIMAL(38,0) partial aggregates (DuckDB's BIGINT sum is already
+    * exact HUGEINT, so both engines carry the sum exactly at ANY corpus
+    * size — the place a raw LONG sum would silently wrap); normalization
+    * rescales through the exact max |u_j| to 8 significant digits, takes
+    * one exact integer ‖w‖², and rounds each component once — so every
+    * double op in the loop is a single correctly-rounded IEEE expression
+    * over exact integers, shared textually with the oracle, and round-4's
+    * state is replayed bit-for-bit.
+    *
+    * Shape at 100 TB: per round, ONE corpus scan computes the projections
+    * map-side (v is a 64-long broadcast), and one 64-key partial-aggregated
+    * shuffle carries the component sums — wire cost is dim-bounded and
+    * corpus-independent; the centered corpus is cached once (q72's
+    * discipline) and rounds are a fixed unrolled DAG, no driver loop. */
+  val q201TopPc: Q = (s, dir) => powerIterationPc(quantized(s, dir), rounds = 4)
+
+  /** q201's engine over any (vec_id, q: array<bigint>) frame. */
+  private[graft] def powerIterationPc(vecsIn: DataFrame, rounds: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vecsIn.sparkSession)
+    val e = vecsIn.select(col("vec_id"), col("q"))
+    val nF = e.agg(count(lit(1)).as("n"))
+    val meanF = e.select(posexplode(col("q")))
+      .groupBy(col("pos")).agg(sum(col("col")).as("sj"))
+      .crossJoin(broadcast(nF))
+      .select(col("pos"), expr("CAST(round(CAST(sj AS DOUBLE) / n) AS BIGINT)").as("mj"))
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mj))), x -> x.mj)").as("m"))
+    val cent = e.crossJoin(broadcast(meanF))
+      .select(col("vec_id"), expr("zip_with(q, m, (a, b) -> a - b)").as("c"))
+      .cache()
+    val v0 = meanF.select(expr("transform(m, x -> CAST(125000 AS BIGINT))").as("v"),
+      lit(0L).cast("decimal(38,0)").as("mx"), lit(0L).as("nrm2"))
+    def step(vPrev: DataFrame): DataFrame = {
+      val d = cent.crossJoin(broadcast(vPrev.select(col("v"))))
+        .select(col("c"), expr(
+          "CAST(round(CAST(dot_long(c, v) AS DOUBLE) / 1000000.0) AS BIGINT)").as("e"))
+      val u = d.select(col("e"), posexplode(col("c")))
+        .groupBy(col("pos"))
+        .agg(sum(expr("CAST(col * e AS DECIMAL(38,0))")).as("uj"))
+        .groupBy()
+        .agg(expr("transform(array_sort(collect_list(struct(pos, uj))), x -> x.uj)").as("u"))
+      u.select(col("u"), expr("array_max(transform(u, x -> abs(x)))").as("mx"))
+        .select(col("mx"), expr(
+          "transform(u, x -> CAST(round((CAST(x AS DOUBLE) * 100000000.0) / CAST(mx AS DOUBLE)) AS BIGINT))").as("w"))
+        .select(col("mx"), col("w"), expr("dot_long(w, w)").as("nrm2"))
+        .select(expr(
+          "transform(w, x -> CAST(round((CAST(x AS DOUBLE) * 1000000.0) / sqrt(CAST(nrm2 AS DOUBLE))) AS BIGINT))").as("v"),
+          col("mx"), col("nrm2"))
+    }
+    val last = (1 to rounds).foldLeft(v0)((acc, _) => step(acc))
+    val scalars = broadcast(last.select(col("v"), expr(
+      "CAST(round(sqrt(CAST(nrm2 AS DOUBLE)) * CAST(mx AS DOUBLE) / 100000000.0) AS BIGINT)").as("unorm")))
+    val stats = cent.crossJoin(scalars)
+      .select(expr("dot_long(c, c)").as("cc"), expr(
+        "CAST(round(CAST(dot_long(c, v) AS DOUBLE) / 1000000000.0) AS BIGINT)").as("g"))
+      .agg(sum(expr("CAST(cc AS DECIMAL(38,0))")).as("tv"),
+        sum(expr("CAST(g * g AS DECIMAL(38,0))")).as("ps"))
+      .select(col("tv").cast("long").as("tot_var"), col("ps").cast("long").as("proj_scaled"),
+        expr("CAST(round(CAST(ps AS DOUBLE) * 1000000000000.0 / CAST(tv AS DOUBLE)) AS BIGINT)")
+          .as("share_micro"))
+    meanF.crossJoin(scalars).crossJoin(broadcast(stats))
+      .select(posexplode(expr("arrays_zip(m, v)")) +: Seq(col("unorm"), col("tot_var"),
+        col("proj_scaled"), col("share_micro")): _*)
+      .select(col("pos").cast("long").as("j"), col("col.m").as("mean_micro"),
+        col("col.v").as("v_micro"), col("unorm"), col("tot_var"),
+        col("proj_scaled"), col("share_micro"))
+      .orderBy(col("j"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q201_top_pc" -> q201TopPc,
     "q199_mmr_rerank" -> q199MmrRerank,
     "q198_knn_jl" -> q198KnnJl,
     "q144_centroid_similarity" -> q144CentroidSimilarity,
@@ -1578,6 +1661,58 @@ object SimilarityQueries extends QueryModule {
           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
         FROM scored)
       SELECT * FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "q201_top_pc" -> {
+      // one power-iteration round as CTE text: d -> u (exact HUGEINT sum,
+      // DuckDB's BIGINT-sum default, mirroring Spark's DECIMAL(38,0)) ->
+      // max-rescale to 8 digits -> exact ||w||^2 -> unit micro vector
+      def rnd(k: Int, prev: String): String = s"""
+      d$k AS (
+        SELECT c, CAST(round(CAST(list_sum([c[i] * v[i] for i in range(1, 65)]) AS DOUBLE)
+          / 1000000.0) AS BIGINT) AS e
+        FROM cent, $prev),
+      u$k AS (SELECT j, sum(c[j+1] * e) AS uj FROM d$k, range(64) t(j) GROUP BY j),
+      m$k AS (SELECT max(abs(uj)) AS mx FROM u$k),
+      w$k AS (SELECT j, CAST(round((CAST(uj AS DOUBLE) * 100000000.0)
+          / CAST(mx AS DOUBLE)) AS BIGINT) AS wj FROM u$k, m$k),
+      nn$k AS (SELECT CAST(sum(wj * wj) AS BIGINT) AS nrm2 FROM w$k),
+      v$k AS (SELECT list(CAST(round((CAST(wj AS DOUBLE) * 1000000.0)
+          / sqrt(CAST(nrm2 AS DOUBLE))) AS BIGINT) ORDER BY j) AS v FROM w$k, nn$k)"""
+      s"""
+      WITH q AS (
+        SELECT vec_id,
+          [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS qv
+        FROM embeddings),
+      cnt AS (SELECT count(*) AS n FROM q),
+      sums AS (SELECT j, sum(qv[j+1]) AS sj FROM q, range(64) t(j) GROUP BY j),
+      mean AS (SELECT j, CAST(round(CAST(sj AS DOUBLE) / n) AS BIGINT) AS mj
+               FROM sums, cnt),
+      meanv AS (SELECT list(mj ORDER BY j) AS m FROM mean),
+      cent AS (SELECT vec_id, [qv[i] - m[i] for i in range(1, 65)] AS c
+               FROM q, meanv),
+      v0 AS (SELECT [CAST(125000 AS BIGINT) for i in range(64)] AS v),
+      ${rnd(1, "v0")},
+      ${rnd(2, "v1")},
+      ${rnd(3, "v2")},
+      ${rnd(4, "v3")},
+      sc AS (
+        SELECT v, CAST(round(sqrt(CAST(nrm2 AS DOUBLE)) * CAST(mx AS DOUBLE)
+          / 100000000.0) AS BIGINT) AS unorm
+        FROM v4, m4, nn4),
+      st AS (
+        SELECT CAST(sum(cc) AS BIGINT) AS tot_var,
+          CAST(sum(g * g) AS BIGINT) AS proj_scaled,
+          CAST(round(CAST(sum(g * g) AS DOUBLE) * 1000000000000.0
+            / CAST(sum(cc) AS DOUBLE)) AS BIGINT) AS share_micro
+        FROM (
+          SELECT CAST(list_sum([c[i] * c[i] for i in range(1, 65)]) AS BIGINT) AS cc,
+            CAST(round(CAST(list_sum([c[i] * v[i] for i in range(1, 65)]) AS DOUBLE)
+              / 1000000000.0) AS BIGINT) AS g
+          FROM cent, sc))
+      SELECT CAST(mean.j AS BIGINT) AS j, mean.mj AS mean_micro,
+        sc.v[mean.j + 1] AS v_micro, sc.unorm, st.tot_var, st.proj_scaled,
+        st.share_micro
+      FROM mean, sc, st ORDER BY j"""
+    },
     "q199_mmr_rerank" -> s"""
       WITH $duckQuant,
       scored AS (
