@@ -1128,8 +1128,11 @@ object SimilarityQueries extends QueryModule {
     * discipline) and rounds are a fixed unrolled DAG, no driver loop. */
   val q201TopPc: Q = (s, dir) => powerIterationPc(quantized(s, dir), rounds = 4)
 
-  /** q201's engine over any (vec_id, q: array<bigint>) frame. */
-  private[graft] def powerIterationPc(vecsIn: DataFrame, rounds: Int): DataFrame = {
+  /** The shared ABTT core: mean vector (1-row `m`), cached centered corpus
+    * (`vec_id`, `c`), and the round-`rounds` iteration state (`v`, `mx`,
+    * `nrm2`). q201 reports on it; q202 applies it. */
+  private[graft] def abttParts(vecsIn: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(vecsIn.sparkSession)
     val e = vecsIn.select(col("vec_id"), col("q"))
     val nF = e.agg(count(lit(1)).as("n"))
@@ -1161,7 +1164,12 @@ object SimilarityQueries extends QueryModule {
           "transform(w, x -> CAST(round((CAST(x AS DOUBLE) * 1000000.0) / sqrt(CAST(nrm2 AS DOUBLE))) AS BIGINT))").as("v"),
           col("mx"), col("nrm2"))
     }
-    val last = (1 to rounds).foldLeft(v0)((acc, _) => step(acc))
+    (meanF, cent, (1 to rounds).foldLeft(v0)((acc, _) => step(acc)))
+  }
+
+  /** q201's engine over any (vec_id, q: array<bigint>) frame. */
+  private[graft] def powerIterationPc(vecsIn: DataFrame, rounds: Int): DataFrame = {
+    val (meanF, cent, last) = abttParts(vecsIn, rounds)
     val scalars = broadcast(last.select(col("v"), expr(
       "CAST(round(sqrt(CAST(nrm2 AS DOUBLE)) * CAST(mx AS DOUBLE) / 100000000.0) AS BIGINT)").as("unorm")))
     val stats = cent.crossJoin(scalars)
@@ -1181,7 +1189,65 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("j"))
   }
 
+  /** q202 — ALL-BUT-THE-TOP DEBIAS APPLY + retrieval-delta audit: remove the
+    * q201-measured dominant component from every centered vector
+    * (c′ = c − (c·v̂)v̂, each product a single correctly-rounded IEEE op over
+    * exact integers) and report, per query, the top-3 cosine neighbours
+    * BEFORE (centered) and AFTER (debiased) side by side with a moved flag —
+    * the validation a pipeline runs after q201 says "debias" and before the
+    * cheaper index is rebuilt on the debiased column (Mu & Viswanath 2018
+    * report neighbour quality improving exactly here).
+    *
+    * Shape at 100 TB: the direction comes from q201's dimension-bounded
+    * iteration; debias is pure map-side array arithmetic under a broadcast
+    * 64-long v (at scale it is written once as a stored column beside the
+    * SQ8/IVF codes, q117's discipline); each audit leg is the q55/q198
+    * broadcast-query scan ending in a per-partition top-k window cut, and
+    * the before/after join is k-row-bounded per query. */
+  /** q202's debias frame: (vec_id, c, c2, n2c, n2d) — centered vector, its
+    * all-but-the-top residual c′ = c − (c·v̂)v̂ (two single-rounded integer
+    * ops, oracle-replayable), and both exact squared norms. Cached: both
+    * audit legs scan it. */
+  private[graft] def abttDebiased(vecsIn: DataFrame, rounds: Int): DataFrame = {
+    val (_, cent, last) = abttParts(vecsIn, rounds)
+    cent.crossJoin(broadcast(last.select(col("v"))))
+      .withColumn("g", expr(
+        "CAST(round(CAST(dot_long(c, v) AS DOUBLE) / 1000000.0) AS BIGINT)"))
+      .select(col("vec_id"), col("c"), expr(
+        """zip_with(c, v, (a, b) ->
+          |a - CAST(round(CAST(g AS DOUBLE) * CAST(b AS DOUBLE) / 1000000.0) AS BIGINT))"""
+          .stripMargin).as("c2"))
+      .select(col("vec_id"), col("c"), col("c2"),
+        expr("dot_long(c, c)").as("n2c"), expr("dot_long(c2, c2)").as("n2d"))
+      .cache()
+  }
+
+  val q202AbttDebias: Q = (s, dir) => {
+    val deb = abttDebiased(quantized(s, dir), rounds = 4)
+    def top3(vecCol: String, n2Col: String, suffix: String): DataFrame = {
+      val queries = broadcast(deb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col(vecCol).as("qq"), col(n2Col).as("qn2")))
+      val corpus = deb.select(col("vec_id").as("cid"), col(vecCol).as("qc"),
+        col(n2Col).as("cn2"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      queries.join(corpus, col("qid") =!= col("cid") && col("cn2") > 0 && col("qn2") > 0)
+        .select(col("qid"), col("cid"),
+          (dotExpr / (sqrt(col("qn2")) * sqrt(col("cn2")))).as("cos"))
+        .select(col("qid"), col("cid"), col("cos"),
+          row_number().over(w).cast("long").as("rnk"))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("cid").as(s"cid_$suffix"),
+          col("cos").as(s"cos_$suffix"))
+    }
+    top3("c", "n2c", "cent").join(top3("c2", "n2d", "deb"), Seq("qid", "rnk"))
+      .select(col("qid"), col("rnk"), col("cid_cent"), col("cos_cent"),
+        col("cid_deb"), col("cos_deb"),
+        when(col("cid_cent") === col("cid_deb"), lit(0L)).otherwise(lit(1L)).as("moved"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q202_abtt_debias" -> q202AbttDebias,
     "q201_top_pc" -> q201TopPc,
     "q199_mmr_rerank" -> q199MmrRerank,
     "q198_knn_jl" -> q198KnnJl,
@@ -1201,6 +1267,43 @@ object SimilarityQueries extends QueryModule {
     "q72_kmeans_step" -> q72KMeansStep,
     "q76_kmeans_iter" -> q76KMeansIter,
     "q80_semantic_dedup" -> q80SemanticDedup)
+
+  /** Shared DuckDB replay of the ABTT core (q201 measure / q202 apply):
+    * quantize → exact-zero-rounded mean → centered corpus `cent` → four
+    * power-iteration rounds, each round one exact HUGEINT component sum
+    * (DuckDB's BIGINT-sum default, mirroring Spark's DECIMAL(38,0)) →
+    * max-rescale to 8 digits → exact ||w||² → unit micro vector. Binds
+    * `cent`, `mean`, and round-4 state `v4`/`m4`/`nn4`. */
+  private val duckAbtt: String = {
+    def rnd(k: Int, prev: String): String = s"""
+      d$k AS MATERIALIZED (
+        SELECT c, CAST(round(CAST(list_sum([c[i] * v[i] for i in range(1, 65)]) AS DOUBLE)
+          / 1000000.0) AS BIGINT) AS e
+        FROM cent, $prev),
+      u$k AS MATERIALIZED (SELECT j, sum(c[j+1] * e) AS uj FROM d$k, range(64) t(j) GROUP BY j),
+      m$k AS MATERIALIZED (SELECT max(abs(uj)) AS mx FROM u$k),
+      w$k AS MATERIALIZED (SELECT j, CAST(round((CAST(uj AS DOUBLE) * 100000000.0)
+          / CAST(mx AS DOUBLE)) AS BIGINT) AS wj FROM u$k, m$k),
+      nn$k AS MATERIALIZED (SELECT CAST(sum(wj * wj) AS BIGINT) AS nrm2 FROM w$k),
+      v$k AS MATERIALIZED (SELECT list(CAST(round((CAST(wj AS DOUBLE) * 1000000.0)
+          / sqrt(CAST(nrm2 AS DOUBLE))) AS BIGINT) ORDER BY j) AS v FROM w$k, nn$k)"""
+    s"""q AS MATERIALIZED (
+        SELECT vec_id,
+          [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS qv
+        FROM embeddings),
+      cnt AS (SELECT count(*) AS n FROM q),
+      sums AS (SELECT j, sum(qv[j+1]) AS sj FROM q, range(64) t(j) GROUP BY j),
+      mean AS (SELECT j, CAST(round(CAST(sj AS DOUBLE) / n) AS BIGINT) AS mj
+               FROM sums, cnt),
+      meanv AS (SELECT list(mj ORDER BY j) AS m FROM mean),
+      cent AS MATERIALIZED (SELECT vec_id, [qv[i] - m[i] for i in range(1, 65)] AS c
+               FROM q, meanv),
+      v0 AS (SELECT [CAST(125000 AS BIGINT) for i in range(64)] AS v),
+      ${rnd(1, "v0")},
+      ${rnd(2, "v1")},
+      ${rnd(3, "v2")},
+      ${rnd(4, "v3")}"""
+  }
 
   /** One DuckDB Lloyd step as a CTE block: centroids `$from` → `c$step`,
     * mirroring [[lloydStep]] exactly (assign by (d2, cid), floor means,
@@ -1661,39 +1764,52 @@ object SimilarityQueries extends QueryModule {
           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
         FROM scored)
       SELECT * FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
-    "q201_top_pc" -> {
-      // one power-iteration round as CTE text: d -> u (exact HUGEINT sum,
-      // DuckDB's BIGINT-sum default, mirroring Spark's DECIMAL(38,0)) ->
-      // max-rescale to 8 digits -> exact ||w||^2 -> unit micro vector
-      def rnd(k: Int, prev: String): String = s"""
-      d$k AS (
-        SELECT c, CAST(round(CAST(list_sum([c[i] * v[i] for i in range(1, 65)]) AS DOUBLE)
-          / 1000000.0) AS BIGINT) AS e
-        FROM cent, $prev),
-      u$k AS (SELECT j, sum(c[j+1] * e) AS uj FROM d$k, range(64) t(j) GROUP BY j),
-      m$k AS (SELECT max(abs(uj)) AS mx FROM u$k),
-      w$k AS (SELECT j, CAST(round((CAST(uj AS DOUBLE) * 100000000.0)
-          / CAST(mx AS DOUBLE)) AS BIGINT) AS wj FROM u$k, m$k),
-      nn$k AS (SELECT CAST(sum(wj * wj) AS BIGINT) AS nrm2 FROM w$k),
-      v$k AS (SELECT list(CAST(round((CAST(wj AS DOUBLE) * 1000000.0)
-          / sqrt(CAST(nrm2 AS DOUBLE))) AS BIGINT) ORDER BY j) AS v FROM w$k, nn$k)"""
-      s"""
-      WITH q AS (
-        SELECT vec_id,
-          [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS qv
-        FROM embeddings),
-      cnt AS (SELECT count(*) AS n FROM q),
-      sums AS (SELECT j, sum(qv[j+1]) AS sj FROM q, range(64) t(j) GROUP BY j),
-      mean AS (SELECT j, CAST(round(CAST(sj AS DOUBLE) / n) AS BIGINT) AS mj
-               FROM sums, cnt),
-      meanv AS (SELECT list(mj ORDER BY j) AS m FROM mean),
-      cent AS (SELECT vec_id, [qv[i] - m[i] for i in range(1, 65)] AS c
-               FROM q, meanv),
-      v0 AS (SELECT [CAST(125000 AS BIGINT) for i in range(64)] AS v),
-      ${rnd(1, "v0")},
-      ${rnd(2, "v1")},
-      ${rnd(3, "v2")},
-      ${rnd(4, "v3")},
+    "q202_abtt_debias" -> s"""
+      WITH $duckAbtt,
+      deb AS MATERIALIZED (
+        SELECT vec_id, c,
+          CAST(round(CAST(list_sum([c[i] * v[i] for i in range(1, 65)]) AS DOUBLE)
+            / 1000000.0) AS BIGINT) AS g
+        FROM cent, v4),
+      deb2 AS MATERIALIZED (
+        SELECT vec_id, c,
+          [c[i] - CAST(round(CAST(g AS DOUBLE) * CAST(v[i] AS DOUBLE)
+            / 1000000.0) AS BIGINT) for i in range(1, 65)] AS c2
+        FROM deb, v4),
+      nrm AS MATERIALIZED (
+        SELECT vec_id, c, c2,
+          CAST(list_sum([x * x for x in c]) AS BIGINT) AS n2c,
+          CAST(list_sum([x * x for x in c2]) AS BIGINT) AS n2d
+        FROM deb2),
+      r_cent AS MATERIALIZED (
+        SELECT * FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+          FROM (
+            SELECT a.vec_id AS qid, b.vec_id AS cid,
+              CAST(list_sum([a.c[k] * b.c[k] for k in range(1, 65)]) AS BIGINT)
+                / (sqrt(a.n2c) * sqrt(b.n2c)) AS cos
+            FROM nrm a JOIN nrm b ON a.vec_id < 5 AND a.vec_id != b.vec_id
+              AND a.n2c > 0 AND b.n2c > 0))
+        WHERE rnk <= 3),
+      r_deb AS MATERIALIZED (
+        SELECT * FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+          FROM (
+            SELECT a.vec_id AS qid, b.vec_id AS cid,
+              CAST(list_sum([a.c2[k] * b.c2[k] for k in range(1, 65)]) AS BIGINT)
+                / (sqrt(a.n2d) * sqrt(b.n2d)) AS cos
+            FROM nrm a JOIN nrm b ON a.vec_id < 5 AND a.vec_id != b.vec_id
+              AND a.n2d > 0 AND b.n2d > 0))
+        WHERE rnk <= 3)
+      SELECT c.qid, c.rnk, c.cid AS cid_cent, c.cos AS cos_cent,
+        d.cid AS cid_deb, d.cos AS cos_deb,
+        CAST(CASE WHEN c.cid = d.cid THEN 0 ELSE 1 END AS BIGINT) AS moved
+      FROM r_cent c JOIN r_deb d ON c.qid = d.qid AND c.rnk = d.rnk
+      ORDER BY c.qid, c.rnk""",
+    "q201_top_pc" -> s"""
+      WITH $duckAbtt,
       sc AS (
         SELECT v, CAST(round(sqrt(CAST(nrm2 AS DOUBLE)) * CAST(mx AS DOUBLE)
           / 100000000.0) AS BIGINT) AS unorm
@@ -1711,8 +1827,7 @@ object SimilarityQueries extends QueryModule {
       SELECT CAST(mean.j AS BIGINT) AS j, mean.mj AS mean_micro,
         sc.v[mean.j + 1] AS v_micro, sc.unorm, st.tot_var, st.proj_scaled,
         st.share_micro
-      FROM mean, sc, st ORDER BY j"""
-    },
+      FROM mean, sc, st ORDER BY j""",
     "q199_mmr_rerank" -> s"""
       WITH $duckQuant,
       scored AS (

@@ -437,4 +437,62 @@ class SimilarityMultimodalSpec extends SparkSpec {
     }
     assert(reordered, "MMR output identical to plain top-3 for every query")
   }
+
+  test("q201 power iteration recovers a planted dominant direction exactly") {
+    // Planted two-factor corpus: q_i = a_i·d + b_i·p with d ⊥ p unit
+    // directions (micro components ±125000), a_i ∈ [-10,10], b_i ∈ [-2,2],
+    // each summing to zero over n=210 — so the mean vector is exactly 0,
+    // the dominant PC is exactly ±d, and every engine step (projections,
+    // component sums, max-rescale, unit rounding) lands on exact integers.
+    // That makes the assertions EQUALITIES, not tolerances: v must converge
+    // to ±d's micro components and the ABTT share to round(Σa²/(Σa²+Σb²)·1e6).
+    val dM = Array.tabulate(64)(j => if (j < 48) 125000L else -125000L)
+    val pM = Array.tabulate(64)(j => if (j % 2 == 0) 125000L else -125000L)
+    val a = Array.tabulate(210)(i => (i % 21) - 10L)
+    val b = Array.tabulate(210)(i => (i % 5) - 2L)
+    import spark.implicits._
+    val vecs = Seq.tabulate(210) { i =>
+      (i.toLong, Array.tabulate(64)(j => a(i) * dM(j) + b(i) * pM(j)))
+    }.toDF("vec_id", "q")
+    val out = SimilarityQueries.powerIterationPc(vecs, rounds = 4)
+      .orderBy(col("j")).collect()
+    assert(out.length == 64)
+    val sumA2 = a.map(x => x * x).sum    // 7700
+    val sumB2 = b.map(x => x * x).sum    // 420
+    val sign = if (out.head.getLong(2) > 0) 1L else -1L
+    out.foreach { r =>
+      val j = r.getLong(0).toInt
+      assert(r.getLong(1) == 0L, s"mean_micro at $j")             // exact zero mean
+      assert(sign * r.getLong(2) == dM(j), s"v_micro at $j")      // ±d exactly
+      assert(r.getLong(4) == (sumA2 + sumB2) * 1000000000000L)    // tot_var micro²
+      assert(r.getLong(6) ==
+        math.round(sumA2.toDouble * 1e6 / (sumA2 + sumB2)))       // ABTT share
+    }
+  }
+
+  test("q202 debias removes the planted dominant factor exactly") {
+    // Same planted corpus as the q201 law: q_i = a_i·d + b_i·p. With the
+    // iteration landing on v = ±d exactly (micro ±125000), the projection
+    // g_i = ±a_i·1e6 and the removal round(g·v_j/1e6) = a_i·d_j are BOTH
+    // exact — so the residual must equal the minor factor b_i·p verbatim
+    // and the residual norm Σb²·1e12, again as equalities.
+    val dM = Array.tabulate(64)(j => if (j < 48) 125000L else -125000L)
+    val pM = Array.tabulate(64)(j => if (j % 2 == 0) 125000L else -125000L)
+    val a = Array.tabulate(210)(i => (i % 21) - 10L)
+    val b = Array.tabulate(210)(i => (i % 5) - 2L)
+    import spark.implicits._
+    val vecs = Seq.tabulate(210) { i =>
+      (i.toLong, Array.tabulate(64)(j => a(i) * dM(j) + b(i) * pM(j)))
+    }.toDF("vec_id", "q")
+    val out = SimilarityQueries.abttDebiased(vecs, rounds = 4)
+      .orderBy(col("vec_id")).collect()
+    assert(out.length == 210)
+    out.foreach { r =>
+      val i = r.getLong(0).toInt
+      val c2 = r.getSeq[Long](2)
+      (0 until 64).foreach(j => assert(c2(j) == b(i) * pM(j), s"residual $i/$j"))
+      assert(r.getLong(3) == (a(i) * a(i) + b(i) * b(i)) * 1000000000000L)
+      assert(r.getLong(4) == b(i) * b(i) * 1000000000000L)
+    }
+  }
 }
