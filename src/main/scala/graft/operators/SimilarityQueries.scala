@@ -1246,7 +1246,66 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** q203 — LINEAR CLASSIFIER TRAINING by batch perceptron (Rosenblatt 1958;
+    * the distributed-trainable core of the fastText-style label/quality
+    * filters of Joulin et al. 2017 that LLM corpus pipelines run over every
+    * document): four unrolled batch rounds of w ← w + Σ_misclassified y·x
+    * over centi-quantized embeddings (binary target: label ≤ 4), reporting
+    * the final integer weights/bias beside each round's misclassified count
+    * — the training curve and the model in one frame.
+    *
+    * Determinism discipline: centi quantization (one rounding at the scan)
+    * keeps every margin, update, and count EXACT BIGINT end to end — no
+    * float enters training at all, so DuckDB replays all four rounds
+    * bit-for-bit (q201's playbook with zero IEEE expressions). The
+    * misclassified mask folds into conditional aggregates over ALL rows
+    * (never a filtered-empty frame), so a separable round degrades to a
+    * zero delta, not a missing one.
+    *
+    * Shape at 100 TB: per round ONE scan of the cached (y, x) corpus
+    * projects margins map-side under the broadcast 64-long w, and the only
+    * exchanges are the 64-key delta sum + a 1-row (db, err) rollup — wire
+    * cost dimension-bounded and corpus-independent, the q201 iterated
+    * profile; rounds are a fixed unrolled DAG, no driver loop. */
+  val q203Perceptron: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.load(s, dir, "embeddings").select(
+      expr("CASE WHEN label <= 4 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END").as("y"),
+      expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 100) AS BIGINT))").as("x"))
+    perceptronRounds(e, rounds = 4)
+  }
+
+  /** q203's engine over any (y: ±1 bigint, x: array<bigint>) frame. */
+  private[graft] def perceptronRounds(labeled: DataFrame, rounds: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(labeled.sparkSession)
+    val e = labeled.select(col("y"), col("x")).cache()
+    val w0 = e.groupBy().agg(count(lit(1)).as("n"))
+      .select(expr("transform(sequence(1, 64), i -> CAST(0 AS BIGINT))").as("w"),
+        lit(0L).as("b"), expr("CAST(array() AS ARRAY<BIGINT>)").as("errs"))
+    def step(prev: DataFrame): DataFrame = {
+      val m = e.crossJoin(broadcast(prev.select(col("w"), col("b"))))
+        .withColumn("mis", when(
+          col("y") * (expr("dot_long(x, w)") + col("b")) <= 0, lit(1L)).otherwise(lit(0L)))
+      val dw = m.select(col("mis"), col("y"), posexplode(col("x")))
+        .groupBy(col("pos")).agg(sum(expr("mis * y * col")).as("dj"))
+        .groupBy()
+        .agg(expr("transform(array_sort(collect_list(struct(pos, dj))), s -> s.dj)").as("dw"))
+      val db = m.agg(sum(expr("mis * y")).as("db"), sum(col("mis")).as("err"))
+      prev.crossJoin(broadcast(dw)).crossJoin(broadcast(db))
+        .select(expr("zip_with(w, dw, (a, c) -> a + c)").as("w"),
+          (col("b") + col("db")).as("b"),
+          expr("concat(errs, array(err))").as("errs"))
+    }
+    val last = (1 to rounds).foldLeft(w0)((acc, _) => step(acc))
+    last.select(posexplode(col("w")) +: Seq(col("b"), col("errs")): _*)
+      .select(col("pos").cast("long").as("j"), col("col").as("w_cj"),
+        col("b").as("bias"), expr("errs[0]").as("err1"), expr("errs[1]").as("err2"),
+        expr("errs[2]").as("err3"), expr("errs[3]").as("err4"))
+      .orderBy(col("j"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q203_perceptron" -> q203Perceptron,
     "q202_abtt_debias" -> q202AbttDebias,
     "q201_top_pc" -> q201TopPc,
     "q199_mmr_rerank" -> q199MmrRerank,
@@ -1764,6 +1823,40 @@ object SimilarityQueries extends QueryModule {
           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
         FROM scored)
       SELECT * FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "q203_perceptron" -> {
+      // one batch-perceptron round as MATERIALIZED CTE text: margins over
+      // ALL rows with a 0/1 mask (a separable round gives a zero delta,
+      // never an empty frame), 64-key delta sum, 1-row (db, err) rollup,
+      // then the updated weight list — all exact BIGINT, no floats anywhere
+      def rnd(k: Int, prev: String): String = s"""
+      mar$k AS MATERIALIZED (
+        SELECT y, x, CASE WHEN y * (CAST(list_sum([x[i] * w[i]
+            for i in range(1, 65)]) AS BIGINT) + b) <= 0 THEN 1 ELSE 0 END AS mis
+        FROM e, $prev),
+      d$k AS MATERIALIZED (
+        SELECT j, CAST(sum(mis * y * x[j+1]) AS BIGINT) AS dj
+        FROM mar$k, range(64) t(j) GROUP BY j),
+      s$k AS MATERIALIZED (
+        SELECT CAST(sum(mis * y) AS BIGINT) AS db, CAST(sum(mis) AS BIGINT) AS err
+        FROM mar$k),
+      w$k AS MATERIALIZED (
+        SELECT list(p.w[d.j+1] + d.dj ORDER BY d.j) AS w, min(p.b + s.db) AS b
+        FROM d$k d, $prev p, s$k s)"""
+      s"""
+      WITH e AS MATERIALIZED (
+        SELECT CASE WHEN label <= 4 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+          [CAST(round(CAST(v AS DOUBLE) * 100) AS BIGINT) for v in embedding] AS x
+        FROM embeddings),
+      w0 AS (SELECT [CAST(0 AS BIGINT) for i in range(64)] AS w,
+             CAST(0 AS BIGINT) AS b),
+      ${rnd(1, "w0")},
+      ${rnd(2, "w1")},
+      ${rnd(3, "w2")},
+      ${rnd(4, "w3")}
+      SELECT CAST(t.j AS BIGINT) AS j, w4.w[t.j+1] AS w_cj, w4.b AS bias,
+        s1.err AS err1, s2.err AS err2, s3.err AS err3, s4.err AS err4
+      FROM range(64) t(j), w4, s1, s2, s3, s4 ORDER BY j"""
+    },
     "q202_abtt_debias" -> s"""
       WITH $duckAbtt,
       deb AS MATERIALIZED (

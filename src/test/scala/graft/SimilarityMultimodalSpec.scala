@@ -495,4 +495,34 @@ class SimilarityMultimodalSpec extends SparkSpec {
       assert(r.getLong(4) == b(i) * b(i) * 1000000000000L)
     }
   }
+
+  test("q203 batch perceptron separates a planted margin corpus in one round") {
+    // x_i = y_i·s_i·d + t_i·p with d ⊥ p, s_i ∈ [5,7] > 0, and both the
+    // labels and the noise balanced so Σy_i t_i = 0 exactly. Round 1 starts
+    // at w = 0 → every margin is 0 → ALL 210 rows misclassified and
+    // w1 = Σ y_i x_i = (Σ s_i)·d exactly (the noise cancels); from round 2
+    // every margin is (Σs)·s_i·|d|² > 0, so the error counts must be
+    // 210, 0, 0, 0 and the final weights frozen at (Σ s_i)·d — equalities,
+    // since no float enters training.
+    val dC = Array.tabulate(64)(j => if (j < 48) 12L else -12L)
+    val pC = Array.tabulate(64)(j => if (j % 2 == 0) 12L else -12L)
+    val y = Array.tabulate(210)(i => if (i % 2 == 0) 1L else -1L)
+    val s = Array.tabulate(210)(i => 5L + (i % 3))
+    val t = Array.tabulate(210)(i => (i % 5) - 2L)
+    import spark.implicits._
+    val labeled = Seq.tabulate(210) { i =>
+      (y(i), Array.tabulate(64)(j => y(i) * s(i) * dC(j) + t(i) * pC(j)))
+    }.toDF("y", "x")
+    val out = SimilarityQueries.perceptronRounds(labeled, rounds = 4)
+      .orderBy(col("j")).collect()
+    assert(out.length == 64)
+    val sumS = s.sum
+    out.foreach { r =>
+      val j = r.getLong(0).toInt
+      assert(r.getLong(1) == sumS * dC(j), s"w at $j")
+      assert(r.getLong(2) == 0L, "bias")
+      assert(r.getLong(3) == 210L && r.getLong(4) == 0L &&
+        r.getLong(5) == 0L && r.getLong(6) == 0L, "error curve")
+    }
+  }
 }
