@@ -1264,9 +1264,11 @@ object SimilarityQueries extends QueryModule {
     *
     * Shape at 100 TB: per round ONE scan of the cached (y, x) corpus
     * projects margins map-side under the broadcast 64-long w, and the only
-    * exchanges are the 64-key delta sum + a 1-row (db, err) rollup — wire
-    * cost dimension-bounded and corpus-independent, the q201 iterated
-    * profile; rounds are a fixed unrolled DAG, no driver loop. */
+    * exchange is ONE 65-key partial-aggregated delta sum (the bias update
+    * rides position 64 as a synthetic all-ones feature, the error count is
+    * the per-key row count) — wire cost dimension-bounded and
+    * corpus-independent, the q201 iterated profile; rounds are a fixed
+    * unrolled DAG, no driver loop. */
   val q203Perceptron: Q = (s, dir) => {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.load(s, dir, "embeddings").select(
@@ -1286,14 +1288,19 @@ object SimilarityQueries extends QueryModule {
       val m = e.crossJoin(broadcast(prev.select(col("w"), col("b"))))
         .withColumn("mis", when(
           col("y") * (expr("dot_long(x, w)") + col("b")) <= 0, lit(1L)).otherwise(lit(0L)))
-      val dw = m.select(col("mis"), col("y"), posexplode(col("x")))
-        .groupBy(col("pos")).agg(sum(expr("mis * y * col")).as("dj"))
+      // ONE 65-key exchange per round: the bias update rides position 64 as
+      // a synthetic all-ones feature, and every position group sees every
+      // row, so the misclassified count is the same sum at any key.
+      val agg = m.select(col("mis"), col("y"),
+          posexplode(expr("concat(x, array(CAST(1 AS BIGINT)))")))
+        .groupBy(col("pos"))
+        .agg(sum(expr("mis * y * col")).as("dj"), sum(col("mis")).as("errp"))
         .groupBy()
-        .agg(expr("transform(array_sort(collect_list(struct(pos, dj))), s -> s.dj)").as("dw"))
-      val db = m.agg(sum(expr("mis * y")).as("db"), sum(col("mis")).as("err"))
-      prev.crossJoin(broadcast(dw)).crossJoin(broadcast(db))
-        .select(expr("zip_with(w, dw, (a, c) -> a + c)").as("w"),
-          (col("b") + col("db")).as("b"),
+        .agg(expr("transform(array_sort(collect_list(struct(pos, dj))), s -> s.dj)").as("dall"),
+          max(col("errp")).as("err"))
+      prev.crossJoin(broadcast(agg))
+        .select(expr("zip_with(w, slice(dall, 1, 64), (a, c) -> a + c)").as("w"),
+          (col("b") + expr("dall[64]")).as("b"),
           expr("concat(errs, array(err))").as("errs"))
     }
     val last = (1 to rounds).foldLeft(w0)((acc, _) => step(acc))
