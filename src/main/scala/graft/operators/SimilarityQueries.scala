@@ -1277,8 +1277,19 @@ object SimilarityQueries extends QueryModule {
     perceptronRounds(e, rounds = 4)
   }
 
-  /** q203's engine over any (y: ±1 bigint, x: array<bigint>) frame. */
+  /** q203's engine over any (y: ±1 bigint, x: array<bigint>) frame,
+    * reported as one row per weight position. */
   private[graft] def perceptronRounds(labeled: DataFrame, rounds: Int): DataFrame = {
+    val last = perceptronFit(labeled, rounds)
+    last.select(posexplode(col("w")) +: Seq(col("b"), col("errs")): _*)
+      .select(col("pos").cast("long").as("j"), col("col").as("w_cj"),
+        col("b").as("bias"), expr("errs[0]").as("err1"), expr("errs[1]").as("err2"),
+        expr("errs[2]").as("err3"), expr("errs[3]").as("err4"))
+      .orderBy(col("j"))
+  }
+
+  /** The trained model as a 1-row frame (w: array<bigint>, b, errs). */
+  private[graft] def perceptronFit(labeled: DataFrame, rounds: Int): DataFrame = {
     graft.functions.GraftFunctions.register(labeled.sparkSession)
     val e = labeled.select(col("y"), col("x")).cache()
     val w0 = e.groupBy().agg(count(lit(1)).as("n"))
@@ -1303,15 +1314,58 @@ object SimilarityQueries extends QueryModule {
           (col("b") + expr("dall[64]")).as("b"),
           expr("concat(errs, array(err))").as("errs"))
     }
-    val last = (1 to rounds).foldLeft(w0)((acc, _) => step(acc))
-    last.select(posexplode(col("w")) +: Seq(col("b"), col("errs")): _*)
-      .select(col("pos").cast("long").as("j"), col("col").as("w_cj"),
-        col("b").as("bias"), expr("errs[0]").as("err1"), expr("errs[1]").as("err2"),
-        expr("errs[2]").as("err3"), expr("errs[3]").as("err4"))
-      .orderBy(col("j"))
+    (1 to rounds).foldLeft(w0)((acc, _) => step(acc))
+  }
+
+  /** q204 — HELD-OUT CLASSIFIER EVALUATION, the other half of q203 and the
+    * gate every filter model passes before it scores a corpus: fit the
+    * batch perceptron on the EVEN vec_ids, score the odd held-out half
+    * under the broadcast model, and report the confusion matrix with
+    * single-rounded integer-micro accuracy / precision / recall / F1 — F1
+    * computed directly from counts (2tp/(2tp+fp+fn)), never from the
+    * already-rounded precision/recall, so each metric is one IEEE op over
+    * exact integers (the q129 discipline).
+    *
+    * Shape at 100 TB: training is q203's dimension-bounded loop on its
+    * split; evaluation is ONE map-side scan of the held-out split under the
+    * broadcast 64-long model and a single 4-cell conditional rollup — no
+    * exchange carries corpus rows. Zero-denominator cells degrade to 0, not
+    * null, replicated in the oracle. */
+  val q204ClassifierEval: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    val all = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+      expr("CASE WHEN label <= 4 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END").as("y"),
+      expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 100) AS BIGINT))").as("x"))
+    val model = perceptronFit(
+      all.filter(col("vec_id") % 2 === 0).select(col("y"), col("x")), rounds = 4)
+    classifierEval(model, all.filter(col("vec_id") % 2 === 1))
+  }
+
+  /** q204's scorer: confusion matrix + single-rounded micro metrics of a
+    * 1-row (w, b) model over a held-out (y, x) frame. */
+  private[graft] def classifierEval(model: DataFrame, held: DataFrame): DataFrame = {
+    val cm = held
+      .crossJoin(broadcast(model.select(col("w"), col("b"))))
+      .select(col("y"), when(expr("dot_long(x, w)") + col("b") > 0, lit(1L))
+        .otherwise(lit(-1L)).as("p"))
+      .agg(
+        sum(when(col("y") === 1 && col("p") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === -1 && col("p") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1 && col("p") === -1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("y") === -1 && col("p") === -1, 1L).otherwise(0L)).as("tn"))
+    cm.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      expr("CAST(round((tp + tn) * 1000000.0 / (tp + fp + fn + tn)) AS BIGINT)")
+        .as("acc_micro"),
+      expr("CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT) ELSE " +
+        "CAST(round(tp * 1000000.0 / (tp + fp)) AS BIGINT) END").as("prec_micro"),
+      expr("CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT) ELSE " +
+        "CAST(round(tp * 1000000.0 / (tp + fn)) AS BIGINT) END").as("rec_micro"),
+      expr("CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS BIGINT) ELSE " +
+        "CAST(round(2 * tp * 1000000.0 / (2 * tp + fp + fn)) AS BIGINT) END").as("f1_micro"))
   }
 
   def queries: Map[String, Q] = Map(
+    "q204_classifier_eval" -> q204ClassifierEval,
     "q203_perceptron" -> q203Perceptron,
     "q202_abtt_debias" -> q202AbttDebias,
     "q201_top_pc" -> q201TopPc,
@@ -1369,6 +1423,35 @@ object SimilarityQueries extends QueryModule {
       ${rnd(2, "v1")},
       ${rnd(3, "v2")},
       ${rnd(4, "v3")}"""
+  }
+
+  /** Shared DuckDB replay of the batch-perceptron training loop (q203 train
+    * / q204 train-then-eval): expects a bound CTE `e` (y: ±1, x: centi
+    * list); emits w0 and four MATERIALIZED rounds — margins over ALL rows
+    * with a 0/1 mask (a separable round gives a zero delta, never an empty
+    * frame), 64-key delta sum, 1-row (db, err) rollup, updated weight list
+    * — all exact BIGINT, no floats anywhere. Binds w1..w4 and s1..s4. */
+  private val duckPerceptron: String = {
+    def rnd(k: Int, prev: String): String = s"""
+      mar$k AS MATERIALIZED (
+        SELECT y, x, CASE WHEN y * (CAST(list_sum([x[i] * w[i]
+            for i in range(1, 65)]) AS BIGINT) + b) <= 0 THEN 1 ELSE 0 END AS mis
+        FROM e, $prev),
+      d$k AS MATERIALIZED (
+        SELECT j, CAST(sum(mis * y * x[j+1]) AS BIGINT) AS dj
+        FROM mar$k, range(64) t(j) GROUP BY j),
+      s$k AS MATERIALIZED (
+        SELECT CAST(sum(mis * y) AS BIGINT) AS db, CAST(sum(mis) AS BIGINT) AS err
+        FROM mar$k),
+      w$k AS MATERIALIZED (
+        SELECT list(p.w[d.j+1] + d.dj ORDER BY d.j) AS w, min(p.b + s.db) AS b
+        FROM d$k d, $prev p, s$k s)"""
+    s"""w0 AS (SELECT [CAST(0 AS BIGINT) for i in range(64)] AS w,
+             CAST(0 AS BIGINT) AS b),
+      ${rnd(1, "w0")},
+      ${rnd(2, "w1")},
+      ${rnd(3, "w2")},
+      ${rnd(4, "w3")}"""
   }
 
   /** One DuckDB Lloyd step as a CTE block: centroids `$from` → `c$step`,
@@ -1830,40 +1913,44 @@ object SimilarityQueries extends QueryModule {
           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
         FROM scored)
       SELECT * FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
-    "q203_perceptron" -> {
-      // one batch-perceptron round as MATERIALIZED CTE text: margins over
-      // ALL rows with a 0/1 mask (a separable round gives a zero delta,
-      // never an empty frame), 64-key delta sum, 1-row (db, err) rollup,
-      // then the updated weight list — all exact BIGINT, no floats anywhere
-      def rnd(k: Int, prev: String): String = s"""
-      mar$k AS MATERIALIZED (
-        SELECT y, x, CASE WHEN y * (CAST(list_sum([x[i] * w[i]
-            for i in range(1, 65)]) AS BIGINT) + b) <= 0 THEN 1 ELSE 0 END AS mis
-        FROM e, $prev),
-      d$k AS MATERIALIZED (
-        SELECT j, CAST(sum(mis * y * x[j+1]) AS BIGINT) AS dj
-        FROM mar$k, range(64) t(j) GROUP BY j),
-      s$k AS MATERIALIZED (
-        SELECT CAST(sum(mis * y) AS BIGINT) AS db, CAST(sum(mis) AS BIGINT) AS err
-        FROM mar$k),
-      w$k AS MATERIALIZED (
-        SELECT list(p.w[d.j+1] + d.dj ORDER BY d.j) AS w, min(p.b + s.db) AS b
-        FROM d$k d, $prev p, s$k s)"""
-      s"""
+    "q203_perceptron" -> s"""
       WITH e AS MATERIALIZED (
         SELECT CASE WHEN label <= 4 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
           [CAST(round(CAST(v AS DOUBLE) * 100) AS BIGINT) for v in embedding] AS x
         FROM embeddings),
-      w0 AS (SELECT [CAST(0 AS BIGINT) for i in range(64)] AS w,
-             CAST(0 AS BIGINT) AS b),
-      ${rnd(1, "w0")},
-      ${rnd(2, "w1")},
-      ${rnd(3, "w2")},
-      ${rnd(4, "w3")}
+      $duckPerceptron
       SELECT CAST(t.j AS BIGINT) AS j, w4.w[t.j+1] AS w_cj, w4.b AS bias,
         s1.err AS err1, s2.err AS err2, s3.err AS err3, s4.err AS err4
-      FROM range(64) t(j), w4, s1, s2, s3, s4 ORDER BY j"""
-    },
+      FROM range(64) t(j), w4, s1, s2, s3, s4 ORDER BY j""",
+    "q204_classifier_eval" -> s"""
+      WITH e AS MATERIALIZED (
+        SELECT CASE WHEN label <= 4 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+          [CAST(round(CAST(v AS DOUBLE) * 100) AS BIGINT) for v in embedding] AS x
+        FROM embeddings WHERE vec_id % 2 = 0),
+      $duckPerceptron,
+      ev AS MATERIALIZED (
+        SELECT CASE WHEN label <= 4 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+          [CAST(round(CAST(v AS DOUBLE) * 100) AS BIGINT) for v in embedding] AS x
+        FROM embeddings WHERE vec_id % 2 = 1),
+      sc AS MATERIALIZED (
+        SELECT y, CASE WHEN CAST(list_sum([x[i] * w[i] for i in range(1, 65)]) AS BIGINT)
+          + b > 0 THEN 1 ELSE -1 END AS p
+        FROM ev, w4),
+      cm AS (
+        SELECT CAST(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(sum(CASE WHEN y = -1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(sum(CASE WHEN y = 1 AND p = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          CAST(sum(CASE WHEN y = -1 AND p = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM sc)
+      SELECT tp, fp, fn, tn,
+        CAST(round((tp + tn) * 1000000.0 / (tp + fp + fn + tn)) AS BIGINT) AS acc_micro,
+        CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(round(tp * 1000000.0 / (tp + fp)) AS BIGINT) END AS prec_micro,
+        CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(round(tp * 1000000.0 / (tp + fn)) AS BIGINT) END AS rec_micro,
+        CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(round(2 * tp * 1000000.0 / (2 * tp + fp + fn)) AS BIGINT) END AS f1_micro
+      FROM cm""",
     "q202_abtt_debias" -> s"""
       WITH $duckAbtt,
       deb AS MATERIALIZED (

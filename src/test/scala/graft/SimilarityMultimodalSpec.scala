@@ -525,4 +525,36 @@ class SimilarityMultimodalSpec extends SparkSpec {
         r.getLong(5) == 0L && r.getLong(6) == 0L, "error curve")
     }
   }
+
+  test("q204 eval hits the exact confusion cells and zero-denominator guards") {
+    // Degenerate-on-purpose split of the q203 planted corpus: train on the
+    // even i (ALL y=+1, since y alternates with parity) — the single-class
+    // case a quality-filter pipeline hits when a shard has no negatives.
+    // Exact trace: round 1 misclassifies all 105 (margins 0 at w=0), giving
+    // w = (Σ_even s_i)·d = 630·d and b = 105; every later round is clean.
+    // The odd half is ALL y=−1 with w·x = −630·s_i·|d|² + t_i·(p·d)·…, and
+    // p ⊥ d makes that strictly negative → every prediction −1. So the
+    // confusion matrix must be exactly (tp,fp,fn,tn) = (0,0,0,105), and the
+    // three guarded metrics (precision, recall, F1) must take their defined
+    // 0 — not null, not NaN — while accuracy is exactly 1e6.
+    val dC = Array.tabulate(64)(j => if (j < 48) 12L else -12L)
+    val pC = Array.tabulate(64)(j => if (j % 2 == 0) 12L else -12L)
+    val y = Array.tabulate(210)(i => if (i % 2 == 0) 1L else -1L)
+    val s = Array.tabulate(210)(i => 5L + (i % 3))
+    val t = Array.tabulate(210)(i => (i % 5) - 2L)
+    import spark.implicits._
+    val rows = Seq.tabulate(210) { i =>
+      (i.toLong, y(i), Array.tabulate(64)(j => y(i) * s(i) * dC(j) + t(i) * pC(j)))
+    }.toDF("vec_id", "y", "x")
+    val model = SimilarityQueries.perceptronFit(
+      rows.filter(col("vec_id") % 2 === 0).select(col("y"), col("x")), rounds = 4)
+    val out = SimilarityQueries.classifierEval(
+      model, rows.filter(col("vec_id") % 2 === 1)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((0L, 0L, 0L, 105L)))
+    assert(r.getLong(4) == 1000000L, "accuracy")
+    assert(r.getLong(5) == 0L && r.getLong(6) == 0L && r.getLong(7) == 0L,
+      "guarded metrics")
+  }
 }
