@@ -1364,7 +1364,56 @@ object SimilarityQueries extends QueryModule {
         "CAST(round(2 * tp * 1000000.0 / (2 * tp + fp + fn)) AS BIGINT) END").as("f1_micro"))
   }
 
+  /** q205 — PRECISION/RECALL OPERATING CURVE over the held-out margins: the
+    * threshold-selection table a pipeline reads between q204's single-point
+    * eval and actually filtering a corpus ("keep the top-k% by classifier
+    * margin — at what precision and recall?"). Sixteen evenly spaced
+    * rank cutoffs k_i = ⌈n·i/16⌉ over the margin-sorted held-out half, each
+    * reporting the margin at the cutoff, cumulative true positives, and
+    * single-rounded integer-micro precision/recall.
+    *
+    * Shape at 100 TB: the model is q203's dimension-bounded training; the
+    * curve sorts ONLY the held-out evaluation sample (bounded by design —
+    * an eval set is a sample, never the corpus), so the single-partition
+    * rank window is over thousands of rows while the corpus-sized work
+    * stays map-side; the 16 cutoffs join against a broadcast 16-row frame.
+    * Ties break on vec_id so both engines rank identically. */
+  val q205ThresholdCurve: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    val all = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+      expr("CASE WHEN label <= 4 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END").as("y"),
+      expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 100) AS BIGINT))").as("x"))
+    val model = perceptronFit(
+      all.filter(col("vec_id") % 2 === 0).select(col("y"), col("x")), rounds = 4)
+    thresholdCurve(model, all.filter(col("vec_id") % 2 === 1))
+  }
+
+  /** q205's curve: 16 rank-cutoff rows of a 1-row (w, b) model's margins
+    * over a held-out (vec_id, y, x) frame. */
+  private[graft] def thresholdCurve(model: DataFrame, held: DataFrame): DataFrame = {
+    val scored = held.crossJoin(broadcast(model.select(col("w"), col("b"))))
+      .select(col("vec_id"), col("y"), (expr("dot_long(x, w)") + col("b")).as("margin"))
+    val ord = Window.orderBy(col("margin").desc, col("vec_id"))
+    val ranked = scored
+      .select(col("y"), col("margin"), row_number().over(ord).cast("long").as("rnk"),
+        sum(when(col("y") === 1, 1L).otherwise(0L))
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_tp"))
+    val st = scored.agg(count(lit(1)).as("n"),
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("pos"))
+    val ks = broadcast(scored.sparkSession.range(1, 17).select(col("id").as("i"))
+      .crossJoin(broadcast(st))
+      .select(col("i"), expr("CAST((n * i + 15) DIV 16 AS BIGINT)").as("k"), col("pos")))
+    ks.join(ranked, col("k") === col("rnk"))
+      .select(col("i"), col("k"), col("margin").as("margin_at_k"), col("cum_tp"),
+        expr("CAST(round(cum_tp * 1000000.0 / k) AS BIGINT)").as("prec_micro"),
+        expr("CASE WHEN pos = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "CAST(round(cum_tp * 1000000.0 / pos) AS BIGINT) END").as("rec_micro"))
+      .orderBy(col("i"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q205_threshold_curve" -> q205ThresholdCurve,
     "q204_classifier_eval" -> q204ClassifierEval,
     "q203_perceptron" -> q203Perceptron,
     "q202_abtt_debias" -> q202AbttDebias,
@@ -1922,6 +1971,38 @@ object SimilarityQueries extends QueryModule {
       SELECT CAST(t.j AS BIGINT) AS j, w4.w[t.j+1] AS w_cj, w4.b AS bias,
         s1.err AS err1, s2.err AS err2, s3.err AS err3, s4.err AS err4
       FROM range(64) t(j), w4, s1, s2, s3, s4 ORDER BY j""",
+    "q205_threshold_curve" -> s"""
+      WITH e AS MATERIALIZED (
+        SELECT CASE WHEN label <= 4 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+          [CAST(round(CAST(v AS DOUBLE) * 100) AS BIGINT) for v in embedding] AS x
+        FROM embeddings WHERE vec_id % 2 = 0),
+      $duckPerceptron,
+      ev AS MATERIALIZED (
+        SELECT vec_id,
+          CASE WHEN label <= 4 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+          [CAST(round(CAST(v AS DOUBLE) * 100) AS BIGINT) for v in embedding] AS x
+        FROM embeddings WHERE vec_id % 2 = 1),
+      scd AS MATERIALIZED (
+        SELECT vec_id, y,
+          CAST(list_sum([x[i] * w[i] for i in range(1, 65)]) AS BIGINT) + b AS margin
+        FROM ev, w4),
+      rk AS MATERIALIZED (
+        SELECT y, margin,
+          row_number() OVER (ORDER BY margin DESC, vec_id) AS rnk,
+          sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) OVER (ORDER BY margin DESC, vec_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp
+        FROM scd),
+      st AS (SELECT count(*) AS n,
+        CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos FROM scd),
+      ks AS (SELECT t.i + 1 AS i,
+        CAST((n * (t.i + 1) + 15) // 16 AS BIGINT) AS k, pos
+        FROM range(16) t(i), st)
+      SELECT CAST(ks.i AS BIGINT) AS i, ks.k, rk.margin AS margin_at_k,
+        CAST(rk.cum_tp AS BIGINT) AS cum_tp,
+        CAST(round(rk.cum_tp * 1000000.0 / ks.k) AS BIGINT) AS prec_micro,
+        CASE WHEN ks.pos = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(round(rk.cum_tp * 1000000.0 / ks.pos) AS BIGINT) END AS rec_micro
+      FROM ks JOIN rk ON rk.rnk = ks.k ORDER BY i""",
     "q204_classifier_eval" -> s"""
       WITH e AS MATERIALIZED (
         SELECT CASE WHEN label <= 4 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,

@@ -557,4 +557,36 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(r.getLong(5) == 0L && r.getLong(6) == 0L && r.getLong(7) == 0L,
       "guarded metrics")
   }
+
+  test("q205 curve lands the exact cutoffs, margins, and zero-positive guard") {
+    // Same degenerate split as the q204 law (train all-+1, eval all-−1),
+    // where every quantity is exactly derivable: the model is w = 630·d,
+    // b = 105; odd-half margins are −5806080·s_i + 105 with 35 rows at each
+    // s ∈ {5,6,7}; n = 105 and pos = 0. So the 16 cutoffs must be
+    // ⌈105·i/16⌉, margin_at_k must step down at k = 35 and 70, cum_tp must
+    // be 0 everywhere, and recall must take the pos = 0 guard.
+    val dC = Array.tabulate(64)(j => if (j < 48) 12L else -12L)
+    val pC = Array.tabulate(64)(j => if (j % 2 == 0) 12L else -12L)
+    val y = Array.tabulate(210)(i => if (i % 2 == 0) 1L else -1L)
+    val s = Array.tabulate(210)(i => 5L + (i % 3))
+    val t = Array.tabulate(210)(i => (i % 5) - 2L)
+    import spark.implicits._
+    val rows = Seq.tabulate(210) { i =>
+      (i.toLong, y(i), Array.tabulate(64)(j => y(i) * s(i) * dC(j) + t(i) * pC(j)))
+    }.toDF("vec_id", "y", "x")
+    val model = SimilarityQueries.perceptronFit(
+      rows.filter(col("vec_id") % 2 === 0).select(col("y"), col("x")), rounds = 4)
+    val out = SimilarityQueries.thresholdCurve(
+      model, rows.filter(col("vec_id") % 2 === 1)).collect()
+    assert(out.length == 16)
+    out.zipWithIndex.foreach { case (r, idx) =>
+      val i = idx + 1L
+      val k = (105 * i + 15) / 16
+      assert(r.getLong(0) == i && r.getLong(1) == k, s"cutoff at $i")
+      val sAtK = if (k <= 35) 5L else if (k <= 70) 6L else 7L
+      assert(r.getLong(2) == -5806080L * sAtK + 105L, s"margin at $i")
+      assert(r.getLong(3) == 0L && r.getLong(4) == 0L && r.getLong(5) == 0L,
+        s"zero-positive guard at $i")
+    }
+  }
 }
