@@ -1111,10 +1111,11 @@ object SimilarityQueries extends QueryModule {
     * Determinism discipline (the q126/q184 exact-integer playbook, extended
     * to an iterated matvec): the mean vector rounds ONCE to integer micros;
     * every per-row projection c·v is an exact BIGINT dot (`dot_long`);
-    * the only unbounded aggregation — u_j = Σᵢ c_ij·eᵢ — sums 64-key
-    * DECIMAL(38,0) partial aggregates (DuckDB's BIGINT sum is already
-    * exact HUGEINT, so both engines carry the sum exactly at ANY corpus
-    * size — the place a raw LONG sum would silently wrap); normalization
+    * BOTH unbounded aggregations — the mean-vector component sum and
+    * u_j = Σᵢ c_ij·eᵢ — sum 64-key DECIMAL(38,0) partial aggregates
+    * (DuckDB's BIGINT sum is already exact HUGEINT, so both engines carry
+    * the sums exactly at ANY corpus size — the places a raw LONG sum
+    * would silently wrap); normalization
     * rescales through the exact max |u_j| to 8 significant digits, takes
     * one exact integer ‖w‖², and rounds each component once — so every
     * double op in the loop is a single correctly-rounded IEEE expression
@@ -1136,8 +1137,12 @@ object SimilarityQueries extends QueryModule {
     graft.functions.GraftFunctions.register(vecsIn.sparkSession)
     val e = vecsIn.select(col("vec_id"), col("q"))
     val nF = e.agg(count(lit(1)).as("n"))
+    // the component sum is the OTHER unbounded aggregation here: carry it
+    // in DECIMAL(38,0) like u_j below (DuckDB's BIGINT sum is HUGEINT), so
+    // neither engine can wrap at any corpus size; it only ever feeds the
+    // CAST-AS-DOUBLE mean, so no schema leaks
     val meanF = e.select(posexplode(col("q")))
-      .groupBy(col("pos")).agg(sum(col("col")).as("sj"))
+      .groupBy(col("pos")).agg(sum(expr("CAST(col AS DECIMAL(38,0))")).as("sj"))
       .crossJoin(broadcast(nF))
       .select(col("pos"), expr("CAST(round(CAST(sj AS DOUBLE) / n) AS BIGINT)").as("mj"))
       .groupBy()
@@ -1305,7 +1310,13 @@ object SimilarityQueries extends QueryModule {
       val agg = m.select(col("mis"), col("y"),
           posexplode(expr("concat(x, array(CAST(1 AS BIGINT)))")))
         .groupBy(col("pos"))
-        .agg(sum(expr("mis * y * col")).as("dj"), sum(col("mis")).as("errp"))
+        // accumulate the delta in DECIMAL(38,0) (exact at any corpus size —
+        // partial sums cannot wrap), cast back once: the final value must
+        // fit BIGINT anyway for the BIGINT weights to be meaningful, and a
+        // non-ANSI decimal→bigint overflow surfaces as NULL, never as a
+        // silently wrapped weight; errp is bounded by the row count
+        .agg(expr("CAST(sum(CAST(mis * y * col AS DECIMAL(38,0))) AS BIGINT)").as("dj"),
+          sum(col("mis")).as("errp"))
         .groupBy()
         .agg(expr("transform(array_sort(collect_list(struct(pos, dj))), s -> s.dj)").as("dall"),
           max(col("errp")).as("err"))
