@@ -233,6 +233,57 @@ object Dev {
         }
       }
       spark.stop()
+    } else if (name == "skewsalt") {
+      // max-task-time effect of the self-salting rewrite (VERDICT r12
+      // §next-1) on a crafted 80%-one-key fixture: the plain merge exec
+      // funnels the hot key into ONE post-shuffle task (AQE's skew split
+      // never fires for custom execs); salting splits it S ways. Reported
+      // per rep: wall, MAX task ms, and total task ms (work conservation —
+      // salting must not inflate total work beyond the hot-slice
+      // replication). Usage: runMain graft.Dev ignored skewsalt [reps]
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+      val sumTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val d = te.taskInfo.duration
+          maxTaskMs.updateAndGet(m => math.max(m, d))
+          sumTaskMs.addAndGet(d)
+          ()
+        }
+      })
+      // AQE coalescing off: at local scale it would fold the salt
+      // partitions back together and mask the split being measured
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val nL = 4000000
+      val nR = 40000
+      val left = spark.range(0, nL).select(
+        when(col("id") % 5 =!= 0, lit(7L)).otherwise(col("id") % 23).as("k"),
+        (col("id") * 131L % 5000000L).as("t"), col("id").as("lid"))
+      val right = spark.range(0, nR).select(
+        when(col("id") % 3 === 0, lit(7L)).otherwise(col("id") % 23).as("bk"),
+        (col("id") * 173L % 5000000L).as("bt"), col("id").as("rid"))
+      val hot = spark.range(0, 1).select(lit(7L).as("k"))
+      for (salted <- Seq(false, true); i <- 1 to reps) {
+        graft.engine.Sessions.releasePinned(spark)
+        maxTaskMs.set(0); sumTaskMs.set(0)
+        val t0 = System.nanoTime()
+        val n = (if (salted)
+            graft.plans.AsOf.joinSalted(left, right, Seq("k" -> "bk"), "t", "bt",
+              salts = 16, hotKeys = Some(hot))
+          else
+            graft.plans.AsOf.join(left, right, Seq("k" -> "bk"), "t", "bt",
+              broadcast = Some(false))).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // let straggler task-end events drain before reading the counters
+        // (listenerBus is private[spark]; the bus is async but empties in
+        // well under a second once the job has returned)
+        Thread.sleep(1000)
+        println(f"[dev] skewsalt salted=$salted rep$i: wall=$dt%.2fs " +
+          s"maxTaskMs=${maxTaskMs.get} sumTaskMs=${sumTaskMs.get} rows=$n")
+      }
+      spark.stop()
     } else if (name == "q135prof") {
       // stage timings for the containment pipeline
       import org.apache.spark.sql.functions._

@@ -353,7 +353,17 @@ object AsOf {
 
   /** `broadcast = None` (the default) lets [[AsOfJoinStrategy]] pick the
     * exec from the right side's stats vs `autoBroadcastJoinThreshold`;
-    * `Some(true)`/`Some(false)` forces broadcast/merge regardless. */
+    * `Some(true)`/`Some(false)` forces broadcast/merge regardless.
+    *
+    * BEHAVIOR CHANGE NOTE: before the stats-driven strategy landed, `None`
+    * always meant the merge exec. It now means "consult the right side's
+    * Catalyst size estimate", which carries Spark's own JoinSelection risk
+    * profile — a right side whose estimate UNDERestimates actual size
+    * (e.g. filter-adjusted CBO stats) can auto-broadcast a large table.
+    * Callers that relied on the old always-merge default, or whose right
+    * side is known to be size-underestimated, should pin `Some(false)`
+    * (or set `spark.sql.autoBroadcastJoinThreshold` to `-1`, Spark's
+    * disable convention, which this strategy honors). */
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
       leftTimeCol: String, rightTimeCol: String,
       strict: Boolean = true, tolerance: Option[Long] = None,
@@ -387,6 +397,38 @@ object AsOf {
       "as-of time columns must be LongType (epoch micros)")
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
       AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, strict, tolerance, broadcast))
+  }
+
+  /** SKEW-SALTED as-of join — same semantics and output as [[join]], for
+    * the case a HOT KEY would straggle the merge exec (AQE's skew split
+    * never fires for custom execs; see [[SkewSalt]]). Left rows of hot keys
+    * split across `salts` sub-keys by `pmod(hash(leftTimeCol), salts)`;
+    * right rows of hot keys replicate to every salt — each (key, salt)
+    * partition still holds the key's FULL right timeline, so the per-left
+    * as-of answer is unchanged (law-tested equal to [[join]] on random and
+    * crafted hot-key tables, strict/non-strict/tolerance).
+    *
+    * Hot keys come from `hotKeys` (a frame of the LEFT key columns) when
+    * given — the 100-TB path, where the list comes from prior stats or a
+    * sample — else from one exact key-only counting pass at
+    * `hotThreshold` rows (map-side combined: the hot key cannot straggle
+    * the detection itself). `broadcast` defaults to `Some(false)`: salting
+    * exists precisely because the right side is too big to broadcast — if
+    * it fits, use [[join]] and skew vanishes with the exchange. A hot key
+    * whose left times are all IDENTICAL gains nothing (the salt hash has
+    * one input value); such a key is degenerate for as-of anyway. */
+  def joinSalted(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftTimeCol: String, rightTimeCol: String,
+      strict: Boolean = true, tolerance: Option[Long] = None,
+      salts: Int = 8, hotKeys: Option[DataFrame] = None,
+      hotThreshold: Long = 5000000L,
+      broadcast: Option[Boolean] = Some(false)): DataFrame = {
+    val hot = hotKeys.getOrElse(SkewSalt.hotKeys(left, keys.map(_._1), hotThreshold))
+    val (lS, rS) = SkewSalt.saltSides(left, right, keys,
+      Seq(leftTimeCol), salts, hot)
+    join(lS, rS, keys :+ (SkewSalt.SaltCol -> SkewSalt.SaltCol),
+      leftTimeCol, rightTimeCol, strict, tolerance, broadcast)
+      .drop(SkewSalt.SaltCol)
   }
 
   /** Forward as-of: for each left row, the right row with the SMALLEST time

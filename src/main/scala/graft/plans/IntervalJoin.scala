@@ -432,7 +432,10 @@ case class BroadcastIntervalJoinExec(leftKeys: Seq[Expression],
         val sv = lSe.eval(l); val ev = lEe.eval(l)
         val valid = sv != null && ev != null &&
           ev.asInstanceOf[Long] >= sv.asInstanceOf[Long]
-        if (!valid) mode match {
+        // both branches count into numOutputRows — the invalid-bounds
+        // emissions (outer null-extension, anti passthrough) are output
+        // rows too, and the metric must not undercount them
+        val out0: Iterator[InternalRow] = if (!valid) mode match {
           case "left_outer" => Iterator.single(resultProj(joined(l, nullRight)))
           case "left_anti" => Iterator.single(l)
           case _ => Iterator.empty
@@ -456,10 +459,14 @@ case class BroadcastIntervalJoinExec(leftKeys: Seq[Expression],
                 val mid = (lo2 + hi2) >>> 1
                 if (pmax(mid) >= ls) { j0 = mid; hi2 = mid - 1 } else lo2 = mid + 1
               }
-              if (ans >= j0) scanned += (ans - j0 + 1)
-              (j0 to ans).iterator.filter(i => buf(i)._2 >= ls).map(i => buf(i)._3)
+              // count LAZILY, inside the iterator: semi/anti consumers
+              // short-circuit after the first hasNext, so an eager
+              // (ans - j0 + 1) would report entries never actually visited
+              (j0 to ans).iterator
+                .map { i => scanned += 1; i }
+                .filter(i => buf(i)._2 >= ls).map(i => buf(i)._3)
             }
-          val out: Iterator[InternalRow] = mode match {
+          mode match {
             case "inner" => matches.map(r => resultProj(joined(l, r)))
             case "left_outer" =>
               if (matches.hasNext) matches.map(r => resultProj(joined(l, r)))
@@ -469,8 +476,8 @@ case class BroadcastIntervalJoinExec(leftKeys: Seq[Expression],
             case _ => // left_anti
               if (matches.hasNext) Iterator.empty else Iterator.single(l)
           }
-          out.map { r => numOutput += 1; r }
         }
+        out0.map { r => numOutput += 1; r }
       }
     }, preservesPartitioning = true)
   }
@@ -520,7 +527,14 @@ object IntervalJoin {
 
   /** `broadcast = None` (the default) lets [[IntervalJoinStrategy]] pick
     * the exec from the right side's stats vs `autoBroadcastJoinThreshold`;
-    * `Some(true)`/`Some(false)` forces broadcast/merge regardless. */
+    * `Some(true)`/`Some(false)` forces broadcast/merge regardless.
+    *
+    * BEHAVIOR CHANGE NOTE (shared with [[AsOf.join]]): `None` used to mean
+    * always-merge; it now consults the right side's Catalyst size estimate,
+    * so a size-UNDERestimated right (filter-adjusted CBO stats) can
+    * auto-broadcast a large table. Pin `Some(false)` — or disable with
+    * `spark.sql.autoBroadcastJoinThreshold = -1` — to recover the old
+    * merge-only behavior. */
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
       leftStartCol: String, leftEndCol: String,
       rightStartCol: String, rightEndCol: String,
@@ -559,5 +573,38 @@ object IntervalJoin {
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
       IntervalJoinPlan(lPlan, rPlan, lk, rk,
         cols(0), cols(1), cols(2), cols(3), joinType, broadcast))
+  }
+
+  /** SKEW-SALTED interval join — same semantics and output as [[join]] in
+    * EVERY mode, for the case a HOT KEY would straggle the merge exec
+    * (AQE's skew split never fires for custom execs; see [[SkewSalt]]).
+    * Left intervals of hot keys split across `salts` sub-keys by
+    * `pmod(hash(leftStart, leftEnd), salts)`; right intervals of hot keys
+    * replicate to every salt. Each (key, salt) partition holds the key's
+    * FULL right interval set, and each left interval lives in exactly ONE
+    * salt, so inner emits every overlap pair exactly once and
+    * outer/semi/anti make their per-left decision against the complete
+    * right side — law-tested equal to [[join]] per mode on random and
+    * crafted hot-key tables.
+    *
+    * Hot keys come from `hotKeys` (a frame of the LEFT key columns) when
+    * given — the 100-TB path — else from one exact key-only counting pass
+    * at `hotThreshold` rows (map-side combined). `broadcast` defaults to
+    * `Some(false)`: a broadcast-able right side has no skew problem to
+    * salt. The replication cost is `salts ×` the HOT SLICE of the right
+    * side only — cold keys are never duplicated. */
+  def joinSalted(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftStartCol: String, leftEndCol: String,
+      rightStartCol: String, rightEndCol: String,
+      joinType: String = "inner",
+      salts: Int = 8, hotKeys: Option[DataFrame] = None,
+      hotThreshold: Long = 5000000L,
+      broadcast: Option[Boolean] = Some(false)): DataFrame = {
+    val hot = hotKeys.getOrElse(SkewSalt.hotKeys(left, keys.map(_._1), hotThreshold))
+    val (lS, rS) = SkewSalt.saltSides(left, right, keys,
+      Seq(leftStartCol, leftEndCol), salts, hot)
+    join(lS, rS, keys :+ (SkewSalt.SaltCol -> SkewSalt.SaltCol),
+      leftStartCol, leftEndCol, rightStartCol, rightEndCol, joinType, broadcast)
+      .drop(SkewSalt.SaltCol)
   }
 }
