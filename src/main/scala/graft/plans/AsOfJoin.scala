@@ -209,7 +209,7 @@ case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
     rightKeys: Seq[Expression], leftTime: Expression, rightTime: Expression,
     strict: Boolean, tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan)
-  extends BinaryExecNode {
+  extends BinaryExecNode with org.apache.spark.sql.execution.CodegenSupport {
   import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution,
     IdentityBroadcastMode, UnspecifiedDistribution}
 
@@ -226,6 +226,11 @@ case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"))
 
+  /** Probe index builder shared by the iterator and codegen paths — one
+    * lookup implementation, so the paths cannot drift semantically. */
+  private def probeBuilder = new AsOfProbeBuilder(
+    right.output, rightKeys, rightTime, strict, tolerance)
+
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutput = longMetric("numOutputRows")
     val lOut = left.output
@@ -238,31 +243,11 @@ case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
     // (caught by the brute-equality laws)
     val outAttrs = output
     val lKeyExprs = leftKeys
-    val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
-    val rTimeExpr = rightTime
-    val isStrict = strict
-    val tol = tolerance
+    val builder = probeBuilder
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions({ lIter =>
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
-      val rTimeEval = BindReferences.bindReference(rTimeExpr, rOut)
-      // key → rows sorted by time ascending (null times never match: skip)
-      val index = new java.util.HashMap[UnsafeRow,
-        scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
-      broadcastRows.value.foreach { row =>
-        val t = rTimeEval.eval(row)
-        if (t != null) {
-          val k = rKeyProj(row).copy()
-          var buf = index.get(k)
-          if (buf == null) {
-            buf = scala.collection.mutable.ArrayBuffer.empty[(Long, InternalRow)]
-            index.put(k, buf)
-          }
-          buf += ((t.asInstanceOf[Long], row))
-        }
-      }
-      index.values().forEach { b => b.sortInPlace()(Ordering.by(_._1)); () }
+      val index = builder.build(broadcastRows.value)
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val lTimeEval = BindReferences.bindReference(lTimeExpr, lOut)
       val joined = new JoinedRow
@@ -272,27 +257,89 @@ case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
         lOut ++ rOut.map(_.withNullability(true)))
       lIter.map { l =>
         val lt = lTimeEval.eval(l)
-        var matched: InternalRow = null
-        if (lt != null) {
-          val buf = index.get(lKeyProj(l))
-          if (buf != null) {
-            val ltv = lt.asInstanceOf[Long]
-            // binary search: last index with (t < ltv) / (t <= ltv)
-            var lo = 0; var hi = buf.length - 1; var ans = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              val t = buf(mid)._1
-              if (if (isStrict) t < ltv else t <= ltv) { ans = mid; lo = mid + 1 }
-              else hi = mid - 1
-            }
-            if (ans >= 0 && tol.forall(ltv - buf(ans)._1 <= _))
-              matched = buf(ans)._2
-          }
-        }
+        val matched: InternalRow =
+          if (lt == null) null
+          else index.lookup(lKeyProj(l), lt.asInstanceOf[Long])
         numOutput += 1
         resultProj(joined(l, if (matched != null) matched else nullRight))
       }
     }, preservesPartitioning = true)
+  }
+
+  // ---- whole-stage codegen: fuse the probe into the fact side's pipeline
+  // (the BroadcastHashJoinExec shape — stream side produces, this node
+  // consumes each row with an index lookup, no per-row virtual calls or
+  // UnsafeRow materialization between the scan and the probe) ----
+
+  import org.apache.spark.sql.catalyst.expressions.BoundReference
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+    CodeGenerator, ExprCode, GenerateUnsafeProjection, JavaCode}
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.execution.CodegenSupport
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[CodegenSupport].inputRDDs()
+
+  // one output row per input row: copy requirements pass through unchanged
+  override def needCopyResult: Boolean =
+    left.asInstanceOf[CodegenSupport].needCopyResult
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String = {
+    // index: built once per task in generated-class init, from the same
+    // builder the iterator path uses
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    val builderRef = ctx.addReferenceObj("asofBuilder", probeBuilder,
+      classOf[AsOfProbeBuilder].getName)
+    val bcastRef = ctx.addReferenceObj("asofBroadcast", broadcastRows,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val idxTerm = ctx.addMutableState(classOf[AsOfProbeIndex].getName,
+      "asofIndex", v => s"$v = $builderRef.build(" +
+        s"(org.apache.spark.sql.catalyst.InternalRow[]) $bcastRef.value());")
+    // stream-side key (UnsafeRow — binary-equal to the index keys, the
+    // null-keys-group-together convention) and probe time
+    ctx.currentVars = input
+    val keyEv = GenerateUnsafeProjection.createCode(ctx,
+      leftKeys.map(BindReferences.bindReference(_, left.output)))
+    val timeEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    val matched = ctx.freshName("asofMatched")
+    val rightVars = genRightVars(ctx, matched)
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    s"""
+       |${keyEv.code}
+       |${timeEv.code}
+       |org.apache.spark.sql.catalyst.InternalRow $matched =
+       |  ${timeEv.isNull} ? null : $idxTerm.lookup(${keyEv.value}, ${timeEv.value});
+       |$numOutput.add(1);
+       |${consume(ctx, input ++ rightVars)}
+     """.stripMargin
+  }
+
+  /** Right-side output vars decoded from the matched broadcast row — null
+    * defaults when unmatched (the null-extension), nullability forced wide
+    * exactly like the iterator path's widened resultProj input schema. */
+  private def genRightVars(ctx: CodegenContext, matched: String): Seq[ExprCode] = {
+    ctx.currentVars = null
+    ctx.INPUT_ROW = matched
+    right.output.zipWithIndex.map { case (a, i) =>
+      val ev = BoundReference(i, a.dataType, nullable = true).genCode(ctx)
+      val isNull = ctx.freshName("rIsNull")
+      val value = ctx.freshName("rValue")
+      val javaType = CodeGenerator.javaType(a.dataType)
+      val c = code"""
+        |boolean $isNull = true;
+        |$javaType $value = ${CodeGenerator.defaultValue(a.dataType)};
+        |if ($matched != null) {
+        |  ${ev.code}
+        |  $isNull = ${ev.isNull};
+        |  $value = ${ev.value};
+        |}
+      """.stripMargin
+      ExprCode(c, JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
   }
 
   override protected def withNewChildrenInternal(

@@ -339,7 +339,7 @@ case class BroadcastIntervalJoinExec(leftKeys: Seq[Expression],
     leftStart: Expression, leftEnd: Expression,
     rightStart: Expression, rightEnd: Expression, joinType: String,
     left: SparkPlan, right: SparkPlan)
-  extends BinaryExecNode {
+  extends BinaryExecNode with org.apache.spark.sql.execution.CodegenSupport {
   import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution,
     IdentityBroadcastMode, UnspecifiedDistribution}
 
@@ -363,6 +363,11 @@ case class BroadcastIntervalJoinExec(leftKeys: Seq[Expression],
     "candidatesScanned" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "candidate prefix entries scanned"))
 
+  /** Probe builder shared by the iterator and codegen paths — one
+    * window/dead-head-cut implementation, so the paths cannot drift. */
+  private def probeBuilder = new IntervalProbeBuilder(
+    right.output, rightKeys, rightStart, rightEnd)
+
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -374,51 +379,17 @@ case class BroadcastIntervalJoinExec(leftKeys: Seq[Expression],
     // (caught by the brute-equality laws)
     val outAttrs = output
     val lKeyExprs = leftKeys
-    val rKeyExprs = rightKeys
-    val lS = leftStart; val lE = leftEnd; val rS = rightStart; val rE = rightEnd
+    val lS = leftStart; val lE = leftEnd
     val mode = joinType
     val scanned = longMetric("candidatesScanned")
     val numOutput = longMetric("numOutputRows")
+    val builder = probeBuilder
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions({ lIter =>
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
-      val rSe = BindReferences.bindReference(rS, rOut)
-      val rEe = BindReferences.bindReference(rE, rOut)
-      // key → (start, end, row) sorted by start; null/malformed rights
-      // never match, so they never enter the index
-      val index = new java.util.HashMap[UnsafeRow,
-        scala.collection.mutable.ArrayBuffer[(Long, Long, InternalRow)]]()
-      broadcastRows.value.foreach { row =>
-        val sv = rSe.eval(row); val ev = rEe.eval(row)
-        if (sv != null && ev != null &&
-            ev.asInstanceOf[Long] >= sv.asInstanceOf[Long]) {
-          val k = rKeyProj(row).copy()
-          var buf = index.get(k)
-          if (buf == null) {
-            buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, InternalRow)]
-            index.put(k, buf)
-          }
-          buf += ((sv.asInstanceOf[Long], ev.asInstanceOf[Long], row))
-        }
-      }
-      index.values().forEach { b => b.sortInPlace()(Ordering.by(_._1)); () }
-      // running max-end per start-sorted prefix: non-decreasing, so the
-      // probe can BINARY-SEARCH the first position whose prefix could
-      // still hold a live candidate (prefixMax ≥ ls) and skip the dead
-      // head — entries a prefix-max below ls proves ALL ended before the
-      // probe starts. Zero extra memory beyond one Long per entry; the
-      // win case is a dimension whose early (low-start) intervals are
-      // short-lived while probes arrive late.
-      val pmaxIndex = new java.util.HashMap[UnsafeRow,
-        (scala.collection.mutable.ArrayBuffer[(Long, Long, InternalRow)], Array[Long])]()
-      index.forEach { (k, b) =>
-        val pmax = new Array[Long](b.length)
-        var m = Long.MinValue
-        var i = 0
-        while (i < b.length) { if (b(i)._2 > m) m = b(i)._2; pmax(i) = m; i += 1 }
-        pmaxIndex.put(k, (b, pmax))
-        ()
-      }
+      // one mutable cursor per task: Iterator.flatMap consumes each row's
+      // sub-iterator fully (or abandons the whole stream) before the next
+      // init, so the shared cursor is safe
+      val probe = builder.newProbe(broadcastRows.value, scanned)
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val lSe = BindReferences.bindReference(lS, lOut)
       val lEe = BindReferences.bindReference(lE, lOut)
@@ -440,46 +411,162 @@ case class BroadcastIntervalJoinExec(leftKeys: Seq[Expression],
           case "left_anti" => Iterator.single(l)
           case _ => Iterator.empty
         } else {
-          val ls = sv.asInstanceOf[Long]; val le = ev.asInstanceOf[Long]
-          val entry = pmaxIndex.get(lKeyProj(l))
-          val matches: Iterator[InternalRow] =
-            if (entry == null) Iterator.empty
-            else {
-              val (buf, pmax) = entry
-              // last index with start <= le; its prefix holds every candidate
-              var lo = 0; var hi = buf.length - 1; var ans = -1
-              while (lo <= hi) {
-                val mid = (lo + hi) >>> 1
-                if (buf(mid)._1 <= le) { ans = mid; lo = mid + 1 } else hi = mid - 1
-              }
-              // dead-head cut: first position whose prefix max-end reaches
-              // ls — everything before it provably ended before the probe
-              var lo2 = 0; var hi2 = ans; var j0 = ans + 1
-              while (lo2 <= hi2) {
-                val mid = (lo2 + hi2) >>> 1
-                if (pmax(mid) >= ls) { j0 = mid; hi2 = mid - 1 } else lo2 = mid + 1
-              }
-              // count LAZILY, inside the iterator: semi/anti consumers
-              // short-circuit after the first hasNext, so an eager
-              // (ans - j0 + 1) would report entries never actually visited
-              (j0 to ans).iterator
-                .map { i => scanned += 1; i }
-                .filter(i => buf(i)._2 >= ls).map(i => buf(i)._3)
-            }
+          probe.init(lKeyProj(l), sv.asInstanceOf[Long], ev.asInstanceOf[Long])
+          // `scanned` counts LAZILY inside probe.next(): semi/anti stop at
+          // the first live match and never inflate the metric with entries
+          // they did not visit
           mode match {
-            case "inner" => matches.map(r => resultProj(joined(l, r)))
+            case "inner" =>
+              Iterator.continually(probe.next()).takeWhile(_ != null)
+                .map(r => resultProj(joined(l, r)))
             case "left_outer" =>
-              if (matches.hasNext) matches.map(r => resultProj(joined(l, r)))
-              else Iterator.single(resultProj(joined(l, nullRight)))
+              val first = probe.next()
+              if (first == null) Iterator.single(resultProj(joined(l, nullRight)))
+              else (Iterator.single(first) ++
+                  Iterator.continually(probe.next()).takeWhile(_ != null))
+                .map(r => resultProj(joined(l, r)))
             case "left_semi" =>
-              if (matches.hasNext) Iterator.single(l) else Iterator.empty
+              if (probe.next() != null) Iterator.single(l) else Iterator.empty
             case _ => // left_anti
-              if (matches.hasNext) Iterator.empty else Iterator.single(l)
+              if (probe.next() == null) Iterator.single(l) else Iterator.empty
           }
         }
         out0.map { r => numOutput += 1; r }
       }
     }, preservesPartitioning = true)
+  }
+
+  // ---- whole-stage codegen: fuse the probe into the fact side's pipeline
+  // (the BroadcastHashJoinExec shape; multi-match modes loop the shared
+  // cursor inline, single-decision modes probe once) ----
+
+  import org.apache.spark.sql.catalyst.expressions.BoundReference
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+    CodeGenerator, ExprCode, GenerateUnsafeProjection, JavaCode}
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.execution.CodegenSupport
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[CodegenSupport].inputRDDs()
+
+  // inner/outer may emit SEVERAL rows per input row whose right-side vars
+  // re-read the same buffers — downstream buffering must copy (the
+  // BroadcastHashJoinExec non-unique-key contract); semi/anti emit at most
+  // one row per input and pass the child's requirement through
+  override def needCopyResult: Boolean = joinType match {
+    case "inner" | "left_outer" => true
+    case _ => left.asInstanceOf[CodegenSupport].needCopyResult
+  }
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String = {
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    val builderRef = ctx.addReferenceObj("intervalBuilder", probeBuilder,
+      classOf[IntervalProbeBuilder].getName)
+    val bcastRef = ctx.addReferenceObj("intervalBroadcast", broadcastRows,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val scannedTerm = metricTerm(ctx, "candidatesScanned")
+    val probeTerm = ctx.addMutableState(classOf[IntervalProbeIndex].getName,
+      "intervalProbe", v => s"$v = $builderRef.newProbe(" +
+        s"(org.apache.spark.sql.catalyst.InternalRow[]) $bcastRef.value(), " +
+        s"$scannedTerm);")
+    ctx.currentVars = input
+    val keyEv = GenerateUnsafeProjection.createCode(ctx,
+      leftKeys.map(BindReferences.bindReference(_, left.output)))
+    val lsEv = BindReferences.bindReference(leftStart, left.output).genCode(ctx)
+    val leEv = BindReferences.bindReference(leftEnd, left.output).genCode(ctx)
+    val valid = ctx.freshName("intervalValid")
+    val m = ctx.freshName("intervalMatched")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+    val common =
+      s"""
+         |${keyEv.code}
+         |${lsEv.code}
+         |${leEv.code}
+         |boolean $valid = !${lsEv.isNull} && !${leEv.isNull} &&
+         |  ${leEv.value} >= ${lsEv.value};
+         |if ($valid) {
+         |  $probeTerm.init(${keyEv.value}, ${lsEv.value}, ${leEv.value});
+         |}
+       """.stripMargin
+    joinType match {
+      case "inner" =>
+        val rightVars = genRightVars(ctx, m)
+        common +
+          s"""
+             |if ($valid) {
+             |  $rowCls $m;
+             |  while (($m = $probeTerm.next()) != null) {
+             |    $numOutput.add(1);
+             |    ${consume(ctx, input ++ rightVars)}
+             |  }
+             |}
+           """.stripMargin
+      case "left_outer" =>
+        // single consume emission: the loop's final null iteration IS the
+        // null-extension when nothing matched (the BroadcastHashJoinExec
+        // codegenOuter shape); invalid bounds take the same null path
+        val rightVars = genRightVars(ctx, m)
+        val found = ctx.freshName("intervalFound")
+        common +
+          s"""
+             |boolean $found = false;
+             |$rowCls $m;
+             |do {
+             |  $m = $valid ? $probeTerm.next() : null;
+             |  if ($m != null || !$found) {
+             |    $found = true;
+             |    $numOutput.add(1);
+             |    ${consume(ctx, input ++ rightVars)}
+             |  }
+             |} while ($m != null);
+           """.stripMargin
+      case "left_semi" =>
+        common +
+          s"""
+             |if ($valid && $probeTerm.next() != null) {
+             |  $numOutput.add(1);
+             |  ${consume(ctx, input)}
+             |}
+           """.stripMargin
+      case _ => // left_anti: invalid bounds never match — emit; else emit
+        // exactly when the probe finds nothing
+        common +
+          s"""
+             |if (!$valid || $probeTerm.next() == null) {
+             |  $numOutput.add(1);
+             |  ${consume(ctx, input)}
+             |}
+           """.stripMargin
+    }
+  }
+
+  /** Right-side output vars decoded from the matched broadcast row — null
+    * defaults when unmatched, nullability forced wide like the iterator
+    * path's widened resultProj input schema. */
+  private def genRightVars(ctx: CodegenContext, matched: String): Seq[ExprCode] = {
+    ctx.currentVars = null
+    ctx.INPUT_ROW = matched
+    right.output.zipWithIndex.map { case (a, i) =>
+      val ev = BoundReference(i, a.dataType, nullable = true).genCode(ctx)
+      val isNull = ctx.freshName("rIsNull")
+      val value = ctx.freshName("rValue")
+      val javaType = CodeGenerator.javaType(a.dataType)
+      val c = code"""
+        |boolean $isNull = true;
+        |$javaType $value = ${CodeGenerator.defaultValue(a.dataType)};
+        |if ($matched != null) {
+        |  ${ev.code}
+        |  $isNull = ${ev.isNull};
+        |  $value = ${ev.value};
+        |}
+      """.stripMargin
+      ExprCode(c, JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
   }
 
   override protected def withNewChildrenInternal(

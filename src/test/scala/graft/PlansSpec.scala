@@ -497,6 +497,74 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("broadcast as-of/interval probes fuse into WholeStageCodegen, equal to interpreted") {
+    import spark.implicits._
+    // the round-12 CodegenSupport pin (VERDICT r11 §next-3): the broadcast
+    // probes must sit INSIDE a WholeStageCodegen span on the fact side —
+    // the BroadcastHashJoinExec shape — and the generated path must return
+    // exactly the iterator path's rows (both paths share one probe index,
+    // but the pin runs both to catch consume-codegen drift)
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(q.plan)
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        p +: allNodes(w.child)
+      case i: org.apache.spark.sql.execution.InputAdapter => p +: allNodes(i.child)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    def fusedIn(df: org.apache.spark.sql.DataFrame, execName: String): Boolean =
+      allNodes(df.queryExecution.executedPlan).exists {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+          allNodes(w.child).exists(_.getClass.getSimpleName == execName)
+        case _ => false
+      }
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    def withCodegen[A](on: Boolean)(body: => A): A = {
+      val key = "spark.sql.codegen.wholeStage"
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key, on.toString)
+      try body finally old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val l = (0 until 500).map(i =>
+      (i % 7L, (i * 37L) % 300, i.toLong)).toDF("k", "t", "lid")
+    val r = (0 until 200).map(i =>
+      (i % 7L, (i * 53L) % 300, 1000L + i)).toDF("bk", "bt", "rid")
+    // as-of: fused, and codegen == interpreted
+    val asof = graft.plans.AsOf.join(l, r, Seq("k" -> "bk"), "t", "bt",
+      broadcast = Some(true))
+    val asofRows = canon(asof) // executes WITH codegen (session default on)
+    assert(fusedIn(asof, "BroadcastAsOfJoinExec"),
+      s"as-of probe not inside WholeStageCodegen:\n" +
+        asof.queryExecution.executedPlan.toString.take(1500))
+    withCodegen(false) {
+      val interp = canon(graft.plans.AsOf.join(l, r, Seq("k" -> "bk"), "t", "bt",
+        broadcast = Some(true)))
+      assert(asofRows == interp, "as-of codegen path diverged from interpreted")
+    }
+    // interval: every mode fused, and codegen == interpreted per mode
+    val l2 = l.withColumn("e", col("t") + 25L)
+    val r2 = r.withColumn("be", col("bt") + 20L)
+    for (mode <- Seq("inner", "left_outer", "left_semi", "left_anti")) {
+      val iv = graft.plans.IntervalJoin.join(l2, r2, Seq("k" -> "bk"),
+        "t", "e", "bt", "be", mode, broadcast = Some(true))
+      val gotRows = canon(iv)
+      assert(fusedIn(iv, "BroadcastIntervalJoinExec"),
+        s"interval $mode probe not inside WholeStageCodegen:\n" +
+          iv.queryExecution.executedPlan.toString.take(1500))
+      withCodegen(false) {
+        val interp = canon(graft.plans.IntervalJoin.join(l2, r2, Seq("k" -> "bk"),
+          "t", "e", "bt", "be", mode, broadcast = Some(true)))
+        assert(gotRows == interp, s"interval $mode codegen diverged from interpreted")
+      }
+    }
+  }
+
   test("salted aggregation (skew pattern) equals plain aggregation") {
     // two-phase skew-safe aggregation: key+salt partial, then key final
     val li = Tables.load(spark, sfDir, "lineitem")
