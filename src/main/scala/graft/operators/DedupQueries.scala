@@ -1208,17 +1208,29 @@ object DedupQueries extends QueryModule {
     * drive crafted fixtures (mid-block copies, overlapping-gram merges,
     * intra-document repeats) through the exact production path. */
   private[graft] def substringCoverage(docsIn: DataFrame, L: Int): DataFrame = {
+    val grams = gramPositions(docsIn, L)
+    val dupH = grams.groupBy(col("h")).agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("h"))
+    val dup = grams.join(dupH, Seq("h")).select(col("doc_id"), col("doc_len"), col("pos"))
+    coverageFromPositions(dup, L)
+  }
+
+  /** The hashed L-gram position stream (doc_id, doc_len, pos, h) — shared
+    * by batch q200 and the incremental ingest. */
+  private def gramPositions(docsIn: DataFrame, L: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docsIn.sparkSession)
-    val docs = docsIn
+    docsIn
       .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("doc_len"))
-    val grams = docs
       .filter(col("doc_len") >= L)
       .select(col("doc_id"), col("doc_len"), posexplode(expr(
         s"md5_hi60(transform(sequence(1, length(text) - ${L - 1}), i -> substring(text, i, $L)))")))
       .select(col("doc_id"), col("doc_len"), (col("pos") + 1L).as("pos"), col("col").as("h"))
-    val dupH = grams.groupBy(col("h")).agg(count(lit(1)).as("n")).filter(col("n") >= 2)
-      .select(col("h"))
-    val dup = grams.join(dupH, Seq("h")).select(col("doc_id"), col("doc_len"), col("pos"))
+  }
+
+  /** Islands merge + per-doc accounting over duplicated gram positions
+    * (doc_id, doc_len, pos) — the second half of q200, shared with the
+    * incremental serve path. */
+  private[graft] def coverageFromPositions(dup: DataFrame, L: Int): DataFrame = {
     val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -1242,6 +1254,96 @@ object DedupQueries extends QueryModule {
         col("span_checksum"))
       .orderBy(col("doc_id"))
   }
+
+  /** One ingest step of INCREMENTAL substring-duplicate coverage — q200's
+    * twin of [[spanDedupBatch]], with one structural difference: substring
+    * coverage is BIDIRECTIONAL (a site is duplicated by occurrences that
+    * arrive LATER too), so the design is two stores and a serve-time read
+    * instead of per-batch final answers:
+    *
+    *  - `gramStorePath` — the FIRST-SITE REGISTRY of every gram hash ever
+    *    seen: one (h, doc_id, pos, doc_len) row per new hash, appended at
+    *    the batch that first sees it (duplicate appends collapse under the
+    *    min-site read aggregate — q121's replay discipline);
+    *  - `dupSitesPath` — append-only DUPLICATED POSITIONS (doc_id, doc_len,
+    *    pos): a batch site lands here when its hash is already registered
+    *    at some OTHER site or repeats within the batch, and a REGISTERED
+    *    first site lands here (possibly again — serve dedups) the moment a
+    *    later batch re-sees its hash, which is exactly how a forward
+    *    duplicate retroactively covers its first occurrence.
+    *
+    * The self-site guards (`≠ s0` everywhere) make a replayed batch — whose
+    * registry append already landed — reproduce its appends verbatim
+    * instead of counting ITSELF as the duplicate evidence; serving distincts
+    * the site store, so replayed appends are absorbed. The identity that
+    * makes serve == batch q200 exact: a site is in the distinct dup-site
+    * store iff its hash occurs at ≥ 2 sites across ALL ingested batches —
+    * same-batch pairs land at their batch, cross-batch pairs land when the
+    * second side arrives (plus the retro-append of the first).
+    *
+    * Scale: a batch pays its own position stream through ONE hash-keyed
+    * exchange (map-side-combined counts) and one registry probe join (store
+    * hash-partitioned at 100 TB → co-located); appends are batch-sized;
+    * the old corpus is re-read never. Serving reads ONLY duplicated
+    * positions — coverage-sized, not corpus-sized. */
+  private[graft] def substringDedupBatch(batch: DataFrame,
+      gramStorePath: String, dupSitesPath: String, L: Int = 30): Unit = {
+    val s = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val store =
+      if (fs.exists(new org.apache.hadoop.fs.Path(gramStorePath)))
+        s.read.parquet(gramStorePath)
+      else s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("doc_len",
+            org.apache.spark.sql.types.LongType))))
+    val firstSites = store.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"), col("doc_len"))).as("s0"))
+    val grams = gramPositions(batch, L)
+    val counts = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"), col("doc_len"))).as("smin"))
+    // batch sites that are duplicated: repeat within the batch, or the
+    // registry holds this hash at a DIFFERENT site (self = replayed append)
+    val dupBatchSites = grams
+      .join(firstSites, Seq("h"), "left")
+      .join(counts.select(col("h"), col("c")), Seq("h"))
+      .filter(col("c") >= 2 ||
+        (col("s0").isNotNull &&
+          !(col("s0.doc_id") === col("doc_id") && col("s0.pos") === col("pos"))))
+      .select(col("doc_id"), col("doc_len"), col("pos"))
+    // retro-append: a registered first site becomes duplicated when this
+    // batch brings real evidence — a repeat, or a site other than itself
+    val retroSites = counts.join(firstSites, Seq("h"))
+      .filter(col("c") >= 2 ||
+        !(col("smin.doc_id") === col("s0.doc_id") && col("smin.pos") === col("s0.pos")))
+      .select(col("s0.doc_id").as("doc_id"), col("s0.doc_len").as("doc_len"),
+        col("s0.pos").as("pos"))
+    // write order matters for the failure window: dup sites first (their
+    // derivation must see the PRE-append registry), then the registry
+    // append — a crash between the two replays into identical appends
+    dupBatchSites.union(retroSites).write.mode("append").parquet(dupSitesPath)
+    counts.join(firstSites, Seq("h"), "left_anti")
+      .select(col("h"), col("smin.doc_id").as("doc_id"),
+        col("smin.pos").as("pos"), col("smin.doc_len").as("doc_len"))
+      .write.mode("append").parquet(gramStorePath)
+  }
+
+  /** Serve per-document substring-duplicate coverage from the incremental
+    * dup-site store: distinct (replay/retro-append absorption), then
+    * exactly batch q200's island merge and accounting. */
+  private[graft] def substringCoverageFromStore(s: SparkSession,
+      dupSitesPath: String, L: Int = 30): DataFrame =
+    coverageFromPositions(
+      s.read.parquet(dupSitesPath)
+        .select(col("doc_id"), col("doc_len"), col("pos")).distinct(), L)
 
   def queries: Map[String, Q] = Map(
     "q200_substring_dedup" -> q200SubstringDedup,

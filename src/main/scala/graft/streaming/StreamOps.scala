@@ -264,6 +264,26 @@ object StreamOps {
         batchId)
     }.start()
 
+  /** STREAMING substring-duplicate coverage ingestion (q200's twin — the
+    * last dedup tier to gain one): each micro-batch of (doc_id, text) runs
+    * [[graft.operators.DedupQueries.substringDedupBatch]], appending newly
+    * seen gram hashes to the first-site registry and newly proven
+    * duplicated positions (including RETROACTIVE ones — a forward duplicate
+    * covers its first site the moment the second occurrence arrives) to the
+    * dup-site store. Serving
+    * ([[graft.operators.DedupQueries.substringCoverageFromStore]]) reads
+    * ONLY the distinct dup sites and replays batch q200's island merge —
+    * the corpus position stream is never revisited. Replay idempotence is
+    * the self-site-guard + serve-time-distinct algebra (spec-pinned), so no
+    * batch-id bookkeeping is needed. */
+  def substringDedupStream(docs: DataFrame, gramStorePath: String,
+      dupSitesPath: String, L: Int = 30)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.operators.DedupQueries.substringDedupBatch(
+        batch, gramStorePath, dupSitesPath, L)
+    }.start()
+
   /** STREAMING anomaly monitoring into the persisted daily-count store:
     * each micro-batch of (ts, event_type) events appends its per-day counts
     * via [[graft.operators.WindowQueries.anomalyBatchAppend]]; serving

@@ -328,6 +328,49 @@ class StatefulStreamingSpec extends SparkSpec {
     graft.engine.Sessions.releasePinned(spark)
   }
 
+  test("streaming substring coverage equals batch q200; a replayed batch is absorbed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch q200 over the whole corpus is the oracle — the STRONG law:
+    // ingest the SAME corpus in three micro-batches, serve from the stores,
+    // and every forward duplicate (pair split across batches, second side
+    // later) must retro-cover its first site to exact equality
+    val docs = graft.engine.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val want = canon(graft.operators.DedupQueries.q200SubstringDedup(spark, sfDir))
+    assert(want.nonEmpty, "fixture must contain substring duplicates")
+    val base = java.nio.file.Files.createTempDirectory("graft_subdup").toString
+    val (gramStore, dupSites) = (base + "/grams", base + "/dupsites")
+    val all = docs.as[(Long, String)].collect().sortBy(_._1).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.substringDedupStream(
+      stream.toDF().toDF("doc_id", "text"), gramStore, dupSites)
+    val batches = all.grouped((all.size + 2) / 3).toSeq
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val served = canon(graft.operators.DedupQueries
+      .substringCoverageFromStore(spark, dupSites))
+    assert(served == want, "3-batch incremental serve must equal batch q200")
+    // the law must have exercised the retro path: some duplicated hash must
+    // span two batches (first site in an earlier batch than a later one)
+    // — guaranteed here by corpus boilerplate, asserted via a direct count
+    val cut1 = batches.head.map(_._1).max
+    assert(want.keys.exists(_ <= cut1) && want.keys.exists(_ > cut1),
+      "fixture must have covered docs on both sides of a batch boundary")
+    // REPLAY the last batch (its appends already landed): self-site guards
+    // + serve-time distinct must reproduce the identical coverage
+    graft.operators.DedupQueries.substringDedupBatch(
+      spark.createDataset(batches.last).toDF("doc_id", "text"),
+      gramStore, dupSites)
+    val replayed = canon(graft.operators.DedupQueries
+      .substringCoverageFromStore(spark, dupSites))
+    assert(replayed == want, "replayed batch drifted the served coverage")
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("streaming anomaly store equals batch q125; a replayed batch cannot double-count") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
