@@ -1009,6 +1009,78 @@ object TextQueries extends QueryModule {
           / count(lit(1)) * 1000000, 0).cast("long") + 10000000L).as("lm_micro"))
   }
 
+  /** q206 — LANGUAGE ID FROM STORED CHARACTER-TRIGRAM PROFILES: the
+    * index-once-apply-many upgrade of q60's stopword heuristic (the one
+    * quality signal that lacked q192's discipline). Training counts each
+    * labelled language's character trigrams over HALF the corpus (even
+    * doc_ids — the q190/q192 split) and PERSISTS the (lang, tri, c) profile
+    * table; scoring classifies EVERY document as the argmax add-1-smoothed
+    * multinomial log-likelihood over its trigram stream — `Σ ln((c+1)/(ct+V))`
+    * with per-lang totals `ct` and trigram-type count `V` derived from the
+    * stored profiles, so the store is the single source of truth. (The
+    * corpus is ASCII, so character trigrams ARE byte trigrams — the
+    * Cavnar–Trenkle n-gram family with counts instead of rank lists.)
+    *
+    * Determinism: per-(doc, lang) mean log-likelihood rounds ONCE to
+    * micro-nats (q129/q192's discipline); argmax breaks ties on lang name
+    * so both engines rank identically; `margin_micro` (best minus
+    * runner-up) is the operational abstain signal a pipeline thresholds.
+    *
+    * Shape at 100 TB: profiles are vocab-bounded (langs × trigram types) and
+    * BROADCAST; the trigram stream is map-side (scan → explode → k-way
+    * candidate cross with a k-row frame → broadcast profile join), and the
+    * ONLY exchange is the (doc, lang) rollup — docs × k rows after partial
+    * aggregation. Training is one vocab-bounded aggregation, once. */
+  val q206LangIdStored: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val store = graft.engine.Scratch.dir(s, "q206_langprof")
+    langProfileTrain(docs.filter(col("doc_id") % 2 === 0), store)
+    langIdScore(docs, s.read.parquet(store + "/profiles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** (doc_id, lang, tri) character-trigram stream (with multiplicity). */
+  private[graft] def docTrigrams(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("lang"), explode(expr(
+      "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
+
+  /** Train the q206 profiles over a (doc_id, lang, text) corpus: one
+    * persisted (lang, tri, c) count table under `store`. */
+  private[graft] def langProfileTrain(train: DataFrame, store: String): Unit =
+    docTrigrams(train).groupBy(col("lang"), col("tri"))
+      .agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(store + "/profiles")
+
+  /** Score a (doc_id, lang, text) corpus against stored profiles: per doc,
+    * the argmax-likelihood language with micro-nat best score and margin to
+    * the runner-up. Map-side pure except the (doc, lang) rollup. */
+  private[graft] def langIdScore(docs: DataFrame, prof: DataFrame): DataFrame = {
+    val cands = prof.groupBy(col("lang")).agg(sum(col("c")).as("ct"))
+      .select(col("lang").as("cand"), col("ct"))
+    val vRow = prof.select(col("tri")).distinct().agg(count(lit(1)).as("v"))
+    val scored = docTrigrams(docs).withColumnRenamed("lang", "true_lang")
+      .crossJoin(broadcast(cands))
+      .join(broadcast(prof.select(col("lang").as("cand"), col("tri"), col("c"))),
+        Seq("cand", "tri"), "left")
+      .crossJoin(broadcast(vRow))
+      .groupBy(col("doc_id"), col("true_lang"), col("cand"))
+      .agg(count(lit(1)).as("n"),
+        sum(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("ct") + col("v")).cast("double"))).as("s"))
+      .select(col("doc_id"), col("true_lang"), col("cand"),
+        round(col("s") / col("n") * 1000000, 0).cast("long").as("ll_micro"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("ll_micro").desc, col("cand").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .withColumn("nxt", lead(col("ll_micro"), 1).over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("true_lang").as("lang"), col("cand").as("pred"),
+        col("ll_micro").as("best_micro"),
+        (col("ll_micro") - col("nxt")).as("margin_micro"))
+  }
+
   val q192LmScoreStored: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -1110,6 +1182,7 @@ object TextQueries extends QueryModule {
     "q169_bpe_merges" -> q169BpeMerges,
     "q190_bpe_apply" -> q190BpeApplyStored,
     "q192_lm_score_stored" -> q192LmScoreStored,
+    "q206_lang_id_stored" -> q206LangIdStored,
     "q168_postings_query" -> q168PostingsQuery,
     "q166_postings" -> q166Postings,
     "q120_bigram_lm" -> q120BigramLm,
@@ -1165,6 +1238,29 @@ object TextQueries extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q206_lang_id_stored" -> """
+      WITH d AS (SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
+      tri AS MATERIALIZED (SELECT doc_id, lang,
+          unnest([substring(text, i, 3) for i in range(1, length(text) - 1)]) AS tri
+        FROM d),
+      prof AS MATERIALIZED (SELECT lang, tri, count(*) AS c
+        FROM tri WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      tot AS (SELECT lang AS cand, sum(c) AS ct FROM prof GROUP BY 1),
+      vx AS (SELECT count(DISTINCT tri) AS v FROM prof),
+      sc AS (SELECT t.doc_id, t.lang AS true_lang, tot.cand,
+          CAST(round(sum(ln((coalesce(p.c, 0) + 1)
+                / CAST(tot.ct + vx.v AS DOUBLE)))
+              / count(*) * 1000000, 0) AS BIGINT) AS ll_micro
+        FROM tri t CROSS JOIN tot
+        LEFT JOIN prof p ON p.lang = tot.cand AND p.tri = t.tri, vx
+        GROUP BY 1, 2, 3, tot.ct, vx.v),
+      ranked AS (SELECT *,
+          row_number() OVER (PARTITION BY doc_id ORDER BY ll_micro DESC, cand ASC) AS rk,
+          lead(ll_micro) OVER (PARTITION BY doc_id ORDER BY ll_micro DESC, cand ASC) AS nxt
+        FROM sc)
+      SELECT doc_id, true_lang AS lang, cand AS pred, ll_micro AS best_micro,
+        ll_micro - nxt AS margin_micro
+      FROM ranked WHERE rk = 1 ORDER BY doc_id""",
     "q192_lm_score_stored" -> """
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       tr AS (SELECT * FROM d WHERE doc_id % 2 = 0),

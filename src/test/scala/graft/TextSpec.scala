@@ -239,6 +239,38 @@ class TextSpec extends SparkSpec {
     assert(got.map(_._3).distinct.size > 1)
   }
 
+  test("stored-profile language ID separates crafted languages through the persisted store") {
+    import spark.implicits._
+    // two synthetic languages with DISJOINT trigram alphabets, plus one
+    // mixed doc dominated 2:1 by language A — training on even ids,
+    // scoring everything from the store read back off parquet (q192's
+    // round-trip discipline: the persisted profile IS the model)
+    val aText = "abc bca cab " * 10
+    val bText = "xyz yzx zxy " * 10
+    val docs = ((0 until 20).map { i =>
+      if (i % 4 < 2) (i.toLong, "aa", aText) else (i.toLong, "bb", bText)
+    } :+ ((20L, "aa", aText.take(24) + bText.take(12))))
+      .toDF("doc_id", "lang", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft_langprof").toString
+    graft.operators.TextQueries.langProfileTrain(
+      docs.filter(col("doc_id") % 2 === 0), store)
+    val prof = spark.read.parquet(store + "/profiles")
+    // the store holds both languages' profiles, disjoint trigram sets
+    val byLang = prof.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet == Set("aa", "bb"))
+    val out = graft.operators.TextQueries.langIdScore(docs, prof)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    // every pure doc — trained AND held-out odd ids — classifies correctly
+    // with a strictly positive margin; the mixed doc follows its majority
+    (0 until 21).foreach { i =>
+      val (lang, pred, _, margin) = out(i.toLong)
+      assert(pred == lang, s"doc $i predicted $pred, labelled $lang")
+      assert(margin > 0L, s"doc $i margin must be positive, got $margin")
+    }
+  }
+
   test("q70 plans the bench gram set as the broadcast side") {
     val p = graft.operators.TextQueries.q70Decontaminate(spark, sfDir)
       .queryExecution.executedPlan.toString
