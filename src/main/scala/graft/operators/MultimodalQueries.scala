@@ -1202,6 +1202,76 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("format"), col("channels"), col("bits"))
   }
 
+  /** Integer Goertzel single-bin DFT powers over a PCM sample stream at the
+    * three bins whose recurrence coefficient `2cos ω` is an exact integer —
+    * ω = 0 (DC, c = 2), ω = π/2 (rate/4, c = 0), ω = π (Nyquist, c = −2) —
+    * so every state update is exact BIGINT arithmetic (q169's all-integer
+    * discipline) and the classic Goertzel power identity
+    * `|X|² = s₁² + s₂² − c·s₁·s₂` lands on exact integers both engines
+    * reproduce bit-for-bit. Returns (dc, quarter, nyquist) powers.
+    * Samples follow q172's conventions: 8-bit unsigned-around-128 (signed
+    * value = byte − 128), 16-bit signed little-endian, channels flattened
+    * as one interleaved stream. */
+  private[graft] def goertzelPowers(data: Array[Byte], bits: Int)
+      : (Long, Long, Long) = {
+    var dc1 = 0L; var dc2 = 0L // c = +2
+    var q1 = 0L; var q2 = 0L   // c = 0
+    var ny1 = 0L; var ny2 = 0L // c = −2
+    def step(x: Long): Unit = {
+      val d = x + 2 * dc1 - dc2; dc2 = dc1; dc1 = d
+      val q = x - q2; q2 = q1; q1 = q
+      val n = x - 2 * ny1 - ny2; ny2 = ny1; ny1 = n
+    }
+    var i = 0
+    if (bits == 8) {
+      while (i < data.length) { step((data(i) & 0xFF) - 128L); i += 1 }
+    } else {
+      while (i + 1 < data.length) {
+        step(((data(i) & 0xFF) | (data(i + 1) << 8)).toShort.toLong); i += 2
+      }
+    }
+    val dcAmp = dc1 - dc2  // telescoped: Σ x[n]
+    val nyAmp = ny1 + ny2  // telescoped: Σ (−1)ⁿ x[n]
+    (dcAmp * dcAmp, q1 * q1 + q2 * q2, nyAmp * nyAmp)
+  }
+
+  /** q207 — TONE POWER EXTRACTION (Goertzel): the per-blob single-bin DFT
+    * powers an audio-corpus pipeline uses to gate dial-tones, test tones,
+    * DC offset, and Nyquist-rail artifacts before feature work — completing
+    * the audio tier the way q173 completed images. Per blob, the integer
+    * Goertzel recurrence folds once over the REAL PCM payload (reached
+    * through [[WavCodec.decodePcm]]'s chunk walk) and yields exact powers
+    * at DC, rate/4, and Nyquist; the oracle replays the mathematically
+    * identical DFT CONDITIONAL SUMS — `(Σx)²`, `(Σ±x mod-4 phases)²
+    * re/im`, `(Σ(−1)ⁿx)²` — from the synthesis arithmetic in SQL, so a
+    * recurrence slip, sample-sign error, or data-offset bug mismatches
+    * every blob at once while both engines stay in exact integers.
+    * Map-side decode + fold; the only exchange is the
+    * (format, channels, bits) rollup. */
+  val q207TonePower: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val payload = synthesizeWav(id, text)
+        WavCodec.decodePcm(payload) match {
+          case Some((_, ch, bits, data)) =>
+            val (pDc, pQ4, pNy) = goertzelPowers(data, bits.toInt)
+            ("wav", ch, bits, pDc, pQ4, pNy)
+          case None => ("raw", -1L, -1L, 0L, 0L, 0L)
+        }
+      })
+      .toDF("format", "channels", "bits", "p_dc", "p_q4", "p_nyq")
+      .groupBy(col("format"), col("channels"), col("bits"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("p_dc")).as("dc_sum"),
+        sum(col("p_q4")).as("q4_sum"),
+        sum(col("p_nyq")).as("nyq_sum"),
+        max(col("p_q4")).as("q4_max"))
+      .orderBy(col("format"), col("channels"), col("bits"))
+  }
+
   /** q173 — IMAGE NORMALIZATION STATISTICS: the dataset mean/variance
     * constants every vision-training pipeline computes before normalizing
     * inputs — per image size, pixel count, Σpixel and Σpixel² across the
@@ -1281,6 +1351,7 @@ object MultimodalQueries extends QueryModule {
 
   def queries: Map[String, Q] = Map(
     "q185_jpeg_decode" -> q185JpegDecode,
+    "q207_tone_power" -> q207TonePower,
     "q173_image_stats" -> q173ImageStats,
     "q172_audio_levels" -> q172AudioLevels,
     "q65_multimodal" -> q65Multimodal,
@@ -1337,6 +1408,50 @@ object MultimodalQueries extends QueryModule {
         CAST(sum(px_sum) AS BIGINT) AS px_sum,
         CAST(sum(px_sumsq) AS BIGINT) AS px_sumsq
       FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Goertzel replayed via the DFT conditional-sum identities over the
+    // SIGNED synthesis samples: p_dc = (Σx)², p_nyq = (Σ(−1)ⁿx)²,
+    // p_q4 = Re² + Im² with the mod-4 phase signs — exact integers in both
+    // engines, so the recurrence and the sums must agree bit-for-bit
+    "q207_tone_power" -> """
+      WITH w AS (SELECT doc_id, text,
+          CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS BIGINT) AS bits,
+          strlen(text) // (CAST(doc_id % 2 + 1 AS BIGINT) * CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)
+            * (CAST(doc_id % 2 + 1 AS BIGINT) * CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END) AS m
+        FROM documents WHERE doc_id % 6 <> 5),
+      b AS (
+        SELECT doc_id, channels, bits,
+          [ascii(substr(text, i, 1)) - 128 for i in range(1, m + 1)] AS amps
+        FROM w WHERE bits = 8
+        UNION ALL
+        SELECT doc_id, channels, bits,
+          [ascii(substr(text, 2*j - 1, 1)) + 256 * ascii(substr(text, 2*j, 1))
+            for j in range(1, m // 2 + 1)] AS amps
+        FROM w WHERE bits = 16),
+      st AS (
+        SELECT doc_id, channels, bits,
+          coalesce(list_sum(amps), 0) AS sdc,
+          coalesce(list_sum([amps[i] * CASE WHEN (i-1) % 2 = 0 THEN 1 ELSE -1 END
+            for i in range(1, len(amps) + 1)]), 0) AS sny,
+          coalesce(list_sum([amps[i] * CASE (i-1) % 4 WHEN 0 THEN 1 WHEN 2 THEN -1 ELSE 0 END
+            for i in range(1, len(amps) + 1)]), 0) AS sre,
+          coalesce(list_sum([amps[i] * CASE (i-1) % 4 WHEN 1 THEN -1 WHEN 3 THEN 1 ELSE 0 END
+            for i in range(1, len(amps) + 1)]), 0) AS sim
+        FROM b),
+      p AS (
+        SELECT 'wav' AS format, channels, bits,
+          sdc*sdc AS p_dc, sre*sre + sim*sim AS p_q4, sny*sny AS p_nyq
+        FROM st
+        UNION ALL
+        SELECT 'raw', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM documents WHERE doc_id % 6 = 5)
+      SELECT format, channels, bits, count(*) AS n_blobs,
+        CAST(sum(p_dc) AS BIGINT) AS dc_sum,
+        CAST(sum(p_q4) AS BIGINT) AS q4_sum,
+        CAST(sum(p_nyq) AS BIGINT) AS nyq_sum,
+        CAST(max(p_q4) AS BIGINT) AS q4_max
+      FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "q172_audio_levels" -> """
       WITH w AS (SELECT doc_id, text,
           CAST(doc_id % 2 + 1 AS BIGINT) AS channels,

@@ -589,4 +589,43 @@ class SimilarityMultimodalSpec extends SparkSpec {
         s"zero-positive guard at $i")
     }
   }
+
+  test("q207 Goertzel powers hit planted tones exactly and equal the DFT sums") {
+    import graft.operators.MultimodalQueries.goertzelPowers
+    val n = 64; val a = 50
+    // planted 8-bit tones (samples are byte − 128): each pure tone puts ALL
+    // its power in its own bin — closed forms (N·A)², (N·A/2)² from the
+    // DFT sum identities — and exactly zero in the other two
+    val dcTone = Array.fill(n)((128 + a).toByte)
+    assert(goertzelPowers(dcTone, 8) ==
+      ((n.toLong * a) * (n * a), 0L, 0L), "DC tone")
+    val nyTone = Array.tabulate(n)(i => (128 + (if (i % 2 == 0) a else -a)).toByte)
+    assert(goertzelPowers(nyTone, 8) ==
+      ((0L, 0L, (n.toLong * a) * (n * a))), "Nyquist tone")
+    val q4Tone = Array.tabulate(n)(i =>
+      (128 + (i % 4 match { case 0 => a; case 2 => -a; case _ => 0 })).toByte)
+    assert(goertzelPowers(q4Tone, 8) ==
+      ((0L, (n.toLong / 2 * a) * (n / 2 * a), 0L)), "rate/4 tone")
+    // 16-bit signed LE with negative samples: the same closed forms
+    def le16(v: Int): Seq[Byte] = Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val ny16 = Array.tabulate(n)(i => if (i % 2 == 0) 1000 else -1000)
+      .flatMap(le16).toArray
+    assert(goertzelPowers(ny16, 16) ==
+      ((0L, 0L, (n.toLong * 1000) * (n * 1000))), "16-bit Nyquist tone")
+    // the general law on pseudo-random samples: the integer recurrence
+    // equals the direct DFT conditional sums (the identity the DuckDB
+    // oracle replays) — exact, not approximate
+    val xs = Array.tabulate(97)(i => ((i * 2654435761L) % 241 - 120).toInt)
+    val bytes = xs.flatMap(le16).toArray
+    val sdc = xs.map(_.toLong).sum
+    val sny = xs.zipWithIndex.map { case (x, i) =>
+      if (i % 2 == 0) x.toLong else -x.toLong }.sum
+    val sre = xs.zipWithIndex.map { case (x, i) => (i % 4: @unchecked) match {
+      case 0 => x.toLong; case 2 => -x.toLong; case _ => 0L } }.sum
+    val sim = xs.zipWithIndex.map { case (x, i) => (i % 4: @unchecked) match {
+      case 1 => -x.toLong; case 3 => x.toLong; case _ => 0L } }.sum
+    assert(goertzelPowers(bytes, 16) ==
+      ((sdc * sdc, sre * sre + sim * sim, sny * sny)),
+      "recurrence must equal the DFT sums on arbitrary samples")
+  }
 }
