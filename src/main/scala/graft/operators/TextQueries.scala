@@ -1009,6 +1009,51 @@ object TextQueries extends QueryModule {
           / count(lit(1)) * 1000000, 0).cast("long") + 10000000L).as("lm_micro"))
   }
 
+  /** q208 — TEMPERATURE-BASED SOURCE MIXING: the training-mix allocator
+    * every multi-source pretraining run executes (the Llama/GPT-3
+    * "sample sources ∝ size^α" recipe): per-source token masses are
+    * tempered at α = 1/2 — chosen because √x is CORRECTLY ROUNDED in IEEE
+    * 754, so `round(sqrt(tokens)·10⁶)` is the one double op and lands
+    * bit-identically in any engine (a pow(x, 0.7) would not) — the
+    * 200-document budget splits by exact integer floor-division shares,
+    * each source's share converts to a parts-per-million hash threshold,
+    * and the actual document selection is a MAP-SIDE Bernoulli gate on the
+    * engine-portable multiplicative hash (q29/q116's): no per-source sort,
+    * no rank window a giant source could pin — the reason real pipelines
+    * select by hash threshold, not by rank, at 100 TB. Output per source:
+    * corpus mass, tempered weight, exact allocation, threshold, and what
+    * the gate actually selected (deterministic, replayable by any engine).
+    *
+    * Shape: two source-bounded aggregates broadcast back; the selection
+    * pass is one map-side filter + partial-aggregated rollup — the corpus
+    * never shuffles on text. */
+  val q208SourceMix: Q = (s, dir) => {
+    val budget = 200L
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val agg = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tot_tokens"))
+      .withColumn("w_micro",
+        round(sqrt(col("tot_tokens").cast("double")) * 1000000, 0).cast("long"))
+    val th = agg.crossJoin(broadcast(agg.agg(sum(col("w_micro")).as("w_total"))))
+      .withColumn("alloc_docs", expr(s"($budget * w_micro) div w_total"))
+      .withColumn("thresh_ppm",
+        expr("least((alloc_docs * 1000000) div n_docs, CAST(1000000 AS BIGINT))"))
+    val sel = d
+      .join(broadcast(th.select(col("source"), col("thresh_ppm"))), Seq("source"))
+      .filter(pmod(pmod(col("doc_id"), lit(999983L)) * 2654435761L,
+        lit(1000000L)) < col("thresh_ppm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("sel_docs"), sum(col("n_tok")).as("sel_tokens"))
+    th.join(sel, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tot_tokens"), col("w_micro"),
+        col("alloc_docs"), col("thresh_ppm"),
+        coalesce(col("sel_docs"), lit(0L)).as("sel_docs"),
+        coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** q206 — LANGUAGE ID FROM STORED CHARACTER-TRIGRAM PROFILES: the
     * index-once-apply-many upgrade of q60's stopword heuristic (the one
     * quality signal that lacked q192's discipline). Training counts each
@@ -1183,6 +1228,7 @@ object TextQueries extends QueryModule {
     "q190_bpe_apply" -> q190BpeApplyStored,
     "q192_lm_score_stored" -> q192LmScoreStored,
     "q206_lang_id_stored" -> q206LangIdStored,
+    "q208_source_mix" -> q208SourceMix,
     "q168_postings_query" -> q168PostingsQuery,
     "q166_postings" -> q166Postings,
     "q120_bigram_lm" -> q120BigramLm,
@@ -1238,6 +1284,29 @@ object TextQueries extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q208_source_mix" -> """
+      WITH d AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      a AS (SELECT source, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS tot_tokens FROM d GROUP BY 1),
+      w AS (SELECT *, CAST(round(sqrt(CAST(tot_tokens AS DOUBLE)) * 1000000, 0)
+          AS BIGINT) AS w_micro FROM a),
+      wt AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_total FROM w),
+      th AS (SELECT w.*, (200 * w_micro) // w_total AS alloc_docs,
+          least(((200 * w_micro) // w_total * 1000000) // n_docs, 1000000) AS thresh_ppm
+        FROM w, wt),
+      sel AS (SELECT d.source, count(*) AS sel_docs,
+          CAST(sum(d.n_tok) AS BIGINT) AS sel_tokens
+        FROM d JOIN th ON d.source = th.source
+        WHERE (d.doc_id % 999983) * 2654435761 % 1000000 < th.thresh_ppm
+        GROUP BY 1)
+      SELECT th.source, th.n_docs, th.tot_tokens, th.w_micro,
+        CAST(th.alloc_docs AS BIGINT) AS alloc_docs,
+        CAST(th.thresh_ppm AS BIGINT) AS thresh_ppm,
+        CAST(coalesce(sel.sel_docs, 0) AS BIGINT) AS sel_docs,
+        CAST(coalesce(sel.sel_tokens, 0) AS BIGINT) AS sel_tokens
+      FROM th LEFT JOIN sel ON th.source = sel.source
+      ORDER BY th.source""",
     "q206_lang_id_stored" -> """
       WITH d AS (SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
       tri AS MATERIALIZED (SELECT doc_id, lang,

@@ -491,6 +491,29 @@ object StreamOps {
       ()
     }.start()
 
+  /** STREAMING language ID over the stored trigram profiles (q206's twin,
+    * the [[lmScoreStream]] shape exactly): each micro-batch of
+    * (doc_id, lang, text) documents classifies against the persisted
+    * profile table — [[graft.operators.TextQueries.langIdScore]] verbatim,
+    * so stream and batch predictions are bit-identical — and lands under
+    * its own `ingest_batch` partition (dynamic overwrite: an
+    * at-least-once replay rewrites its partition instead of duplicating).
+    * The profile store is STATIC → stateless operator, flat executor
+    * memory, and a retrained profile table is picked up on the next batch
+    * for free (file-source replan). */
+  def langIdStream(docs: DataFrame, profileStorePath: String, predsPath: String,
+      batchIdBase: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      graft.operators.TextQueries.langIdScore(
+          batch.select(col("doc_id"), col("lang"), col("text")),
+          s.read.parquet(profileStorePath + "/profiles"))
+        .withColumn("ingest_batch", lit(batchIdBase + batchId))
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .option("partitionOverwriteMode", "dynamic").parquet(predsPath)
+      ()
+    }.start()
+
   /** Streaming twin of q186's shard-local greedy sequence packing — the
     * CONTINUOUS shard writer: as documents arrive they append to their
     * shard's open training sequence, closing it when the next doc would

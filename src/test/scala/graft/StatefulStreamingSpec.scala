@@ -758,6 +758,37 @@ class StatefulStreamingSpec extends SparkSpec {
     graft.engine.Sessions.releasePinned(spark)
   }
 
+  test("streaming language ID from the stored profiles equals the batch scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = graft.engine.Tables.load(spark, sfDir, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), col("text"))
+    // train the profiles ONCE on the even half (q206's split), persisted
+    val dir = java.nio.file.Files.createTempDirectory("graft_langstream").toString
+    graft.operators.TextQueries.langProfileTrain(
+      docsDf.filter(col("doc_id") % 2 === 0), s"$dir/prof")
+    val docs = docsDf.as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val parts = docs.grouped((docs.size + 2) / 3).toSeq
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamOps.langIdStream(stream.toDF().toDF("doc_id", "lang", "text"),
+      s"$dir/prof", s"$dir/preds")
+    parts.foreach { p => stream.addData(p); q.processAllAvailable() }
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("lang"), col("pred"), col("best_micro"),
+        col("margin_micro"))
+      .collect().map(_.toSeq).toSet
+    val got = canon(spark.read.parquet(s"$dir/preds"))
+    val want = canon(graft.operators.TextQueries.langIdScore(docsDf,
+      spark.read.parquet(s"$dir/prof/profiles")))
+    assert(got == want, s"stream predictions diverged: ${got.size} vs ${want.size}")
+    assert(got.nonEmpty)
+    // replay idempotence: partitions overwrite, each doc predicted once
+    assert(got.size == got.map(_.head).size)
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("streaming sequence packing equals batch q186 across micro-batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
