@@ -415,6 +415,26 @@ object AsOf {
       leftTimeCol: String, rightTimeCol: String,
       strict: Boolean = true, tolerance: Option[Long] = None,
       broadcast: Option[Boolean] = None): DataFrame = {
+    // fleet-wide AUTOMATIC salting (see [[SkewSalt.autoSalts]]): when the
+    // session conf opts in AND this join would take the merge exec (a
+    // broadcast right has no exchange to skew), rewrite to the salted form
+    // without any call-site change — the engine salting itself, the same
+    // posture as the stats-driven broadcast default
+    if (SkewSalt.autoSalts(left.sparkSession) >= 2 &&
+        !AsOfJoinStrategy.pickBroadcast(broadcast,
+          right.queryExecution.optimizedPlan))
+      joinSalted(left, right, keys, leftTimeCol, rightTimeCol, strict,
+        tolerance, salts = SkewSalt.autoSalts(left.sparkSession),
+        hotThreshold = SkewSalt.autoThreshold(left.sparkSession),
+        broadcast = broadcast.orElse(Some(false)))
+    else joinPlain(left, right, keys, leftTimeCol, rightTimeCol, strict,
+      tolerance, broadcast)
+  }
+
+  private def joinPlain(left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)], leftTimeCol: String, rightTimeCol: String,
+      strict: Boolean, tolerance: Option[Long],
+      broadcast: Option[Boolean]): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
@@ -473,7 +493,7 @@ object AsOf {
     val hot = hotKeys.getOrElse(SkewSalt.hotKeys(left, keys.map(_._1), hotThreshold))
     val (lS, rS) = SkewSalt.saltSides(left, right, keys,
       Seq(leftTimeCol), salts, hot)
-    join(lS, rS, keys :+ (SkewSalt.SaltCol -> SkewSalt.SaltCol),
+    joinPlain(lS, rS, keys :+ (SkewSalt.SaltCol -> SkewSalt.SaltCol),
       leftTimeCol, rightTimeCol, strict, tolerance, broadcast)
       .drop(SkewSalt.SaltCol)
   }

@@ -627,6 +627,25 @@ object IntervalJoin {
       rightStartCol: String, rightEndCol: String,
       joinType: String = "inner",
       broadcast: Option[Boolean] = None): DataFrame = {
+    // fleet-wide AUTOMATIC salting (see [[SkewSalt.autoSalts]]): conf
+    // opt-in + merge-exec path → rewrite to the salted form, no call-site
+    // change; a broadcast right has no exchange to skew, so it opts out
+    if (SkewSalt.autoSalts(left.sparkSession) >= 2 &&
+        !AsOfJoinStrategy.pickBroadcast(broadcast,
+          right.queryExecution.optimizedPlan))
+      joinSalted(left, right, keys, leftStartCol, leftEndCol, rightStartCol,
+        rightEndCol, joinType, salts = SkewSalt.autoSalts(left.sparkSession),
+        hotThreshold = SkewSalt.autoThreshold(left.sparkSession),
+        broadcast = broadcast.orElse(Some(false)))
+    else joinPlain(left, right, keys, leftStartCol, leftEndCol,
+      rightStartCol, rightEndCol, joinType, broadcast)
+  }
+
+  private def joinPlain(left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)],
+      leftStartCol: String, leftEndCol: String,
+      rightStartCol: String, rightEndCol: String,
+      joinType: String, broadcast: Option[Boolean]): DataFrame = {
     require(Set("inner", "left_outer", "left_semi", "left_anti")(joinType),
       s"unsupported interval join type: $joinType")
     val spark = left.sparkSession
@@ -690,7 +709,7 @@ object IntervalJoin {
     val hot = hotKeys.getOrElse(SkewSalt.hotKeys(left, keys.map(_._1), hotThreshold))
     val (lS, rS) = SkewSalt.saltSides(left, right, keys,
       Seq(leftStartCol, leftEndCol), salts, hot)
-    join(lS, rS, keys :+ (SkewSalt.SaltCol -> SkewSalt.SaltCol),
+    joinPlain(lS, rS, keys :+ (SkewSalt.SaltCol -> SkewSalt.SaltCol),
       leftStartCol, leftEndCol, rightStartCol, rightEndCol, joinType, broadcast)
       .drop(SkewSalt.SaltCol)
   }

@@ -44,6 +44,24 @@ object SkewSalt {
     * user schema the engine's queries produce. */
   private[plans] val SaltCol = "__graft_salt"
 
+  /** Session conf for FLEET-WIDE automatic salting — the "stats-gated"
+    * half of the rewrite: set `spark.graft.skew.autoSalt.salts` to S ≥ 2
+    * and every `AsOf.join` / `IntervalJoin.join` call that takes the MERGE
+    * exec (the broadcast path has no exchange to skew, so it opts out via
+    * the same stats consultation the strategy makes) rewrites itself to
+    * the salted form at `spark.graft.skew.autoSalt.threshold` rows/key
+    * (default 5M — roughly one straggler task's worth of a hot key).
+    * OFF by default (0): the rewrite costs one key-only detection pass per
+    * join, which is the caller's trade to make — per call site with
+    * `joinSalted`, or per session/fleet with this conf. */
+  val SaltsConf = "spark.graft.skew.autoSalt.salts"
+  val ThresholdConf = "spark.graft.skew.autoSalt.threshold"
+
+  private[plans] def autoSalts(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get(SaltsConf, "0").toInt
+  private[plans] def autoThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get(ThresholdConf, "5000000").toLong
+
   /** Exact hot-key detection: keys of `df` whose row count reaches
     * `threshold`. One key-column-only pass, map-side combined. */
   def hotKeys(df: DataFrame, keys: Seq[String], threshold: Long): DataFrame = {

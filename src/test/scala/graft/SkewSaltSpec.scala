@@ -133,6 +133,36 @@ class SkewSaltSpec extends SparkSpec {
     }
   }
 
+  test("conf-gated auto-salting engages on merge joins, skips broadcast-eligible rights") {
+    val l = hotLeft(2000)
+    val r = hotRight(600)
+    def canon2(df: DataFrame): Seq[String] = canon(df)
+    val plain = canon2(graft.plans.AsOf.join(l, r, Seq("k" -> "bk"), "t", "bt",
+      broadcast = Some(false)))
+    val keys = Seq(graft.plans.SkewSalt.SaltsConf -> "4",
+      graft.plans.SkewSalt.ThresholdConf -> "100")
+    val olds = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // merge-path join rewrites ITSELF: the salt machinery appears in the
+      // plan (no call-site change) and results stay law-equal
+      val auto = graft.plans.AsOf.join(l, r, Seq("k" -> "bk"), "t", "bt",
+        broadcast = Some(false))
+      assert(auto.queryExecution.optimizedPlan.toString.contains("__graft_salt"),
+        "auto-salt conf must rewrite the merge-path join")
+      assert(canon2(auto) == plain, "auto-salted join diverged from plain")
+      // a broadcast-eligible right (stats under the session threshold) has
+      // no exchange to skew: the rewrite must NOT engage
+      val bc = graft.plans.AsOf.join(l, r, Seq("k" -> "bk"), "t", "bt")
+      assert(!bc.queryExecution.optimizedPlan.toString.contains("__graft_salt"),
+        "broadcast-eligible join must not pay the salting rewrite")
+      assert(canon2(bc) == plain)
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("explicit hotKeys frame skips detection and only replicates the listed keys") {
     val l = hotLeft(1000)
     val r = hotRight(400)
