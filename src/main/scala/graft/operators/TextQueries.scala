@@ -95,6 +95,47 @@ object TextQueries extends QueryModule {
           .as("fp_prefix16"))
       .orderBy(col("doc_id"))
 
+  /** q209 — WINNOWING FINGERPRINTS (Schleimer, Wilkerson, Aiken, SIGMOD
+    * 2003 — the MOSS primitive): per document, hash every k=8-char gram
+    * (`md5_hi60`, the portable hash) and keep the MINIMUM of each w=4
+    * window of consecutive gram hashes, deduplicated — the fingerprint
+    * set with winnowing's GUARANTEE: any shared substring of length
+    * ≥ w+k−1 = 11 characters between two documents contributes at least
+    * one shared fingerprint (spec-pinned on crafted docs), at an expected
+    * density of 2/(w+1) of the gram count — the position-robust middle
+    * ground between q63's whole-doc hash (any edit breaks it) and q200's
+    * every-position stream (w× the volume). Per-doc accounting output:
+    * gram count, fingerprint count, a mod-summed checksum, and the
+    * realized density in ppm.
+    *
+    * Shape at 100 TB: entirely map-side per document (transform →
+    * window-min → distinct inside the row); a downstream pair stage would
+    * explode fingerprints into the q135-style capped postings join — the
+    * fingerprint set is the INDEX KEY contract, w× smaller than q200's
+    * position stream. */
+  val q209Winnowing: Q = (s, dir) =>
+    winnowFingerprints(Tables.load(s, dir, "documents"), 8, 4)
+      .select(col("doc_id"), col("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"),
+        expr("aggregate(fps, 0L, (a, x) -> a + pmod(x, 1000000007L))").as("fp_checksum"))
+      .withColumn("density_micro", expr("(n_fps * 1000000L) div n_grams"))
+      .orderBy(col("doc_id"))
+
+  /** (doc_id, n_grams, fps) winnowing fingerprint sets over a
+    * (doc_id, text) frame — factored so the spec can pin the ≥ w+k−1
+    * shared-substring guarantee on crafted documents. */
+  private[graft] def winnowFingerprints(docs: DataFrame, k: Int, w: Int)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"), expr(
+        s"md5_hi60(transform(sequence(1, length(text) - ${k - 1}), i -> substring(text, i, $k)))")
+        .as("h"))
+      .select(col("doc_id"), size(col("h")).cast("long").as("n_grams"),
+        expr(s"array_distinct(transform(sequence(1, size(h) - ${w - 1}), " +
+          s"j -> array_min(slice(h, j, $w))))").as("fps"))
+  }
+
   /** q64 — TF-IDF top terms: tf and df as exact integer counts, idf =
     * ln(N/df) applied once per (doc, term), top-3 terms per doc by score.
     * Two aggregations (doc-term counts, term document frequencies); N is a
@@ -1229,6 +1270,7 @@ object TextQueries extends QueryModule {
     "q192_lm_score_stored" -> q192LmScoreStored,
     "q206_lang_id_stored" -> q206LangIdStored,
     "q208_source_mix" -> q208SourceMix,
+    "q209_winnowing" -> q209Winnowing,
     "q168_postings_query" -> q168PostingsQuery,
     "q166_postings" -> q166Postings,
     "q120_bigram_lm" -> q120BigramLm,
@@ -1284,6 +1326,20 @@ object TextQueries extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q209_winnowing" -> """
+      WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 11),
+      g AS MATERIALIZED (SELECT doc_id,
+          [('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT
+            for i in range(1, length(text) - 6)] AS h
+        FROM d),
+      f AS (SELECT doc_id, CAST(len(h) AS BIGINT) AS n_grams,
+          list_distinct([list_min(h[j:j+3]) for j in range(1, len(h) - 2)]) AS fps
+        FROM g)
+      SELECT doc_id, n_grams,
+        CAST(len(fps) AS BIGINT) AS n_fps,
+        CAST(list_sum([x % 1000000007 for x in fps]) AS BIGINT) AS fp_checksum,
+        (CAST(len(fps) AS BIGINT) * 1000000) // n_grams AS density_micro
+      FROM f ORDER BY doc_id""",
     "q208_source_mix" -> """
       WITH d AS (SELECT doc_id, source,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),

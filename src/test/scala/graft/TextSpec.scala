@@ -271,6 +271,40 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("winnowing guarantee: every ≥ w+k−1-char shared substring shares a fingerprint") {
+    import spark.implicits._
+    // the SWA 2003 theorem for k=8, w=4: a shared substring of length
+    // ≥ 11 forces ≥ 4 consecutive shared gram hashes — one full window —
+    // so SOME window min is shared. Pin it for EVERY alignment of the
+    // planted span (robustness to offset is the whole point vs mod
+    // sampling), against deterministic pseudo-random carriers
+    def rndText(seed: Long, n: Int): String = {
+      val sb = new StringBuilder
+      var x = seed
+      (0 until n).foreach { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb += ('a' + math.floorMod(x >>> 33, 26)).toChar
+      }
+      sb.toString
+    }
+    val span = "GUARANTEEDSPAN0" // 15 chars ≥ 11, alphabet disjoint from carriers
+    val base = (0L, rndText(7L, 60) + span + rndText(8L, 40))
+    val copies = (1 to 12).map { off =>
+      val carrier = rndText(100L + off, 80)
+      (off.toLong, carrier.substring(0, off) + span + carrier.substring(off))
+    }
+    val digitsOnly = (99L, "0123456789" * 8) // disjoint alphabet control
+    val df = (Seq(base) ++ copies :+ digitsOnly).toDF("doc_id", "text")
+    val fps = graft.operators.TextQueries.winnowFingerprints(df, 8, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+    copies.foreach { case (id, _) =>
+      assert((fps(0L) & fps(id)).nonEmpty,
+        s"planted span at offset $id must share a fingerprint with the source")
+    }
+    assert((fps(0L) & fps(99L)).isEmpty,
+      "disjoint-alphabet control must share nothing")
+  }
+
   test("q70 plans the bench gram set as the broadcast side") {
     val p = graft.operators.TextQueries.q70Decontaminate(spark, sfDir)
       .queryExecution.executedPlan.toString
