@@ -1272,6 +1272,64 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("format"), col("channels"), col("bits"))
   }
 
+  /** q210 — SILENCE TRIM ACCOUNTING: the leading/trailing-silence cut
+    * every speech pipeline makes before windowing features — per blob, the
+    * first and last sample whose |amplitude| exceeds the gate (T = 10),
+    * the leading/trailing silence lengths that a trim would drop, the
+    * active span, and the count of active samples, all from the real PCM
+    * payload through [[WavCodec.decodePcm]]'s chunk walk with q172's
+    * sample conventions (8-bit unsigned-around-128, 16-bit signed LE,
+    * channels flattened). A blob with no active sample reports
+    * lead = n, trail = 0, span = 0 — the drop-it-entirely signal.
+    * Map-side fold per blob; the exchange carries only the
+    * (format, channels, bits) rollup; oracle replays the synthesis
+    * arithmetic with a filtered index comprehension. */
+  val q210SilenceTrim: Q = (s, dir) => {
+    import s.implicits._
+    val thr = 10L
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val payload = synthesizeWav(id, text)
+        WavCodec.decodePcm(payload) match {
+          case Some((_, ch, bits, data)) =>
+            var i = 0; var n = 0L
+            var first = 0L; var last = 0L; var nAct = 0L
+            def feed(a: Long): Unit = {
+              n += 1
+              if (a > thr) { if (first == 0L) first = n; last = n; nAct += 1 }
+            }
+            if (bits == 8) {
+              while (i < data.length) {
+                feed(math.abs((data(i) & 0xFF) - 128).toLong); i += 1
+              }
+            } else {
+              while (i + 1 < data.length) {
+                feed(math.abs(
+                  ((data(i) & 0xFF) | (data(i + 1) << 8)).toShort.toLong))
+                i += 2
+              }
+            }
+            val lead = if (first == 0L) n else first - 1
+            val trail = if (first == 0L) 0L else n - last
+            val span = if (first == 0L) 0L else last - first + 1
+            ("wav", ch, bits, n, lead, trail, span, nAct)
+          case None => ("raw", -1L, -1L, 0L, 0L, 0L, 0L, 0L)
+        }
+      })
+      .toDF("format", "channels", "bits", "n_samples", "lead", "trail",
+        "span", "n_active")
+      .groupBy(col("format"), col("channels"), col("bits"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("n_samples")).as("samples_sum"),
+        sum(col("lead")).as("lead_sum"),
+        sum(col("trail")).as("trail_sum"),
+        sum(col("span")).as("span_sum"),
+        sum(col("n_active")).as("active_sum"))
+      .orderBy(col("format"), col("channels"), col("bits"))
+  }
+
   /** q173 — IMAGE NORMALIZATION STATISTICS: the dataset mean/variance
     * constants every vision-training pipeline computes before normalizing
     * inputs — per image size, pixel count, Σpixel and Σpixel² across the
@@ -1352,6 +1410,7 @@ object MultimodalQueries extends QueryModule {
   def queries: Map[String, Q] = Map(
     "q185_jpeg_decode" -> q185JpegDecode,
     "q207_tone_power" -> q207TonePower,
+    "q210_silence_trim" -> q210SilenceTrim,
     "q173_image_stats" -> q173ImageStats,
     "q172_audio_levels" -> q172AudioLevels,
     "q65_multimodal" -> q65Multimodal,
@@ -1408,6 +1467,48 @@ object MultimodalQueries extends QueryModule {
         CAST(sum(px_sum) AS BIGINT) AS px_sum,
         CAST(sum(px_sumsq) AS BIGINT) AS px_sumsq
       FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q210_silence_trim" -> """
+      WITH w AS (SELECT doc_id, text,
+          CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS BIGINT) AS bits,
+          strlen(text) // (CAST(doc_id % 2 + 1 AS BIGINT) * CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)
+            * (CAST(doc_id % 2 + 1 AS BIGINT) * CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END) AS m
+        FROM documents WHERE doc_id % 6 <> 5),
+      b AS (
+        SELECT doc_id, channels, bits,
+          [128 - ascii(substr(text, i, 1)) for i in range(1, m + 1)] AS amps
+        FROM w WHERE bits = 8
+        UNION ALL
+        SELECT doc_id, channels, bits,
+          [ascii(substr(text, 2*j - 1, 1)) + 256 * ascii(substr(text, 2*j, 1))
+            for j in range(1, m // 2 + 1)] AS amps
+        FROM w WHERE bits = 16),
+      st AS (
+        SELECT doc_id, channels, bits, CAST(len(amps) AS BIGINT) AS n,
+          [i for i in range(1, len(amps) + 1) if amps[i] > 10] AS act
+        FROM b),
+      tr AS (
+        SELECT 'wav' AS format, channels, bits, n,
+          CASE WHEN len(act) = 0 THEN n
+               ELSE CAST(act[1] AS BIGINT) - 1 END AS lead,
+          CASE WHEN len(act) = 0 THEN 0
+               ELSE n - CAST(act[len(act)] AS BIGINT) END AS trail,
+          CASE WHEN len(act) = 0 THEN 0
+               ELSE CAST(act[len(act)] - act[1] + 1 AS BIGINT) END AS span,
+          CAST(len(act) AS BIGINT) AS n_active
+        FROM st
+        UNION ALL
+        SELECT 'raw', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM documents WHERE doc_id % 6 = 5)
+      SELECT format, channels, bits, count(*) AS n_blobs,
+        CAST(sum(n) AS BIGINT) AS samples_sum,
+        CAST(sum(lead) AS BIGINT) AS lead_sum,
+        CAST(sum(trail) AS BIGINT) AS trail_sum,
+        CAST(sum(span) AS BIGINT) AS span_sum,
+        CAST(sum(n_active) AS BIGINT) AS active_sum
+      FROM tr GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     // Goertzel replayed via the DFT conditional-sum identities over the
     // SIGNED synthesis samples: p_dc = (Σx)², p_nyq = (Σ(−1)ⁿx)²,
     // p_q4 = Re² + Im² with the mod-4 phase signs — exact integers in both

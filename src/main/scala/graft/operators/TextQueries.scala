@@ -136,6 +136,69 @@ object TextQueries extends QueryModule {
           s"j -> array_min(slice(h, j, $w))))").as("fps"))
   }
 
+  /** q211 — the ROUND-12 COMPOSED PIPELINE (q73's ledger discipline over
+    * the new operator tier): minimum-length gate → STORED-PROFILE language
+    * gate (q206's trained-on-evens profiles, keep predicted-'en' docs) →
+    * WINNOW-IDENTITY dedup (q209 fingerprint sets; docs with an identical
+    * (count, checksum) winnow identity collapse to their min doc_id — the
+    * position-robust exact-dup gate, cheaper than pair joins) →
+    * TEMPERATURE MIX gate (q208's α = 1/2 weights and ppm hash thresholds
+    * computed over the SURVIVORS, budget 150). Emits the per-stage
+    * retention ledger (docs, id checksum, token mass) a production
+    * pipeline publishes.
+    *
+    * Composition rules as q73: every stage is the proven operator reused
+    * verbatim (the factored `langProfileTrain`/`langIdScore`/
+    * `winnowFingerprints` engines), narrowing joins are doc_id semi-joins,
+    * the corpus scans once per stage, nothing corpus-sized materializes,
+    * and stage order is cost-aware (cheap high-mass gates first, sampling
+    * last so the mix weights see the cleaned distribution — the order the
+    * α-tempering literature assumes). */
+  val q211Pipeline2: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .filter(length(col("text")) >= 11)
+    // stage 1 — stored-profile language gate
+    val store = graft.engine.Scratch.dir(s, "q211_langprof")
+    langProfileTrain(docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("text")), store)
+    val en = langIdScore(docs.select(col("doc_id"), col("lang"), col("text")),
+        s.read.parquet(store + "/profiles"))
+      .filter(col("pred") === "en").select(col("doc_id"))
+    val s1 = docs.join(en, Seq("doc_id"), "left_semi")
+    // stage 2 — winnow-identity dedup (min doc per identical fp set)
+    val keep = winnowFingerprints(s1, 8, 4)
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
+        expr("aggregate(fps, 0L, (a, x) -> a + pmod(x, 1000000007L))").as("ck"))
+      .groupBy(col("n_fps"), col("ck")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val s2 = s1.join(keep, Seq("doc_id"), "left_semi")
+    // stage 3 — temperature mix gate over the survivors (q208, budget 150)
+    val d = s2.withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val agg = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tot_tokens"))
+      .withColumn("w_micro",
+        round(sqrt(col("tot_tokens").cast("double")) * 1000000, 0).cast("long"))
+    val th = agg.crossJoin(broadcast(agg.agg(sum(col("w_micro")).as("w_total"))))
+      .withColumn("alloc_docs", expr("(150 * w_micro) div w_total"))
+      .withColumn("thresh_ppm",
+        expr("least((alloc_docs * 1000000) div n_docs, CAST(1000000 AS BIGINT))"))
+    val s3 = d
+      .join(broadcast(th.select(col("source"), col("thresh_ppm"))), Seq("source"))
+      .filter(pmod(pmod(col("doc_id"), lit(999983L)) * 2654435761L,
+        lit(1000000L)) < col("thresh_ppm"))
+    def ledger(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(size(split(col("text"), " ")).cast("long")).as("tok_sum"))
+        .select(lit(name).as("stage"), col("n_docs"), col("id_sum"), col("tok_sum"))
+    Seq("0_input" -> docs, "1_lang" -> s1, "2_winnow_dedup" -> s2,
+        "3_mix_sample" -> s3.select(col("doc_id"), col("text")))
+      .map { case (n, df) => ledger(n, df) }
+      .reduce(_ union _)
+      .orderBy(col("stage"))
+  }
+
   /** q64 — TF-IDF top terms: tf and df as exact integer counts, idf =
     * ln(N/df) applied once per (doc, term), top-3 terms per doc by score.
     * Two aggregations (doc-term counts, term document frequencies); N is a
@@ -1271,6 +1334,7 @@ object TextQueries extends QueryModule {
     "q206_lang_id_stored" -> q206LangIdStored,
     "q208_source_mix" -> q208SourceMix,
     "q209_winnowing" -> q209Winnowing,
+    "q211_pipeline2" -> q211Pipeline2,
     "q168_postings_query" -> q168PostingsQuery,
     "q166_postings" -> q166Postings,
     "q120_bigram_lm" -> q120BigramLm,
@@ -1326,6 +1390,62 @@ object TextQueries extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q211_pipeline2" -> """
+      WITH d0 AS MATERIALIZED (SELECT doc_id, lang, source, text
+        FROM documents WHERE length(text) >= 11),
+      tri AS MATERIALIZED (SELECT doc_id, lang,
+          unnest([substring(text, i, 3) for i in range(1, length(text) - 1)]) AS tri
+        FROM d0),
+      prof AS MATERIALIZED (SELECT lang, tri, count(*) AS c
+        FROM tri WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      tot AS (SELECT lang AS cand, sum(c) AS ct FROM prof GROUP BY 1),
+      vx AS (SELECT count(DISTINCT tri) AS v FROM prof),
+      sc AS (SELECT t.doc_id, tot.cand,
+          CAST(round(sum(ln((coalesce(p.c, 0) + 1)
+                / CAST(tot.ct + vx.v AS DOUBLE)))
+              / count(*) * 1000000, 0) AS BIGINT) AS ll_micro
+        FROM tri t CROSS JOIN tot
+        LEFT JOIN prof p ON p.lang = tot.cand AND p.tri = t.tri, vx
+        GROUP BY 1, 2, tot.ct, vx.v),
+      pred AS (SELECT doc_id, cand AS pred FROM (SELECT *,
+          row_number() OVER (PARTITION BY doc_id ORDER BY ll_micro DESC, cand ASC) AS rk
+        FROM sc) WHERE rk = 1),
+      s1 AS MATERIALIZED (SELECT d0.* FROM d0
+        JOIN pred ON d0.doc_id = pred.doc_id AND pred.pred = 'en'),
+      g AS MATERIALIZED (SELECT doc_id,
+          [('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT
+            for i in range(1, length(text) - 6)] AS h
+        FROM s1),
+      f AS (SELECT doc_id,
+          list_distinct([list_min(h[j:j+3]) for j in range(1, len(h) - 2)]) AS fps
+        FROM g),
+      fid AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+          CAST(list_sum([x % 1000000007 for x in fps]) AS BIGINT) AS ck
+        FROM f),
+      keep AS (SELECT min(doc_id) AS doc_id FROM fid GROUP BY n_fps, ck),
+      s2 AS MATERIALIZED (SELECT s1.* FROM s1 SEMI JOIN keep USING (doc_id)),
+      d2 AS (SELECT *, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM s2),
+      a AS (SELECT source, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS tot_tokens FROM d2 GROUP BY 1),
+      w AS (SELECT *, CAST(round(sqrt(CAST(tot_tokens AS DOUBLE)) * 1000000, 0)
+          AS BIGINT) AS w_micro FROM a),
+      wt AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_total FROM w),
+      th AS (SELECT w.source,
+          least(((150 * w_micro) // w_total * 1000000) // n_docs, 1000000) AS thresh_ppm
+        FROM w, wt),
+      s3 AS (SELECT d2.* FROM d2 JOIN th ON d2.source = th.source
+        WHERE (d2.doc_id % 999983) * 2654435761 % 1000000 < th.thresh_ppm),
+      led AS (
+        SELECT '0_input' AS stage, count(*) AS n_docs,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_sum FROM d0
+        UNION ALL SELECT '1_lang', count(*), CAST(sum(doc_id) AS BIGINT),
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM s1
+        UNION ALL SELECT '2_winnow_dedup', count(*), CAST(sum(doc_id) AS BIGINT),
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM s2
+        UNION ALL SELECT '3_mix_sample', count(*), CAST(sum(doc_id) AS BIGINT),
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM s3)
+      SELECT * FROM led ORDER BY stage""",
     "q209_winnowing" -> """
       WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 11),
       g AS MATERIALIZED (SELECT doc_id,
