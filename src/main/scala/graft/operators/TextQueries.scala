@@ -95,6 +95,63 @@ object TextQueries extends QueryModule {
           .as("fp_prefix16"))
       .orderBy(col("doc_id"))
 
+  /** q212 — VOCABULARY CONSTRUCTION + STORED-VOCAB OOV AUDIT: the
+    * build-once-apply-many table every tokenizer/embedding pipeline
+    * creates before training — count whitespace tokens over the TRAIN half
+    * (even doc_ids, the q190/q192/q206 split), keep tokens with
+    * count ≥ 3, rank by (count DESC, token ASC) — the deterministic total
+    * order both engines reproduce — assign contiguous ids from 0, truncate
+    * to the top 4096, and PERSIST the (id, token, cnt) table; then audit
+    * the FULL corpus against the store: per source, token mass, in-vocab
+    * mass, OOV rate in ppm, and an id-weighted checksum that pins the
+    * exact id assignment (a rank off-by-one or tie-break drift
+    * hash-mismatches every source at once). The OOV rate is the number
+    * that decides whether a vocab ships — rising OOV on a new source is
+    * the drift alarm.
+    *
+    * Shape at 100 TB: training is one map-side-combined token count + a
+    * vocab-bounded rank window (the counted frame is vocab-sized, not
+    * corpus-sized — the window sorts ≤ |vocab| rows); the audit joins the
+    * BROADCAST stored vocab into the token stream map-side, and the only
+    * corpus exchange is the per-source rollup. */
+  val q212VocabBuild: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+    val store = graft.engine.Scratch.dir(s, "q212_vocab")
+    vocabTrain(docs.filter(col("doc_id") % 2 === 0), store,
+      minCount = 3, maxSize = 4096)
+    vocabOovAudit(docs, s.read.parquet(store + "/vocab"))
+  }
+
+  /** Build + persist the ranked vocab table over a (doc_id, t) corpus. */
+  private[graft] def vocabTrain(train: DataFrame, store: String,
+      minCount: Long, maxSize: Int): Unit = {
+    val counts = train.select(explode(col("t")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    counts.withColumn("id", (row_number().over(w) - 1).cast("long"))
+      .filter(col("id") < maxSize)
+      .select(col("id"), col("token"), col("cnt"))
+      .write.mode("overwrite").parquet(store + "/vocab")
+  }
+
+  /** Per-source OOV audit of a (doc_id, source, t) corpus against a stored
+    * (id, token, cnt) vocab: token mass, in-vocab mass, OOV ppm, and the
+    * id-weighted checksum pinning the exact id assignment. */
+  private[graft] def vocabOovAudit(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs.select(col("source"), explode(col("t")).as("token"))
+      .join(broadcast(vocab.select(col("token"), col("id"))), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id").isNotNull, 1L).otherwise(0L)).as("n_invocab"),
+        sum(coalesce(col("id"), lit(0L))).as("id_checksum"))
+      .withColumn("oov_ppm",
+        expr("((n_tokens - n_invocab) * 1000000) div n_tokens"))
+      .select(col("source"), col("n_tokens"), col("n_invocab"),
+        col("oov_ppm"), col("id_checksum"))
+      .orderBy(col("source"))
+
   /** q209 — WINNOWING FINGERPRINTS (Schleimer, Wilkerson, Aiken, SIGMOD
     * 2003 — the MOSS primitive): per document, hash every k=8-char gram
     * (`md5_hi60`, the portable hash) and keep the MINIMUM of each w=4
@@ -1335,6 +1392,7 @@ object TextQueries extends QueryModule {
     "q208_source_mix" -> q208SourceMix,
     "q209_winnowing" -> q209Winnowing,
     "q211_pipeline2" -> q211Pipeline2,
+    "q212_vocab_build" -> q212VocabBuild,
     "q168_postings_query" -> q168PostingsQuery,
     "q166_postings" -> q166Postings,
     "q120_bigram_lm" -> q120BigramLm,
@@ -1390,6 +1448,21 @@ object TextQueries extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q212_vocab_build" -> """
+      WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      tok AS MATERIALIZED (SELECT doc_id, source, unnest(t) AS token FROM d),
+      c AS (SELECT token, count(*) AS cnt FROM tok WHERE doc_id % 2 = 0
+        GROUP BY 1 HAVING count(*) >= 3),
+      v AS MATERIALIZED (SELECT token, cnt,
+          CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS BIGINT) AS id
+        FROM c QUALIFY id < 4096)
+      SELECT source, count(*) AS n_tokens,
+        CAST(sum(CASE WHEN v.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_invocab,
+        CAST(((count(*) - sum(CASE WHEN v.id IS NOT NULL THEN 1 ELSE 0 END)) * 1000000)
+          // count(*) AS BIGINT) AS oov_ppm,
+        CAST(sum(coalesce(v.id, 0)) AS BIGINT) AS id_checksum
+      FROM tok LEFT JOIN v USING (token)
+      GROUP BY source ORDER BY source""",
     "q211_pipeline2" -> """
       WITH d0 AS MATERIALIZED (SELECT doc_id, lang, source, text
         FROM documents WHERE length(text) >= 11),
