@@ -284,6 +284,36 @@ object Dev {
           s"maxTaskMs=${maxTaskMs.get} sumTaskMs=${sumTaskMs.get} rows=$n")
       }
       spark.stop()
+    } else if (name == "saltcost") {
+      // the COST side of the auto-salt conf: uniform keys, nothing above
+      // the hot threshold — the rewrite pays its exact detection pass +
+      // tagging joins and splits nothing. Measured so the conf's
+      // off-by-default stance is a number, not a vibe.
+      // Usage: runMain graft.Dev ignored saltcost [reps]
+      import org.apache.spark.sql.functions._
+      val metrics = graft.engine.MetricsListener.install(spark)
+      val left = spark.range(0, 4000000).select(
+        (col("id") % 9973).as("k"), (col("id") * 131L % 5000000L).as("t"),
+        col("id").as("lid"))
+      val right = spark.range(0, 40000).select(
+        (col("id") % 9973).as("bk"), (col("id") * 173L % 5000000L).as("bt"),
+        col("id").as("rid"))
+      for (auto <- Seq(false, true); i <- 1 to reps) {
+        if (auto) spark.conf.set(graft.plans.SkewSalt.SaltsConf, "16")
+        else spark.conf.unset(graft.plans.SkewSalt.SaltsConf)
+        graft.engine.Sessions.releasePinned(spark)
+        graft.engine.MetricsListener.drain(spark); metrics.reset()
+        val t0 = System.nanoTime()
+        val n = graft.plans.AsOf.join(left, right, Seq("k" -> "bk"), "t", "bt",
+          broadcast = Some(false)).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.engine.MetricsListener.drain(spark)
+        val m = metrics.snapshot
+        println(f"[dev] saltcost auto=$auto rep$i: $dt%.2fs rows=$n " +
+          s"shuffleRead=${m.shuffleReadBytes} shuffleWrite=${m.shuffleWriteBytes}")
+      }
+      spark.conf.unset(graft.plans.SkewSalt.SaltsConf)
+      spark.stop()
     } else if (name == "q135prof") {
       // stage timings for the containment pipeline
       import org.apache.spark.sql.functions._

@@ -514,6 +514,46 @@ object StreamOps {
       ()
     }.start()
 
+  /** STREAMING OOV audit over the stored vocab (q212's twin — the third
+    * stateless stored-model scorer beside [[lmScoreStream]] and
+    * [[langIdStream]]): each micro-batch of (doc_id, source, text)
+    * documents audits against the persisted (id, token, cnt) vocab table —
+    * [[graft.operators.TextQueries.vocabOovAudit]] verbatim over the
+    * batch's token stream — and lands its per-source rollup under its own
+    * `ingest_batch` partition (dynamic overwrite absorbs replays). Serving
+    * sums the per-batch partial masses; OOV ppm recomputes from the summed
+    * integers, so the served rate equals the batch audit exactly. The
+    * vocab-drift alarm as a continuously-updated dashboard feed. */
+  def vocabOovStream(docs: DataFrame, vocabStorePath: String, auditPath: String,
+      batchIdBase: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      graft.operators.TextQueries.vocabOovAudit(
+          batch.select(col("doc_id"), col("source"),
+            split(col("text"), " ").as("t")),
+          s.read.parquet(vocabStorePath + "/vocab"))
+        .withColumn("ingest_batch", lit(batchIdBase + batchId))
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .option("partitionOverwriteMode", "dynamic").parquet(auditPath)
+      ()
+    }.start()
+
+  /** Serve the cumulative per-source OOV audit from the streamed partial
+    * store: sum the integer masses, recompute the ppm once — equal to the
+    * batch audit over the union of all ingested batches. */
+  def vocabOovFromStore(s: org.apache.spark.sql.SparkSession,
+      auditPath: String): DataFrame =
+    s.read.parquet(auditPath)
+      .groupBy(col("source"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens")).as("n_tokens"),
+        org.apache.spark.sql.functions.sum(col("n_invocab")).as("n_invocab"),
+        org.apache.spark.sql.functions.sum(col("id_checksum")).as("id_checksum"))
+      .withColumn("oov_ppm",
+        org.apache.spark.sql.functions.expr(
+          "((n_tokens - n_invocab) * 1000000) div n_tokens"))
+      .select(col("source"), col("n_tokens"), col("n_invocab"),
+        col("oov_ppm"), col("id_checksum"))
+
   /** Streaming twin of q186's shard-local greedy sequence packing — the
     * CONTINUOUS shard writer: as documents arrive they append to their
     * shard's open training sequence, closing it when the next doc would

@@ -789,6 +789,33 @@ class StatefulStreamingSpec extends SparkSpec {
     graft.engine.Sessions.releasePinned(spark)
   }
 
+  test("streaming OOV audit from the stored vocab equals the batch audit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = graft.engine.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val toks = docsDf.select(col("doc_id"), col("source"),
+      split(col("text"), " ").as("t"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_vocabstream").toString
+    graft.operators.TextQueries.vocabTrain(
+      toks.filter(col("doc_id") % 2 === 0), s"$dir/v", minCount = 3, maxSize = 4096)
+    val docs = docsDf.as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val parts = docs.grouped((docs.size + 2) / 3).toSeq
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamOps.vocabOovStream(
+      stream.toDF().toDF("doc_id", "source", "text"), s"$dir/v", s"$dir/audit")
+    parts.foreach { p => stream.addData(p); q.processAllAvailable() }
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val got = canon(StreamOps.vocabOovFromStore(spark, s"$dir/audit"))
+    val want = canon(graft.operators.TextQueries.vocabOovAudit(toks,
+      spark.read.parquet(s"$dir/v/vocab")))
+    assert(got == want, "served cumulative audit diverged from the batch audit")
+    assert(got.nonEmpty)
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("streaming sequence packing equals batch q186 across micro-batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
