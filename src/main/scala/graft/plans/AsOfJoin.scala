@@ -81,7 +81,7 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     strict: Boolean, tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan)
-  extends BinaryExecNode {
+  extends BinaryExecNode with org.apache.spark.sql.execution.CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -100,6 +100,12 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"))
 
+  /** The two-pointer merge as a shared compiled cursor ([[AsOfMergeCursor]])
+    * — one implementation behind both the iterator path and the generated
+    * produce loop, so the paths cannot drift. */
+  private def cursorBuilder = new AsOfMergeCursorBuilder(left.output,
+    right.output, leftKeys, rightKeys, leftTime, rightTime, strict, tolerance)
+
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -110,20 +116,10 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     // skip the check and read garbage from the null-extension row
     // (caught by the brute-equality laws)
     val outAttrs = output
-    val lKeyExprs = leftKeys
-    val rKeyExprs = rightKeys
-    val lTimeExpr = leftTime
-    val rTimeExpr = rightTime
-    val isStrict = strict
-    val tol = tolerance
-    val keyTypes = leftKeys.map(_.dataType)
+    val builder = cursorBuilder
     val numOutput = longMetric("numOutputRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
-      val lTimeEval = BindReferences.bindReference(lTimeExpr, lOut)
-      val rTimeEval = BindReferences.bindReference(rTimeExpr, rOut)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val cursor = builder.create(lIter, rIter)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.length)
       // downstream consumers (collect's byte-array serializer, exchanges)
@@ -131,61 +127,92 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
       // projection, so flatten here like SortMergeJoinExec's resultProj
       val resultProj = UnsafeProjection.create(outAttrs,
         lOut ++ rOut.map(_.withNullability(true)))
-
       new Iterator[InternalRow] {
-        // right-side cursor: the NEXT unconsumed right row (+ its key/time),
-        // and the last right row that qualified for the current key
-        private var rRow: InternalRow = _
-        private var rKey: UnsafeRow = _
-        private var rTime: java.lang.Long = _
-        private var candidate: InternalRow = _
-        private var candidateKey: UnsafeRow = _
-        private var candidateTime: Long = _
-        advanceRight()
-
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            rRow = rIter.next()
-            rKey = rKeyProj(rRow).copy()
-            val t = rTimeEval.eval(rRow)
-            rTime = if (t == null) null else t.asInstanceOf[Long]
-          } else { rRow = null; rKey = null; rTime = null }
-
-        override def hasNext: Boolean = lIter.hasNext
-
+        private var ready = false
+        override def hasNext: Boolean = {
+          if (!ready) ready = cursor.advance()
+          ready
+        }
         override def next(): InternalRow = {
-          val l = lIter.next()
-          val lk = lKeyProj(l)
-          val lt = lTimeEval.eval(l)
-          // discard right rows for keys already passed
-          while (rRow != null && keyOrd.compare(rKey, lk) < 0) advanceRight()
-          // fold forward: every same-key right row strictly before lt
-          // becomes the new candidate (they arrive time-ascending)
-          if (lt != null) {
-            val ltv = lt.asInstanceOf[Long]
-            // null right times sort FIRST within the key (Ascending ⇒ nulls
-            // first): they can never match, so consume them WITHOUT setting
-            // the candidate — stopping on them instead would wedge the
-            // pointer and hide every later valid row of the key (caught by
-            // the PropertySpec brute-equality law)
-            while (rRow != null && keyOrd.compare(rKey, lk) == 0 &&
-                (rTime == null ||
-                  (if (isStrict) rTime < ltv else rTime <= ltv))) {
-              if (rTime != null) {
-                candidate = rRow.asInstanceOf[UnsafeRow].copy()
-                candidateKey = rKey
-                candidateTime = rTime
-              }
-              advanceRight()
-            }
-          }
-          val matched = lt != null && candidate != null &&
-            candidateKey != null && keyOrd.compare(candidateKey, lk) == 0 &&
-            tol.forall(lt.asInstanceOf[Long] - candidateTime <= _)
+          if (!ready && !cursor.advance())
+            throw new NoSuchElementException("exhausted as-of merge")
+          ready = false
+          val m = cursor.matchedRow
           numOutput += 1
-          resultProj(joined(l, if (matched) candidate else nullRight))
+          resultProj(joined(cursor.leftRow, if (m != null) m else nullRight))
         }
       }
+    }
+  }
+
+  // ---- whole-stage codegen: the SortMergeJoinExec shape — this node OWNS
+  // the produce loop over BOTH sorted inputs (they arrive as the stage's
+  // two input iterators; the subtrees below the exchanges keep their own
+  // codegen stages), and downstream operators fuse onto the merge output,
+  // deleting the per-row resultProj materialization the iterator path
+  // pays ----
+
+  import org.apache.spark.sql.catalyst.expressions.BoundReference
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+    CodeGenerator, ExprCode, JavaCode}
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.execution.CodegenSupport
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // rows come off the sorters' reused buffers: downstream buffering copies
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val builderRef = ctx.addReferenceObj("asofMergeBuilder", cursorBuilder,
+      classOf[AsOfMergeCursorBuilder].getName)
+    val cursorTerm = ctx.addMutableState(classOf[AsOfMergeCursor].getName,
+      "asofMergeCursor",
+      v => s"$v = $builderRef.create(inputs[0], inputs[1]);")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val lTerm = ctx.freshName("asofLeftRow")
+    val mTerm = ctx.freshName("asofMatchedRow")
+    val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+    // decode output vars from the cursor's current rows; right side nullable
+    // with null-extension defaults, same widening as the iterator path
+    ctx.currentVars = null
+    ctx.INPUT_ROW = lTerm
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val rightVars = genRightVars(ctx, mTerm)
+    s"""
+       |while ($cursorTerm.advance()) {
+       |  $rowCls $lTerm = $cursorTerm.leftRow();
+       |  $rowCls $mTerm = $cursorTerm.matchedRow();
+       |  $numOutput.add(1);
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  /** Right-side output vars decoded from the matched row — null defaults
+    * when unmatched (the null-extension), nullability forced wide. */
+  private def genRightVars(ctx: CodegenContext, matched: String): Seq[ExprCode] = {
+    ctx.currentVars = null
+    ctx.INPUT_ROW = matched
+    right.output.zipWithIndex.map { case (a, i) =>
+      val ev = BoundReference(i, a.dataType, nullable = true).genCode(ctx)
+      val isNull = ctx.freshName("rIsNull")
+      val value = ctx.freshName("rValue")
+      val javaType = CodeGenerator.javaType(a.dataType)
+      val c = code"""
+        |boolean $isNull = true;
+        |$javaType $value = ${CodeGenerator.defaultValue(a.dataType)};
+        |if ($matched != null) {
+        |  ${ev.code}
+        |  $isNull = ${ev.isNull};
+        |  $value = ${ev.value};
+        |}
+      """.stripMargin
+      ExprCode(c, JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
     }
   }
 

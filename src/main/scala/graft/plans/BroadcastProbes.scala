@@ -76,6 +76,282 @@ final class AsOfProbeBuilder(rOut: Seq[Attribute], rKeys: Seq[Expression],
   }
 }
 
+/** The two-pointer AS-OF MERGE as a compiled cursor shared by BOTH
+  * execution paths of [[AsOfJoinExec]]: `advance()` positions one left row
+  * and its as-of match (null when none) per call, streaming both sorted
+  * inputs once with O(1) carried state — the exact loop the exec's
+  * iterator ran inline before codegen needed to drive it from generated
+  * Java. One implementation, two callers: the paths cannot drift. */
+final class AsOfMergeCursor(lIter: Iterator[InternalRow],
+    rIter: Iterator[InternalRow],
+    lKeyProj: UnsafeProjection, rKeyProj: UnsafeProjection,
+    lTimeEval: Expression, rTimeEval: Expression,
+    keyOrd: Ordering[InternalRow], strict: Boolean,
+    hasTol: Boolean, tol: Long) {
+  private var lRow: InternalRow = _
+  private var matched: InternalRow = _
+  // right-side cursor: the NEXT unconsumed right row (+ its key/time), and
+  // the last right row that qualified for the current key
+  private var rRow: InternalRow = _
+  private var rKey: UnsafeRow = _
+  private var rTime: java.lang.Long = _
+  private var candidate: InternalRow = _
+  private var candidateKey: UnsafeRow = _
+  private var candidateTime: Long = _
+  advanceRight()
+
+  private def advanceRight(): Unit =
+    if (rIter.hasNext) {
+      rRow = rIter.next()
+      rKey = rKeyProj(rRow).copy()
+      val t = rTimeEval.eval(rRow)
+      rTime = if (t == null) null else t.asInstanceOf[Long]
+    } else { rRow = null; rKey = null; rTime = null }
+
+  /** Position the next (left row, match) pair; false when exhausted. */
+  def advance(): Boolean = {
+    if (!lIter.hasNext) return false
+    val l = lIter.next()
+    val lk = lKeyProj(l)
+    val lt = lTimeEval.eval(l)
+    // discard right rows for keys already passed
+    while (rRow != null && keyOrd.compare(rKey, lk) < 0) advanceRight()
+    // fold forward: every same-key right row strictly before lt becomes
+    // the new candidate (they arrive time-ascending); null right times
+    // sort FIRST within the key and never match — consume WITHOUT setting
+    // the candidate (see the exec scaladoc / PropertySpec law)
+    if (lt != null) {
+      val ltv = lt.asInstanceOf[Long]
+      while (rRow != null && keyOrd.compare(rKey, lk) == 0 &&
+          (rTime == null ||
+            (if (strict) rTime < ltv else rTime <= ltv))) {
+        if (rTime != null) {
+          candidate = rRow.asInstanceOf[UnsafeRow].copy()
+          candidateKey = rKey
+          candidateTime = rTime
+        }
+        advanceRight()
+      }
+    }
+    val ok = lt != null && candidate != null &&
+      candidateKey != null && keyOrd.compare(candidateKey, lk) == 0 &&
+      (!hasTol || lt.asInstanceOf[Long] - candidateTime <= tol)
+    lRow = l
+    matched = if (ok) candidate else null
+    true
+  }
+
+  def leftRow: InternalRow = lRow
+  /** The as-of match for the current left row, or null (null-extension). */
+  def matchedRow: InternalRow = matched
+}
+
+/** Serializable factory for [[AsOfMergeCursor]]: binds the key/time
+  * expressions per task, exactly where the old inline zipPartitions body
+  * did. Referenced from generated code, so the signature is Java-plain. */
+final class AsOfMergeCursorBuilder(lOut: Seq[Attribute], rOut: Seq[Attribute],
+    lKeys: Seq[Expression], rKeys: Seq[Expression],
+    lTime: Expression, rTime: Expression,
+    strict: Boolean, tolerance: Option[Long]) extends Serializable {
+  def create(lIter: Iterator[InternalRow], rIter: Iterator[InternalRow])
+      : AsOfMergeCursor =
+    new AsOfMergeCursor(lIter, rIter,
+      UnsafeProjection.create(lKeys, lOut), UnsafeProjection.create(rKeys, rOut),
+      BindReferences.bindReference(lTime, lOut),
+      BindReferences.bindReference(rTime, rOut),
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(lKeys.map(_.dataType)),
+      strict, tolerance.isDefined, tolerance.getOrElse(0L))
+}
+
+/** The keyed interval PLANE SWEEP as a compiled cursor shared by both
+  * execution paths of [[IntervalJoinExec]]: `advance()` positions one
+  * output unit per call — an overlap pair for inner/outer (right null for
+  * the outer null-extension), a bare left row for semi/anti — exactly the
+  * step machine the exec's iterator ran inline (same arrival order,
+  * pruning, eviction proofs, and mode semantics; the copies pended here
+  * are immutable UnsafeRows, safe for downstream buffering). */
+final class IntervalSweepCursor(lIter: Iterator[InternalRow],
+    rIter: Iterator[InternalRow],
+    lKeyProj: UnsafeProjection, rKeyProj: UnsafeProjection,
+    lSe: Expression, lEe: Expression, rSe: Expression, rEe: Expression,
+    keyOrd: Ordering[InternalRow], mode: String) {
+
+  private final class Side(it: Iterator[InternalRow],
+      keyProj: UnsafeProjection, sEv: Expression, eEv: Expression) {
+    var row: InternalRow = _
+    var key: UnsafeRow = _
+    var start: java.lang.Long = _
+    var end: java.lang.Long = _
+    advance()
+    def advance(): Unit =
+      if (it.hasNext) {
+        row = it.next()
+        key = keyProj(row).copy()
+        val sv = sEv.eval(row); val ev = eEv.eval(row)
+        start = if (sv == null) null else sv.asInstanceOf[Long]
+        end = if (ev == null) null else ev.asInstanceOf[Long]
+      } else { row = null; key = null; start = null; end = null }
+  }
+
+  private final class ActiveL(val end: Long, val row: InternalRow,
+    var matched: Boolean)
+
+  private val lc = new Side(lIter, lKeyProj, lSe, lEe)
+  private val rc = new Side(rIter, rKeyProj, rSe, rEe)
+  private val activeL = scala.collection.mutable.ArrayBuffer.empty[ActiveL]
+  private val activeR = scala.collection.mutable.ArrayBuffer.empty[(Long, InternalRow)]
+  private var curKey: UnsafeRow = _
+  private var flushed = false
+  // pending output units: [left, right-or-null] (ArrayDeque rejects nulls,
+  // so units are 2-slot arrays)
+  private val pending = new java.util.ArrayDeque[Array[InternalRow]]()
+  private var cur: Array[InternalRow] = _
+
+  private def pend(l: InternalRow, r: InternalRow): Unit =
+    pending.addLast(Array(l, r))
+
+  /** Emit a proven-dead unmatched left per mode (outer/anti). */
+  private def emitDeadLeft(e: ActiveL): Unit =
+    if (!e.matched) mode match {
+      case "left_outer" | "left_anti" => pend(e.row, null)
+      case _ => ()
+    }
+
+  private def pruneRight(start: Long): Unit = {
+    var w = 0; var i = 0
+    while (i < activeR.length) {
+      if (activeR(i)._1 >= start) { if (w != i) activeR(w) = activeR(i); w += 1 }
+      i += 1
+    }
+    activeR.dropRightInPlace(activeR.length - w)
+  }
+
+  private def pruneLeft(start: Long): Unit = {
+    var w = 0; var i = 0
+    while (i < activeL.length) {
+      if (activeL(i).end >= start) { if (w != i) activeL(w) = activeL(i); w += 1 }
+      else emitDeadLeft(activeL(i))
+      i += 1
+    }
+    activeL.dropRightInPlace(activeL.length - w)
+  }
+
+  private def flushLeft(): Unit = {
+    var i = 0
+    while (i < activeL.length) { emitDeadLeft(activeL(i)); i += 1 }
+    activeL.clear(); activeR.clear()
+  }
+
+  /** Consume one arrival (the side with the smaller (key, start)). */
+  private def step(): Unit = {
+    val takeLeft =
+      if (lc.row == null) false
+      else if (rc.row == null) true
+      else {
+        val kc = keyOrd.compare(lc.key, rc.key)
+        if (kc != 0) kc < 0
+        else {
+          // within a key, null starts sort first (they never match:
+          // consumed and skipped); then ascending start
+          if (lc.start == null) true
+          else if (rc.start == null) false
+          else lc.start <= rc.start
+        }
+      }
+    val c = if (takeLeft) lc else rc
+    // key change: prove every remaining left dead, reset both sides
+    if (curKey == null || keyOrd.compare(c.key, curKey) != 0) {
+      flushLeft(); curKey = c.key
+    }
+    val valid = c.start != null && c.end != null &&
+      c.end.longValue() >= c.start.longValue()
+    if (takeLeft) {
+      if (valid) {
+        val sv = c.start.longValue()
+        pruneRight(sv)
+        val anyMatch = activeR.nonEmpty
+        val lCopy = c.row.asInstanceOf[UnsafeRow].copy()
+        mode match {
+          case "inner" | "left_outer" =>
+            var i = 0
+            while (i < activeR.length) { pend(lCopy, activeR(i)._2); i += 1 }
+          case "left_semi" =>
+            if (anyMatch) pend(lCopy, null)
+          case _ => ()
+        }
+        // keep in state only while a future right could still matter
+        val keep = mode match {
+          case "inner" | "left_outer" => true
+          case _ => !anyMatch
+        }
+        if (keep) activeL += new ActiveL(c.end.longValue(), lCopy, anyMatch)
+      } else {
+        // null/malformed bounds never match — outer/anti emit now
+        mode match {
+          case "left_outer" | "left_anti" =>
+            pend(c.row.asInstanceOf[UnsafeRow].copy(), null)
+          case _ => ()
+        }
+      }
+    } else if (valid) {
+      val sv = c.start.longValue()
+      pruneLeft(sv)
+      val rCopy = c.row.asInstanceOf[UnsafeRow].copy()
+      var w = 0; var i = 0
+      while (i < activeL.length) {
+        val e = activeL(i)
+        mode match {
+          case "inner" | "left_outer" => pend(e.row, rCopy)
+          case "left_semi" => if (!e.matched) pend(e.row, null)
+          case _ => ()
+        }
+        e.matched = true
+        // semi/anti entries are DONE once matched — drop from state
+        val keep = mode == "inner" || mode == "left_outer"
+        if (keep) { if (w != i) activeL(w) = e; w += 1 }
+        i += 1
+      }
+      if (mode == "left_semi" || mode == "left_anti")
+        activeL.dropRightInPlace(activeL.length - w)
+      activeR += ((c.end.longValue(), rCopy))
+    }
+    c.advance()
+  }
+
+  /** Position the next output unit; false when the sweep is exhausted. */
+  def advance(): Boolean = {
+    while (pending.isEmpty && (lc.row != null || rc.row != null)) step()
+    if (pending.isEmpty && !flushed) { flushLeft(); flushed = true }
+    if (pending.isEmpty) return false
+    cur = pending.pollFirst()
+    true
+  }
+
+  def leftRow: InternalRow = cur(0)
+  /** Overlapping right row, or null (outer null-extension / semi / anti). */
+  def rightRow: InternalRow = cur(1)
+}
+
+/** Serializable factory for [[IntervalSweepCursor]] — binds per task,
+  * Java-plain signature for generated code. */
+final class IntervalSweepCursorBuilder(lOut: Seq[Attribute],
+    rOut: Seq[Attribute], lKeys: Seq[Expression], rKeys: Seq[Expression],
+    lStart: Expression, lEnd: Expression, rStart: Expression, rEnd: Expression,
+    mode: String) extends Serializable {
+  def create(lIter: Iterator[InternalRow], rIter: Iterator[InternalRow])
+      : IntervalSweepCursor =
+    new IntervalSweepCursor(lIter, rIter,
+      UnsafeProjection.create(lKeys, lOut), UnsafeProjection.create(rKeys, rOut),
+      BindReferences.bindReference(lStart, lOut),
+      BindReferences.bindReference(lEnd, lOut),
+      BindReferences.bindReference(rStart, rOut),
+      BindReferences.bindReference(rEnd, rOut),
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(lKeys.map(_.dataType)),
+      mode)
+}
+
 object IntervalProbeIndex {
   /** One key's intervals sorted by start, with the running max-end prefix
     * array that powers the dead-head cut. */

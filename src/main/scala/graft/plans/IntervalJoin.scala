@@ -93,7 +93,7 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
     leftStart: Expression, leftEnd: Expression,
     rightStart: Expression, rightEnd: Expression, joinType: String,
     left: SparkPlan, right: SparkPlan)
-  extends BinaryExecNode {
+  extends BinaryExecNode with org.apache.spark.sql.execution.CodegenSupport {
 
   override def output: Seq[Attribute] = joinType match {
     case "left_semi" | "left_anti" => left.output
@@ -112,6 +112,13 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"))
 
+  /** The plane sweep as a shared compiled cursor ([[IntervalSweepCursor]])
+    * — one step machine behind both the iterator path and the generated
+    * produce loop, so the paths cannot drift in ANY mode. */
+  private def cursorBuilder = new IntervalSweepCursorBuilder(left.output,
+    right.output, leftKeys, rightKeys, leftStart, leftEnd, rightStart,
+    rightEnd, joinType)
+
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -122,188 +129,109 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
     // skip the check and read garbage from the null-extension row
     // (caught by the brute-equality laws)
     val outAttrs = output
-    val lKeyExprs = leftKeys
-    val rKeyExprs = rightKeys
-    val lS = leftStart; val lE = leftEnd; val rS = rightStart; val rE = rightEnd
-    val keyTypes = leftKeys.map(_.dataType)
+    val mode = joinType
+    val builder = cursorBuilder
     val numOutput = longMetric("numOutputRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
-      val lSe = BindReferences.bindReference(lS, lOut)
-      val lEe = BindReferences.bindReference(lE, lOut)
-      val rSe = BindReferences.bindReference(rS, rOut)
-      val rEe = BindReferences.bindReference(rE, rOut)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val cursor = builder.create(lIter, rIter)
       val joined = new JoinedRow
-      // flatten joined pairs to UnsafeRow before they enter `pending`
-      // (collect's serializer and exchanges require UnsafeRow — SMJ's
-      // resultProj contract); also cheaper than JoinedRow.copy()'s
-      // generic-row materialization
-      val resultProj = UnsafeProjection.create(outAttrs,
-        lOut ++ rOut.map(_.withNullability(true)))
-
-      // one side's buffered cursor: the NEXT unconsumed row + its key/bounds
-      final class Cursor(it: Iterator[InternalRow],
-          keyProj: UnsafeProjection, sEv: Expression, eEv: Expression) {
-        var row: InternalRow = _
-        var key: UnsafeRow = _
-        var start: java.lang.Long = _
-        var end: java.lang.Long = _
-        advance()
-        def advance(): Unit =
-          if (it.hasNext) {
-            row = it.next()
-            key = keyProj(row).copy()
-            val sv = sEv.eval(row); val ev = eEv.eval(row)
-            start = if (sv == null) null else sv.asInstanceOf[Long]
-            end = if (ev == null) null else ev.asInstanceOf[Long]
-          } else { row = null; key = null; start = null; end = null }
-      }
-      val lc = new Cursor(lIter, lKeyProj, lSe, lEe)
-      val rc = new Cursor(rIter, rKeyProj, rSe, rEe)
-      val mode = joinType
       val nullRight = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(rOut.length)
-
-      final class ActiveL(val end: Long, val row: InternalRow,
-        var matched: Boolean)
-
+      // flatten joined pairs to UnsafeRow (SMJ's resultProj contract)
+      val resultProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val leftOnly = mode == "left_semi" || mode == "left_anti"
       new Iterator[InternalRow] {
-        // actives of the CURRENT key; pruned on every arrival
-        private val activeL = scala.collection.mutable.ArrayBuffer.empty[ActiveL]
-        private val activeR = scala.collection.mutable.ArrayBuffer.empty[(Long, InternalRow)]
-        private var curKey: UnsafeRow = _
-        private var flushed = false
-        private val pending = new java.util.ArrayDeque[InternalRow]()
-
-        /** Emit a proven-dead unmatched left per mode (outer/anti). */
-        private def emitDeadLeft(e: ActiveL): Unit =
-          if (!e.matched) mode match {
-            case "left_outer" => pending.addLast(resultProj(joined(e.row, nullRight)).copy())
-            case "left_anti" => pending.addLast(e.row)
-            case _ => ()
-          }
-
-        private def pruneRight(start: Long): Unit = {
-          var w = 0; var i = 0
-          while (i < activeR.length) {
-            if (activeR(i)._1 >= start) { if (w != i) activeR(w) = activeR(i); w += 1 }
-            i += 1
-          }
-          activeR.dropRightInPlace(activeR.length - w)
-        }
-
-        private def pruneLeft(start: Long): Unit = {
-          var w = 0; var i = 0
-          while (i < activeL.length) {
-            if (activeL(i).end >= start) { if (w != i) activeL(w) = activeL(i); w += 1 }
-            else emitDeadLeft(activeL(i))
-            i += 1
-          }
-          activeL.dropRightInPlace(activeL.length - w)
-        }
-
-        private def flushLeft(): Unit = {
-          var i = 0
-          while (i < activeL.length) { emitDeadLeft(activeL(i)); i += 1 }
-          activeL.clear(); activeR.clear()
-        }
-
-        /** Consume one arrival (the side with the smaller (key, start));
-          * fills `pending` per mode. */
-        private def step(): Unit = {
-          // choose the next arrival in global (key, start) order
-          val takeLeft =
-            if (lc.row == null) false
-            else if (rc.row == null) true
-            else {
-              val kc = keyOrd.compare(lc.key, rc.key)
-              if (kc != 0) kc < 0
-              else {
-                // within a key, null starts sort first (they never match:
-                // consumed and skipped); then ascending start
-                if (lc.start == null) true
-                else if (rc.start == null) false
-                else lc.start <= rc.start
-              }
-            }
-          val c = if (takeLeft) lc else rc
-          // key change: prove every remaining left dead, reset both sides
-          if (curKey == null || keyOrd.compare(c.key, curKey) != 0) {
-            flushLeft(); curKey = c.key
-          }
-          val valid = c.start != null && c.end != null &&
-            c.end.longValue() >= c.start.longValue()
-          if (takeLeft) {
-            if (valid) {
-              val sv = c.start.longValue()
-              pruneRight(sv)
-              val anyMatch = activeR.nonEmpty
-              mode match {
-                case "inner" | "left_outer" =>
-                  var i = 0
-                  while (i < activeR.length) {
-                    pending.addLast(resultProj(joined(c.row, activeR(i)._2)).copy())
-                    i += 1
-                  }
-                case "left_semi" =>
-                  if (anyMatch) pending.addLast(c.row.asInstanceOf[UnsafeRow].copy())
-                case _ => ()
-              }
-              // keep in state only while a future right could still matter:
-              // inner/outer pair with every future overlap; semi only if
-              // still unmatched; anti only if still unmatched
-              val keep = mode match {
-                case "inner" | "left_outer" => true
-                case _ => !anyMatch
-              }
-              if (keep)
-                activeL += new ActiveL(c.end.longValue(),
-                  c.row.asInstanceOf[UnsafeRow].copy(), anyMatch)
-            } else {
-              // null/malformed bounds never match — outer/anti emit now
-              mode match {
-                case "left_outer" =>
-                  pending.addLast(resultProj(joined(c.row, nullRight)).copy())
-                case "left_anti" =>
-                  pending.addLast(c.row.asInstanceOf[UnsafeRow].copy())
-                case _ => ()
-              }
-            }
-          } else if (valid) {
-            val sv = c.start.longValue()
-            pruneLeft(sv)
-            var w = 0; var i = 0
-            while (i < activeL.length) {
-              val e = activeL(i)
-              mode match {
-                case "inner" | "left_outer" =>
-                  pending.addLast(resultProj(joined(e.row, c.row)).copy())
-                case "left_semi" =>
-                  if (!e.matched) pending.addLast(e.row)
-                case _ => ()
-              }
-              e.matched = true
-              // semi/anti entries are DONE once matched — drop from state
-              val keep = mode == "inner" || mode == "left_outer"
-              if (keep) { if (w != i) activeL(w) = e; w += 1 }
-              i += 1
-            }
-            if (mode == "left_semi" || mode == "left_anti")
-              activeL.dropRightInPlace(activeL.length - w)
-            activeR += ((c.end.longValue(), c.row.asInstanceOf[UnsafeRow].copy()))
-          }
-          c.advance()
-        }
-
+        private var ready = false
         override def hasNext: Boolean = {
-          while (pending.isEmpty && (lc.row != null || rc.row != null)) step()
-          if (pending.isEmpty && !flushed) { flushLeft(); flushed = true }
-          !pending.isEmpty
+          if (!ready) ready = cursor.advance()
+          ready
         }
-        override def next(): InternalRow = { numOutput += 1; pending.pollFirst() }
+        override def next(): InternalRow = {
+          if (!ready && !cursor.advance())
+            throw new NoSuchElementException("exhausted interval sweep")
+          ready = false
+          numOutput += 1
+          if (leftOnly) cursor.leftRow
+          else {
+            val r = cursor.rightRow
+            resultProj(joined(cursor.leftRow, if (r != null) r else nullRight))
+          }
+        }
       }
+    }
+  }
+
+  // ---- whole-stage codegen: the SortMergeJoinExec shape — this node OWNS
+  // the produce loop over BOTH sorted inputs; downstream operators fuse
+  // onto the sweep output, deleting the per-pair resultProj
+  // materialization the iterator path pays ----
+
+  import org.apache.spark.sql.catalyst.expressions.BoundReference
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+    CodeGenerator, ExprCode, GenerateUnsafeProjection, JavaCode}
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.execution.CodegenSupport
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val builderRef = ctx.addReferenceObj("intervalSweepBuilder", cursorBuilder,
+      classOf[IntervalSweepCursorBuilder].getName)
+    val cursorTerm = ctx.addMutableState(classOf[IntervalSweepCursor].getName,
+      "intervalSweepCursor",
+      v => s"$v = $builderRef.create(inputs[0], inputs[1]);")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val lTerm = ctx.freshName("sweepLeftRow")
+    val mTerm = ctx.freshName("sweepRightRow")
+    val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+    ctx.currentVars = null
+    ctx.INPUT_ROW = lTerm
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val outputVars = joinType match {
+      case "left_semi" | "left_anti" => leftVars
+      case _ => leftVars ++ genRightVarsFrom(ctx, mTerm)
+    }
+    val bindRight = joinType match {
+      case "left_semi" | "left_anti" => ""
+      case _ => s"$rowCls $mTerm = $cursorTerm.rightRow();"
+    }
+    s"""
+       |while ($cursorTerm.advance()) {
+       |  $rowCls $lTerm = $cursorTerm.leftRow();
+       |  $bindRight
+       |  $numOutput.add(1);
+       |  ${consume(ctx, outputVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  /** Right-side output vars decoded from the sweep's current right row —
+    * null defaults for the outer null-extension, nullability forced wide. */
+  private def genRightVarsFrom(ctx: CodegenContext, matched: String): Seq[ExprCode] = {
+    ctx.currentVars = null
+    ctx.INPUT_ROW = matched
+    right.output.zipWithIndex.map { case (a, i) =>
+      val ev = BoundReference(i, a.dataType, nullable = true).genCode(ctx)
+      val isNull = ctx.freshName("rIsNull")
+      val value = ctx.freshName("rValue")
+      val javaType = CodeGenerator.javaType(a.dataType)
+      val c = code"""
+        |boolean $isNull = true;
+        |$javaType $value = ${CodeGenerator.defaultValue(a.dataType)};
+        |if ($matched != null) {
+        |  ${ev.code}
+        |  $isNull = ${ev.isNull};
+        |  $value = ${ev.value};
+        |}
+      """.stripMargin
+      ExprCode(c, JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
     }
   }
 

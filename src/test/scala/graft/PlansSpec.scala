@@ -563,6 +563,33 @@ class PlansSpec extends SparkSpec {
         assert(gotRows == interp, s"interval $mode codegen diverged from interpreted")
       }
     }
+    // the MERGE execs own their produce loop (the SortMergeJoin shape —
+    // cursor over both sorted inputs, downstream fuses onto the output):
+    // pinned fused + codegen == interpreted, as-of and every interval mode
+    val asofM = graft.plans.AsOf.join(l, r, Seq("k" -> "bk"), "t", "bt",
+      broadcast = Some(false))
+    val asofMRows = canon(asofM)
+    assert(fusedIn(asofM, "AsOfJoinExec"),
+      s"as-of merge exec not inside WholeStageCodegen:\n" +
+        asofM.queryExecution.executedPlan.toString.take(1500))
+    withCodegen(false) {
+      val interp = canon(graft.plans.AsOf.join(l, r, Seq("k" -> "bk"), "t", "bt",
+        broadcast = Some(false)))
+      assert(asofMRows == interp, "as-of merge codegen diverged from interpreted")
+    }
+    for (mode <- Seq("inner", "left_outer", "left_semi", "left_anti")) {
+      val iv = graft.plans.IntervalJoin.join(l2, r2, Seq("k" -> "bk"),
+        "t", "e", "bt", "be", mode, broadcast = Some(false))
+      val gotRows = canon(iv)
+      assert(fusedIn(iv, "IntervalJoinExec"),
+        s"interval merge $mode not inside WholeStageCodegen:\n" +
+          iv.queryExecution.executedPlan.toString.take(1500))
+      withCodegen(false) {
+        val interp = canon(graft.plans.IntervalJoin.join(l2, r2, Seq("k" -> "bk"),
+          "t", "e", "bt", "be", mode, broadcast = Some(false)))
+        assert(gotRows == interp, s"interval merge $mode codegen diverged")
+      }
+    }
   }
 
   test("salted aggregation (skew pattern) equals plain aggregation") {
