@@ -1087,6 +1087,95 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("min_doc"))
   }
 
+  /** q214 — SPECTRAL PERCEPTUAL HASH (Walsh–Hadamard): the pHash family's
+    * move — hash the image's low-frequency TRANSFORM coefficients instead
+    * of local gradients (q161's dHash) — with the Walsh–Hadamard transform
+    * standing in for the DCT so every coefficient is an EXACT integer both
+    * engines replay bit-for-bit (a float DCT's cos() ULPs differ between
+    * libm and the JVM; WHT's basis is ±1, selected by popcount parity:
+    * sgn(x,u) = (−1)^popcount(x AND u)). Pipeline per blob: real PNG
+    * encode → [[PngPixelCodec.decode]] (chunk grammar + Inflater +
+    * defilter) → nearest-resize to the canonical 16×16 →
+    * C(u,v) = Σ p(x,y)·sgn(x,u)·sgn(y,v) over the 8×8 low-sequency block →
+    * bit = C > 0, DC excluded. The DC exclusion is the theorem the fixture
+    * exercises: a global brightness shift (+2 on every pixel, planted at
+    * doc_id ≡ 1 mod 10 exactly as in q161) perturbs ONLY C(0,0) — for any
+    * (u,v) ≠ (0,0) the ±1 column sums are zero — so the shifted re-render
+    * collapses into its base's bucket with all 63 retained bits untouched,
+    * while the q162-style edge re-texture (doc_id ≡ 5 mod 10) flips
+    * low-sequency signs and stays OUT of the bucket. Map-side decode +
+    * 64×256 integer fold per blob, ONE bucket aggregation — q50's
+    * exact-dedup plan shape over a spectral key; the oracle replays
+    * pixel fn ∘ nearest-resize ∘ WHT symbolically with bit_count parity. */
+  val q214ImageWhash: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (base, off, edge) =
+          if (id % 10 == 1) (id - 1, 2, false)
+          else if (id % 10 == 5) (id - 3, 0, true)
+          else (id, 0, false)
+        val w = (base % 24 + 8).toInt; val h = (base % 16 + 8).toInt
+        val png = PngPixelCodec.encode(w, h, 1, (x, y, _) => {
+          val sx = x.toLong
+          val m = if (edge && sx >= w - 2) 120 else 250
+          (((sx * 31 + y * 17 + base * 7) % m) + off).toInt
+        })
+        PngPixelCodec.decode(png) match {
+          case Some((dw, dh, _, px)) =>
+            val (hi, lo) = whash64(PgmCodec.resizeNearest(px, dw, dh, 16, 16))
+            (id, hi, lo)
+          case None => (id, -1L, -1L)
+        }
+      })
+      .toDF("doc_id", "whash_hi", "whash_lo")
+      .groupBy(col("whash_hi"), col("whash_lo"))
+      .agg(count(lit(1)).as("n_imgs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"), sum(col("doc_id")).as("doc_sum"))
+      .filter(col("n_imgs") >= 2)
+      .orderBy(col("min_doc"))
+  }
+
+  /** The 63-bit Walsh–Hadamard sign hash of a 16×16 grayscale tile:
+    * C(u,v) = Σ p(x,y)·(−1)^(popcount(x&u)+popcount(y&v)) over the 8×8
+    * low-sequency block, bit = C > 0, DC (u=v=0) excluded so the hash is
+    * invariant under any global brightness shift (for (u,v) ≠ (0,0) the
+    * ±1 basis sums to zero) and under any positive gain (signs scale).
+    * Returns (hi, lo) 32-bit halves — bit 63 would overflow a signed
+    * shift in either engine (q161's convention). */
+  private[graft] def whash64(r: Array[Byte]): (Long, Long) = {
+    require(r.length == 256, s"whash64 wants a 16x16 tile, got ${r.length}")
+    var lo = 0L; var hi = 0L
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        val idx = u * 8 + v
+        if (idx > 0) { // DC excluded
+          var c = 0L
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val sgn = Integer.bitCount(x & u) + Integer.bitCount(y & v)
+              val p = (r(y * 16 + x) & 0xFF).toLong
+              c += (if ((sgn & 1) == 0) p else -p)
+              x += 1
+            }
+            y += 1
+          }
+          if (c > 0) {
+            if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32)
+          }
+        }
+        v += 1
+      }
+      u += 1
+    }
+    (hi, lo)
+  }
+
   /** q162 — NEAR-dup image pairs by banded hamming join over dHashes: the
     * retrieval step q161's exact buckets cannot do (a one-bit gradient
     * change scatters an exact bucket). 64-bit hashes split into 8 byte
@@ -1330,6 +1419,75 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("format"), col("channels"), col("bits"))
   }
 
+  /** 2:1 box-filter decimation stats over a PCM byte stream (q172's sample
+    * conventions): out[k] = (s[2k] + s[2k+1]) >> 1 on SIGNED samples — the
+    * arithmetic shift FLOORS where an integer `/` would truncate toward
+    * zero on negatives. Returns (nOut, Σout, Σ|out|, max|out|,
+    * Σ(−1)^k·out[k]) — the last is the output-Nyquist audit bin. */
+  private[graft] def decimate2Stats(data: Array[Byte], bits: Int)
+      : (Long, Long, Long, Long, Long) = {
+    def sample(k: Int): Long =
+      if (bits == 8) (data(k) & 0xFF) - 128L
+      else ((data(2 * k) & 0xFF) | (data(2 * k + 1) << 8)).toShort.toLong
+    val nIn = if (bits == 8) data.length else data.length / 2
+    val nOut = nIn / 2
+    var k = 0; var sumOut = 0L; var absOut = 0L; var peak = 0L
+    var nyq = 0L
+    while (k < nOut) {
+      val o = (sample(2 * k) + sample(2 * k + 1)) >> 1
+      sumOut += o
+      val a = math.abs(o)
+      absOut += a; if (a > peak) peak = a
+      nyq += (if ((k & 1) == 0) o else -o)
+      k += 1
+    }
+    (nOut.toLong, sumOut, absOut, peak, nyq)
+  }
+
+  /** q215 — AUDIO RESAMPLE (anti-aliased 2:1 decimation): the sample-rate
+    * normalization every speech pipeline runs before feature extraction
+    * (a 16 kHz model wants every blob at 16 kHz) — here the exact-integer
+    * half: decimate by 2 through a 2-tap box filter,
+    * `out[k] = (s[2k] + s[2k+1]) >> 1` over SIGNED samples. The arithmetic
+    * shift FLOORS; an integer `/` truncates toward zero on negatives —
+    * Java's `/` and even DuckDB's `//` both truncate (measured) — the
+    * classic resampler bug, so the oracle replays the shift itself. The box filter is the minimal anti-alias: averaging
+    * adjacent samples nulls the INPUT's Nyquist line exactly before the
+    * drop; what decimation then folds onto the OUTPUT's Nyquist rail is
+    * the input's rate/4 line (q207's quarter bin), so the per-blob
+    * alternating sum `nyq = Σ(−1)^k out[k]` is the aliasing audit a
+    * resampler ships next to the data. Samples follow q172's conventions
+    * (8-bit unsigned-around-128, 16-bit
+    * signed LE, channels flattened); per-blob work is one map-side fold
+    * over [[WavCodec.decodePcm]]'s real chunk walk; the exchange carries
+    * only the (format, channels, bits) rollup. */
+  val q215AudioResample: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val payload = synthesizeWav(id, text)
+        WavCodec.decodePcm(payload) match {
+          case Some((_, ch, bits, data)) =>
+            val (nOut, sumOut, absOut, peak, nyq) =
+              decimate2Stats(data, bits.toInt)
+            ("wav", ch, bits, nOut, sumOut, absOut, peak, nyq)
+          case None => ("raw", -1L, -1L, 0L, 0L, 0L, 0L, 0L)
+        }
+      })
+      .toDF("format", "channels", "bits", "n_out", "sum_out", "abs_out",
+        "peak", "nyq")
+      .groupBy(col("format"), col("channels"), col("bits"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("n_out")).as("out_samples_sum"),
+        sum(col("sum_out")).as("out_sum_total"),
+        sum(col("abs_out")).as("out_abs_sum"),
+        max(col("peak")).as("out_peak_max"),
+        sum(abs(col("nyq"))).as("ny_out_sum"))
+      .orderBy(col("format"), col("channels"), col("bits"))
+  }
+
   /** q173 — IMAGE NORMALIZATION STATISTICS: the dataset mean/variance
     * constants every vision-training pipeline computes before normalizing
     * inputs — per image size, pixel count, Σpixel and Σpixel² across the
@@ -1411,10 +1569,12 @@ object MultimodalQueries extends QueryModule {
     "q185_jpeg_decode" -> q185JpegDecode,
     "q207_tone_power" -> q207TonePower,
     "q210_silence_trim" -> q210SilenceTrim,
+    "q215_audio_resample" -> q215AudioResample,
     "q173_image_stats" -> q173ImageStats,
     "q172_audio_levels" -> q172AudioLevels,
     "q65_multimodal" -> q65Multimodal,
     "q161_image_dhash" -> q161ImageDhash,
+    "q214_image_whash" -> q214ImageWhash,
     "q162_image_hamming_join" -> q162ImageHammingJoin,
     "q67_frame_sample" -> q67FrameSample,
     "q77_resize" -> q77Resize,
@@ -1467,6 +1627,52 @@ object MultimodalQueries extends QueryModule {
         CAST(sum(px_sum) AS BIGINT) AS px_sum,
         CAST(sum(px_sumsq) AS BIGINT) AS px_sumsq
       FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    // 2:1 box-filter decimation replayed over the signed synthesis samples;
+    // both engines halve via the arithmetic shift `>> 1` (floor) — DuckDB's
+    // `//` TRUNCATES toward zero on integer negatives (measured: −33//2 =
+    // −16, −33>>1 = −17), the exact resampler bug this query pins, so the
+    // oracle must shift too or it mismatches on the first negative odd sum
+    "q215_audio_resample" -> """
+      WITH w AS (SELECT doc_id, text,
+          CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS BIGINT) AS bits,
+          strlen(text) // (CAST(doc_id % 2 + 1 AS BIGINT) * CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)
+            * (CAST(doc_id % 2 + 1 AS BIGINT) * CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END) AS m
+        FROM documents WHERE doc_id % 6 <> 5),
+      b AS (
+        SELECT doc_id, channels, bits,
+          [ascii(substr(text, i, 1)) - 128 for i in range(1, m + 1)] AS amps
+        FROM w WHERE bits = 8
+        UNION ALL
+        SELECT doc_id, channels, bits,
+          [ascii(substr(text, 2*j - 1, 1)) + 256 * ascii(substr(text, 2*j, 1))
+            for j in range(1, m // 2 + 1)] AS amps
+        FROM w WHERE bits = 16),
+      o AS (
+        SELECT doc_id, channels, bits,
+          [(amps[2*k - 1] + amps[2*k]) >> 1 for k in range(1, len(amps) // 2 + 1)] AS outs
+        FROM b),
+      st AS (
+        SELECT 'wav' AS format, channels, bits,
+          CAST(len(outs) AS BIGINT) AS n_out,
+          CAST(coalesce(list_sum(outs), 0) AS BIGINT) AS sum_out,
+          CAST(coalesce(list_sum([abs(x) for x in outs]), 0) AS BIGINT) AS abs_out,
+          CAST(coalesce(list_max([abs(x) for x in outs]), 0) AS BIGINT) AS peak,
+          CAST(abs(coalesce(list_sum([outs[j] * CASE WHEN (j - 1) % 2 = 0 THEN 1 ELSE -1 END
+            for j in range(1, len(outs) + 1)]), 0)) AS BIGINT) AS nyq
+        FROM o
+        UNION ALL
+        SELECT 'raw', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM documents WHERE doc_id % 6 = 5)
+      SELECT format, channels, bits, count(*) AS n_blobs,
+        CAST(sum(n_out) AS BIGINT) AS out_samples_sum,
+        CAST(sum(sum_out) AS BIGINT) AS out_sum_total,
+        CAST(sum(abs_out) AS BIGINT) AS out_abs_sum,
+        CAST(max(peak) AS BIGINT) AS out_peak_max,
+        CAST(sum(nyq) AS BIGINT) AS ny_out_sum
+      FROM st GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "q210_silence_trim" -> """
       WITH w AS (SELECT doc_id, text,
           CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
@@ -1585,6 +1791,44 @@ object MultimodalQueries extends QueryModule {
         CAST(max(peak) AS BIGINT) AS peak_max,
         CAST(sum(abs_sum) AS BIGINT) AS abs_sum_total
       FROM st GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // WHT synthesis arithmetic replayed symbolically: nearest-resize source
+    // coords sx = x·w//16, sy = y·h//16, the q162 pixel fn (edge re-texture
+    // included), and the ±1 basis via bit_count parity — all exact integers,
+    // so a defilter slip, resize off-by-one, or sign error in the transform
+    // mismatches every bucket at once
+    "q214_image_whash" -> """
+      WITH docs0 AS (SELECT doc_id FROM documents),
+      docs AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
+               WHEN doc_id % 10 = 5 THEN doc_id - 3 ELSE doc_id END AS base,
+          CASE WHEN doc_id % 10 = 1 THEN 2 ELSE 0 END AS off,
+          CASE WHEN doc_id % 10 = 5 THEN 1 ELSE 0 END AS edge
+        FROM docs0),
+      dims AS (SELECT *, base % 24 + 8 AS w, base % 16 + 8 AS h FROM docs),
+      co AS (
+        SELECT d.doc_id, u.u, v.v,
+          list_sum(flatten(
+            [[(CASE WHEN d.edge = 1 AND (x * d.w // 16) >= d.w - 2
+                THEN ((x * d.w // 16) * 31 + (y * d.h // 16) * 17 + d.base * 7) % 120 + d.off
+                ELSE ((x * d.w // 16) * 31 + (y * d.h // 16) * 17 + d.base * 7) % 250 + d.off END)
+              * (CASE WHEN (bit_count(x & u.u) + bit_count(y & v.v)) % 2 = 0
+                 THEN 1 ELSE -1 END)
+              for x in range(0, 16)] for y in range(0, 16)])) AS c
+        FROM dims d, generate_series(0, 7) u(u), generate_series(0, 7) v(v)
+        WHERE u.u * 8 + v.v > 0),
+      hashes AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN c > 0 AND u * 8 + v >= 32
+            THEN (CAST(1 AS BIGINT) << (u * 8 + v - 32)) ELSE 0 END) AS BIGINT) AS whash_hi,
+          CAST(sum(CASE WHEN c > 0 AND u * 8 + v < 32
+            THEN (CAST(1 AS BIGINT) << (u * 8 + v)) ELSE 0 END) AS BIGINT) AS whash_lo
+        FROM co GROUP BY 1)
+      SELECT whash_hi, whash_lo, count(*) AS n_imgs,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        CAST(sum(doc_id) AS BIGINT) AS doc_sum
+      FROM hashes GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY min_doc""",
     // dHash synthesis arithmetic replayed symbolically: nearest-resize
     // source coords sx = x·w//9, sy = y·h//8, pixel = (sx·31 + sy·17 +
     // base·7) % 250 + brightness offset — a decoder, defilter, or resize

@@ -1423,7 +1423,88 @@ object SimilarityQueries extends QueryModule {
       .orderBy(col("i"))
   }
 
+  /** q216 — ISOTONIC CALIBRATION (pool-adjacent-violators) of the held-out
+    * reliability table: the step a filter model takes between q205's
+    * operating curve and production use — raw margins are NOT
+    * probabilities, so the pipeline bins the held-out margins, reads the
+    * empirical positive rate per bin, and fits the best monotone
+    * (isotonic) rate curve; the fitted value is the calibrated score a
+    * corpus-filter threshold actually means. PAV is computed EXACTLY via
+    * its minimax characterization fit_i = max_{j≤i} min_{k≥i} A(j,k)
+    * (A = pooled positive rate over bins j..k) — on B = 16 bins that is a
+    * bounded B³ enumeration evaluated in ONE projection over the collected
+    * bin array (nested transform/aggregate HOFs), a shape identical at any
+    * corpus size, instead of the sequential pool-merge loop that does not
+    * distribute. All rates are floor-ppm integers; `gap_mass =
+    * |raw − iso|·n` is the monotonicity-violation mass a drifting
+    * classifier alarms on.
+    *
+    * Shape at 100 TB: training is q203's dimension-bounded loop; scoring
+    * the held-out sample is map-side under the broadcast model; binning
+    * ranks only the bounded eval sample (q205's declared caveat); the PAV
+    * enumeration touches a single 16-element array — no corpus exchange,
+    * no self-joins (each self-join would recompute the training upstream).
+    * Ties break on vec_id so both engines bin identically. */
+  val q216CalibrationIso: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    val all = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+      expr("CASE WHEN label <= 4 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END").as("y"),
+      expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 100) AS BIGINT))").as("x"))
+    val model = perceptronFit(
+      all.filter(col("vec_id") % 2 === 0).select(col("y"), col("x")), rounds = 4)
+    isotonicCalibration(model, all.filter(col("vec_id") % 2 === 1))
+  }
+
+  /** q216's fit: 16 reliability-table rows with the exact PAV (minimax)
+    * isotonic rate, from a 1-row (w, b) model over a held-out frame.
+    * Bins are explicit rank arithmetic `(rnk−1)·B DIV n + 1` (ascending
+    * margin), not ntile, so both engines bin identically by construction. */
+  private[graft] def isotonicCalibration(model: DataFrame, held: DataFrame): DataFrame = {
+    val scored = held.crossJoin(broadcast(model.select(col("w"), col("b"))))
+      .select(col("vec_id"), col("y"), (expr("dot_long(x, w)") + col("b")).as("margin"))
+    val ord = Window.orderBy(col("margin"), col("vec_id"))
+    // total count rides the SAME single-partition window stage as the rank
+    // (a separate count().crossJoin would re-run the scoring + training
+    // lineage a second time), keeping the whole fit one linear pass
+    val withN = scored
+      .select(col("y"), col("margin"), row_number().over(ord).cast("long").as("rnk"),
+        count(lit(1)).over(ord.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
+    val bins = withN
+      .select(col("y"), col("margin"), expr("(rnk - 1) * 16 DIV n + 1").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"),
+        min(col("margin")).as("margin_lo"),
+        max(col("margin")).as("margin_hi"))
+    // the whole B³ minimax runs in ONE projection over the collected
+    // 16-element bin array (A(j,k) = pooled floor-ppm rate over bins
+    // j..k via aggregate-over-slice) — no self-joins, so the expensive
+    // upstream (training + scoring + rank) is computed exactly once
+    bins
+      .agg(expr("array_sort(collect_list(struct(bin, n, n_pos, margin_lo, margin_hi)))")
+        .as("bs"))
+      .select(expr(
+        """transform(sequence(1, size(bs)), i ->
+          |  array_max(transform(sequence(1, i), j ->
+          |    array_min(transform(sequence(i, size(bs)), k ->
+          |      aggregate(slice(bs, j, k - j + 1),
+          |        named_struct('p', 0L, 'cnt', 0L),
+          |        (acc, x) -> named_struct('p', acc.p + x.n_pos,
+          |                                 'cnt', acc.cnt + x.n),
+          |        acc -> acc.p * 1000000 DIV acc.cnt)))))) """.stripMargin).as("iso"),
+        col("bs"))
+      .select(expr(
+        """inline(zip_with(bs, iso, (b, s) -> named_struct(
+          |  'bin', b.bin, 'n', b.n, 'n_pos', b.n_pos,
+          |  'margin_lo', b.margin_lo, 'margin_hi', b.margin_hi,
+          |  'raw_ppm', b.n_pos * 1000000 DIV b.n, 'iso_ppm', s,
+          |  'gap_mass', abs(b.n_pos * 1000000 DIV b.n - s) * b.n)))""".stripMargin))
+      .orderBy(col("bin"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q216_calibration_iso" -> q216CalibrationIso,
     "q205_threshold_curve" -> q205ThresholdCurve,
     "q204_classifier_eval" -> q204ClassifierEval,
     "q203_perceptron" -> q203Perceptron,
@@ -1982,6 +2063,51 @@ object SimilarityQueries extends QueryModule {
       SELECT CAST(t.j AS BIGINT) AS j, w4.w[t.j+1] AS w_cj, w4.b AS bias,
         s1.err AS err1, s2.err AS err2, s3.err AS err3, s4.err AS err4
       FROM range(64) t(j), w4, s1, s2, s3, s4 ORDER BY j""",
+    // the exact PAV fit replayed through its minimax characterization on
+    // the same rank-arithmetic bins: every rate is a floor-ppm integer, so
+    // a pooling or tie-break slip anywhere mismatches whole bins
+    "q216_calibration_iso" -> s"""
+      WITH e AS MATERIALIZED (
+        SELECT CASE WHEN label <= 4 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+          [CAST(round(CAST(v AS DOUBLE) * 100) AS BIGINT) for v in embedding] AS x
+        FROM embeddings WHERE vec_id % 2 = 0),
+      $duckPerceptron,
+      ev AS MATERIALIZED (
+        SELECT vec_id,
+          CASE WHEN label <= 4 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+          [CAST(round(CAST(v AS DOUBLE) * 100) AS BIGINT) for v in embedding] AS x
+        FROM embeddings WHERE vec_id % 2 = 1),
+      scd AS MATERIALIZED (
+        SELECT vec_id, y,
+          CAST(list_sum([x[i] * w[i] for i in range(1, 65)]) AS BIGINT) + b AS margin
+        FROM ev, w4),
+      rk AS (SELECT y, margin,
+          row_number() OVER (ORDER BY margin, vec_id) AS rnk,
+          count(*) OVER () AS n
+        FROM scd),
+      bins AS MATERIALIZED (
+        SELECT CAST((rnk - 1) * 16 // n + 1 AS BIGINT) AS bin,
+          count(*) AS n,
+          CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          CAST(min(margin) AS BIGINT) AS margin_lo,
+          CAST(max(margin) AS BIGINT) AS margin_hi
+        FROM rk GROUP BY 1),
+      ranges AS (
+        SELECT j.bin AS j, k.bin AS k,
+          CAST(sum(b.n_pos) * 1000000 // sum(b.n) AS BIGINT) AS a_ppm
+        FROM bins j, bins k, bins b
+        WHERE j.bin <= k.bin AND b.bin BETWEEN j.bin AND k.bin
+        GROUP BY 1, 2),
+      iso AS (
+        SELECT i, CAST(max(mn) AS BIGINT) AS iso_ppm FROM (
+          SELECT ib.bin AS i, r.j, min(r.a_ppm) AS mn
+          FROM bins ib JOIN ranges r ON r.j <= ib.bin AND r.k >= ib.bin
+          GROUP BY 1, 2)
+        GROUP BY 1)
+      SELECT b.bin, b.n, b.n_pos, b.margin_lo, b.margin_hi,
+        CAST(b.n_pos * 1000000 // b.n AS BIGINT) AS raw_ppm, iso.iso_ppm,
+        CAST(abs(b.n_pos * 1000000 // b.n - iso.iso_ppm) * b.n AS BIGINT) AS gap_mass
+      FROM bins b JOIN iso ON iso.i = b.bin ORDER BY b.bin""",
     "q205_threshold_curve" -> s"""
       WITH e AS MATERIALIZED (
         SELECT CASE WHEN label <= 4 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,

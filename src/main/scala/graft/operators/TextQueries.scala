@@ -68,6 +68,62 @@ object TextQueries extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** q213 — ENTROPY / COMPRESSIBILITY QUALITY GATES: the three
+    * information-theoretic filters corpus pipelines run beside q61's
+    * surface ratios — (1) character-unigram Shannon entropy (machine
+    * gibberish and single-char floods sit far below natural text),
+    * (2) type-token ratio (template spam repeats a tiny vocabulary), and
+    * (3) duplicate character-4-gram fraction, the cheapest gzip-ratio
+    * proxy (highly compressible text ≈ repeated substrings — the signal
+    * gzip-based filters pay a full Deflate pass for). Entropy is computed
+    * WITHOUT exploding characters: a fixed 27-letter alphabet (+ catch-all
+    * class) turns the histogram into 27 codegen'd replace/length passes
+    * per row, so the whole signal is map-side — no corpus-sized exchange,
+    * unlike a naive explode→groupBy(char) histogram that shuffles every
+    * character at 100 TB. Each entropy term is independently rounded to
+    * integer micro-nats BEFORE summing (per-term rounding kills
+    * sub-0.5-micro libm ULP drift between engines; the 28-term sum is then
+    * exact BIGINT in any order). TTR and dup-4-gram rates are exact
+    * integer ppm. Gates: h < 2.75 nats (low diversity) or dup-4-grams
+    * > 45% (boilerplate); per-source rollup carries counts, mass sums and
+    * a position-weighted checksum that pins per-doc values. Only the
+    * source-sized rollup exchanges. */
+  val q213EntropyQuality: Q = (s, dir) => {
+    val alphaChars = "abcdefghijklmnopqrstuvwxyz".toSeq.map(_.toString) :+ " "
+    val alphaSql = alphaChars.map(c => s"'$c'").mkString("array(", ", ", ")")
+    Tables.load(s, dir, "documents")
+      .filter(length(col("text")) >= 4)
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).cast("long").as("n"),
+        split(col("text"), " ").as("toks"))
+      .withColumn("cnts", expr(
+        s"transform($alphaSql, ch -> n - length(replace(text, ch, '')))"))
+      .withColumn("cnts2", expr(
+        "concat(cnts, array(n - aggregate(cnts, 0L, (a, x) -> a + x)))"))
+      .withColumn("h_micro", expr(
+        """aggregate(cnts2, 0L, (a, c) -> a + IF(c > 0,
+          |  CAST(round(-(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))
+          |    * 1000000, 0) AS BIGINT), 0L))""".stripMargin))
+      .withColumn("ttr_ppm", expr(
+        "CAST(size(array_distinct(toks)) AS BIGINT) * 1000000 DIV size(toks)"))
+      .withColumn("rep4_ppm", expr(
+        """(n - 3 - size(array_distinct(
+          |  transform(sequence(1, CAST(n AS INT) - 3), i -> substring(text, i, 4)))))
+          |  * 1000000 DIV (n - 3)""".stripMargin))
+      .withColumn("low_h", (col("h_micro") < 2750000L).cast("long"))
+      .withColumn("high_rep", (col("rep4_ppm") > 450000L).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("low_h")).as("n_low_entropy"),
+        sum(col("high_rep")).as("n_high_rep"),
+        sum(greatest(col("low_h"), col("high_rep"))).as("n_flagged"),
+        sum(col("h_micro")).as("h_sum"),
+        sum(col("ttr_ppm")).as("ttr_sum"),
+        sum(col("rep4_ppm")).as("rep4_sum"),
+        sum(col("h_micro") * (col("doc_id") % 97 + 1)).as("h_checksum"))
+      .orderBy(col("source"))
+  }
+
   /** q62 — token counting: whitespace tokens vs a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation). Per-doc counts. */
   val q62TokenCount: Q = (s, dir) =>
@@ -1408,6 +1464,7 @@ object TextQueries extends QueryModule {
     "q64_tfidf"       -> q64TfIdf,
     "q60_lang_id"     -> q60LangId,
     "q61_quality"     -> q61Quality,
+    "q213_entropy_quality" -> q213EntropyQuality,
     "q62_token_count" -> q62TokenCount,
     "q63_fingerprint" -> q63Fingerprint,
     "q70_decontaminate" -> q70Decontaminate,
@@ -1448,6 +1505,42 @@ object TextQueries extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    // per-class entropy terms rounded to micro-nats BEFORE the (then-exact
+    // BIGINT) 28-term sum — the same per-term discipline as the engine, so
+    // libm-vs-JVM ln ULP drift below 0.5 micro cancels identically
+    "q213_entropy_quality" -> {
+      val alphaSql = ("abcdefghijklmnopqrstuvwxyz".toSeq.map(_.toString) :+ " ")
+        .map(c => s"'$c'").mkString("[", ", ", "]")
+      s"""
+      WITH d AS (SELECT doc_id, source, text, strlen(text) AS n,
+          string_split(text, ' ') AS toks
+        FROM documents WHERE strlen(text) >= 4),
+      c AS (SELECT *, [n - strlen(replace(text, ch, '')) for ch in $alphaSql] AS cnts
+        FROM d),
+      c2 AS (SELECT *, list_append(cnts, n - list_sum(cnts)) AS cnts2 FROM c),
+      h AS (SELECT doc_id, source,
+          CAST(list_sum([CASE WHEN c > 0 THEN
+              CAST(round(-(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))
+                * 1000000, 0) AS BIGINT) ELSE 0 END for c in cnts2]) AS BIGINT) AS h_micro,
+          CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT) AS ttr_ppm,
+          CAST((n - 3 - len(list_distinct(
+              [substr(text, i, 4) for i in range(1, n - 2)])))
+            * 1000000 // (n - 3) AS BIGINT) AS rep4_ppm
+        FROM c2),
+      f AS (SELECT *,
+          CASE WHEN h_micro < 2750000 THEN 1 ELSE 0 END AS low_h,
+          CASE WHEN rep4_ppm > 450000 THEN 1 ELSE 0 END AS high_rep
+        FROM h)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(low_h) AS BIGINT) AS n_low_entropy,
+        CAST(sum(high_rep) AS BIGINT) AS n_high_rep,
+        CAST(sum(greatest(low_h, high_rep)) AS BIGINT) AS n_flagged,
+        CAST(sum(h_micro) AS BIGINT) AS h_sum,
+        CAST(sum(ttr_ppm) AS BIGINT) AS ttr_sum,
+        CAST(sum(rep4_ppm) AS BIGINT) AS rep4_sum,
+        CAST(sum(h_micro * (doc_id % 97 + 1)) AS BIGINT) AS h_checksum
+      FROM f GROUP BY source ORDER BY source"""
+    },
     "q212_vocab_build" -> """
       WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
       tok AS MATERIALIZED (SELECT doc_id, source, unnest(t) AS token FROM d),

@@ -628,4 +628,93 @@ class SimilarityMultimodalSpec extends SparkSpec {
       ((sdc * sdc, sre * sre + sim * sim, sny * sny)),
       "recurrence must equal the DFT sums on arbitrary samples")
   }
+
+  test("q214 WHT hash: brightness and gain invariance theorems, edge sensitivity") {
+    import graft.operators.MultimodalQueries.whash64
+    // pseudo-random 16×16 base tile (pixels 0..199, headroom for +k)
+    val base = Array.tabulate(256)(i => (((i * 2654435761L) % 200)).toByte)
+    val (hi0, lo0) = whash64(base)
+    // theorem 1: a global brightness shift perturbs ONLY C(0,0) — the
+    // excluded DC — because Σ(−1)^popcount(x&u) over x is 0 for u ≠ 0
+    for (k <- Seq(1, 7, 55)) {
+      val shifted = base.map(b => ((b & 0xFF) + k).toByte)
+      assert(whash64(shifted) == ((hi0, lo0)), s"brightness +$k must not move the hash")
+    }
+    // theorem 2: positive gain scales every coefficient, so every sign
+    // (and the hash) is unchanged
+    val gained = Array.tabulate(256)(i => (((i * 2654435761L) % 100) * 2).toByte)
+    val halfed = Array.tabulate(256)(i => (((i * 2654435761L) % 100)).toByte)
+    assert(whash64(gained) == whash64(halfed), "gain ×2 must not move the hash")
+    // sensitivity: re-texturing the last two columns flips low-sequency
+    // signs — the hash must move (that's what keeps edge variants OUT of
+    // the exact bucket and leaves them to a hamming join)
+    val edged = base.clone()
+    for (y <- 0 until 16; x <- 14 until 16)
+      edged(y * 16 + x) = (((x * 31 + y * 17) % 120)).toByte
+    assert(whash64(edged) != ((hi0, lo0)), "an edge re-texture must move the hash")
+    // exactness: C > 0 strictly — the all-zero tile (every C = 0) hashes to 0
+    assert(whash64(Array.fill(256)(0.toByte)) == ((0L, 0L)), "flat tile hashes to 0")
+  }
+
+  test("q215 decimation: closed forms on planted tones and the floor-shift law") {
+    import graft.operators.MultimodalQueries.decimate2Stats
+    val n = 64; val a = 40
+    // input-Nyquist tone (+a,−a,...): the box filter nulls it exactly —
+    // every output sample is 0 (the anti-alias ran BEFORE the drop)
+    val nyIn = Array.tabulate(n)(i => (128 + (if (i % 2 == 0) a else -a)).toByte)
+    assert(decimate2Stats(nyIn, 8) == ((n.toLong / 2, 0L, 0L, 0L, 0L)),
+      "box filter must null the input-Nyquist line")
+    // input rate/4 tone (+a,0,−a,0,...): decimation folds it onto the
+    // OUTPUT Nyquist rail — pairs average to ±a/2, alternating
+    val q4In = Array.tabulate(n)(i =>
+      (128 + (i % 4 match { case 0 => a; case 2 => -a; case _ => 0 })).toByte)
+    val half = a / 2
+    assert(decimate2Stats(q4In, 8) ==
+      ((n.toLong / 2, 0L, n.toLong / 2 * half, half.toLong, n.toLong / 2 * half)),
+      "rate/4 aliases onto the output-Nyquist audit bin")
+    // floor law: (−3 + −4) >> 1 = −4, where truncation would say −3 —
+    // 16-bit signed LE so the negative path is really exercised
+    def le16(v: Int): Seq[Byte] = Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val negOdd = Seq(-3, -4).flatMap(le16).toArray
+    assert(decimate2Stats(negOdd, 16) == ((1L, -4L, 4L, 4L, -4L)),
+      "negative odd sums must floor (arithmetic shift), not truncate")
+    // odd input length drops the unpaired tail sample
+    val odd = Array.tabulate(5)(i => (128 + i).toByte)
+    assert(decimate2Stats(odd, 8)._1 == 2L, "odd tail sample is dropped")
+  }
+
+  test("q216 isotonic fit is the exact PAV solution on a crafted reliability table") {
+    import graft.operators.SimilarityQueries
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    // crafted model: w = e1 (margin = x(0)), b = 0 — margins equal the
+    // first feature, so bins are fully controlled by the fixture
+    val model = Seq((Array.fill(64)(0L).updated(0, 1L), 0L)).toDF("w", "b")
+    // 64 rows: margin = i, label pattern planted so raw rates per 16-bin
+    // table are [1, 0, 1/4, ...] — non-monotone head that PAV must pool
+    val held = (0 until 64).map { i =>
+      val y = if (i < 4) 1L            // bin 1: rate 1
+      else if (i < 8) -1L              // bin 2: rate 0
+      else if (i < 16) { if (i % 4 == 0) 1L else -1L } // bins 3-4: rate 1/4
+      else { if (i % 2 == 0) 1L else -1L }             // bins 5-16: rate 1/2
+      (i.toLong, y, Array.fill(64)(0L).updated(0, i.toLong))
+    }.toDF("vec_id", "y", "x")
+    val out = SimilarityQueries.isotonicCalibration(model, held)
+      .orderBy("bin").collect()
+    assert(out.length == 16)
+    val iso = out.map(_.getAs[Long]("iso_ppm")).toSeq
+    assert(iso == iso.sorted, "isotonic fit must be nondecreasing")
+    // hand PAV: rates [1, 0, .25, .25, .5 ×12] with equal weights 4 —
+    // pooling cascades over the non-monotone head: {1,0} → .5, still above
+    // .25 → {1,0,.25} = 5/12, still above .25 → {1,0,.25,.25} = 6/16 =
+    // .375 < .5 so the pool closes: fit = [375000 ×4, 500000 ×12]
+    assert(iso.take(4).forall(_ == 375000L) && iso.drop(4).forall(_ == 500000L),
+      s"exact PAV pooling: got $iso")
+    // pooling preserves order only, not values: raw stays as planted
+    val raw = out.map(_.getAs[Long]("raw_ppm")).toSeq
+    assert(raw.take(2) == Seq(1000000L, 0L) && raw.slice(2, 4) == Seq(250000L, 250000L))
+    // gap mass is zero exactly where raw already equals the fit
+    val gap = out.map(_.getAs[Long]("gap_mass")).toSeq
+    assert(gap.drop(4).forall(_ == 0L), "monotone tail has zero violation mass")
+  }
 }

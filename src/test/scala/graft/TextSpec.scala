@@ -9,6 +9,50 @@ import org.apache.spark.sql.functions._
   * posture (broadcast bench side) is asserted on the physical plan. */
 class TextSpec extends SparkSpec {
 
+  test("q213 entropy/TTR/rep4 gates equal an independent per-doc reference") {
+    import graft.operators.TextQueries
+    val alphabet = ("abcdefghijklmnopqrstuvwxyz".toSeq.map(_.toString) :+ " ")
+    // independent reference: plain-Scala per-doc signals with Spark's own
+    // rounding discipline (BigDecimal HALF_UP, like round(x, 0))
+    def microRound(d: Double): Long =
+      BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._3.length >= 4)
+    case class Sig(src: String, h: Long, ttr: Long, rep4: Long, docId: Long)
+    val ref = docs.map { case (id, src, text) =>
+      val n = text.length.toLong
+      val cnts = alphabet.map(ch => text.count(_.toString == ch).toLong)
+      val cnts2 = cnts :+ (n - cnts.sum)
+      val h = cnts2.map { c =>
+        if (c > 0) microRound(-(c.toDouble / n) * math.log(c.toDouble / n) * 1e6)
+        else 0L
+      }.sum
+      val toks = text.split(" ", -1)
+      val ttr = toks.distinct.length.toLong * 1000000L / toks.length
+      val grams = (0 to text.length - 4).map(i => text.substring(i, i + 4))
+      val rep4 = (n - 3 - grams.distinct.length) * 1000000L / (n - 3)
+      Sig(src, h, ttr, rep4, id)
+    }
+    val expected = ref.groupBy(_.src).map { case (src, xs) =>
+      (src, xs.length.toLong,
+        xs.count(_.h < 2750000L).toLong,
+        xs.count(_.rep4 > 450000L).toLong,
+        xs.count(x => x.h < 2750000L || x.rep4 > 450000L).toLong,
+        xs.map(_.h).sum, xs.map(_.ttr).sum, xs.map(_.rep4).sum,
+        xs.map(x => x.h * (x.docId % 97 + 1)).sum)
+    }.toSeq.sortBy(_._1)
+    val got = TextQueries.q213EntropyQuality(spark, sfDir).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+    assert(got == expected, "engine signals must equal the plain-Scala reference")
+    // and the gates must genuinely select (a threshold nobody crosses
+    // tests nothing)
+    assert(expected.map(_._5).sum > 0, "some docs must be flagged at sf0.001")
+    assert(expected.map(_._5).sum < expected.map(_._2).sum, "not all docs flagged")
+  }
+
   test("q186 packing equals a sequential greedy reference regardless of partitioning") {
     // independent reference: greedy close-when-overflow per shard in
     // doc_id order — q186 must reproduce it even though Spark scatters the
