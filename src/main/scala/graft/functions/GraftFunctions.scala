@@ -12,7 +12,8 @@ object GraftFunctions {
     "minhash_sig" -> (es => MinHashSig(es(0), es(1))),
     "chargram_minhash" -> (es => ChargramMinHash(es(0), es(1), es(2))),
     "hamming_str" -> (es => HammingStr(es(0), es(1))),
-    "md5_hi60" -> (es => Md5Hi60(es(0))))
+    "md5_hi60" -> (es => Md5Hi60(es(0))),
+    "char_class_counts" -> (es => CharClassCounts(es(0))))
 
   /** Idempotent per-session registration; queries call this so they work on
     * any SparkSession, extension-injected or not. */
@@ -51,6 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("md5_hi60"),
       new ExpressionInfo(classOf[Md5Hi60].getName, "md5_hi60"),
       (es: Seq[Expression]) => Md5Hi60(es(0))))
+    ext.injectFunction((
+      FunctionIdentifier("char_class_counts"),
+      new ExpressionInfo(classOf[CharClassCounts].getName, "char_class_counts"),
+      (es: Seq[Expression]) => CharClassCounts(es(0))))
     // whole-operator tier: plan AsOfJoinPlan nodes (graft.plans.AsOf) —
     // injection here makes the operator available on any session built with
     // this extension class; AsOf.ensureStrategy stays as the idempotent

@@ -1565,7 +1565,66 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** q217 — BLUR / LOW-TEXTURE DETECTION (variance of Laplacian): the
+    * sharpness gate every vision-corpus pipeline runs before training
+    * (OpenCV's classic `cv2.Laplacian(img).var()` move) — per image, the
+    * 4-neighbour Laplacian L = 4p − p_left − p_right − p_up − p_down over
+    * interior pixels of the REAL decoded PNG (chunk grammar → Inflater →
+    * defilter, the q101/q173 path), then the variance in EXACT integers:
+    * `var_scaled = m·ΣL² − (ΣL)²` compared against `T·m²` so no division
+    * ever happens (T = 1000 pixel²; textured fixture images measure
+    * 25k–57k, the planted blurs 0). The fixture plants BOTH failure
+    * modes: doc_id ≡ 7 (mod 10) renders a FLAT fill and doc_id ≡ 3
+    * (mod 10) a LINEAR GRADIENT — the gradient has large intensity
+    * variance yet exactly zero Laplacian (second difference of a linear
+    * function), which is precisely why blur detection keys on second
+    * differences and not on intensity spread. Map-side decode + fold per
+    * blob; the exchange carries only the (w, h) rollup; the oracle
+    * replays pixel fn ∘ Laplacian ∘ variance symbolically. */
+  val q217BlurDetect: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (id % 24 + 8).toInt; val h = (id % 16 + 8).toInt
+        val png = PngPixelCodec.encode(w, h, 1, (x, y, _) => {
+          if (id % 10 == 7) ((id * 7) % 250).toInt
+          else if (id % 10 == 3) (x + y + (id % 190)).toInt
+          else (((x.toLong * 31 + y * 17 + id * 7) % 250)).toInt
+        })
+        PngPixelCodec.decode(png) match {
+          case Some((dw, dh, _, px)) =>
+            def p(x: Int, y: Int): Long = px(y * dw + x) & 0xFF
+            var sl = 0L; var sl2 = 0L
+            var y = 1
+            while (y < dh - 1) {
+              var x = 1
+              while (x < dw - 1) {
+                val l = 4 * p(x, y) - p(x - 1, y) - p(x + 1, y) -
+                  p(x, y - 1) - p(x, y + 1)
+                sl += l; sl2 += l * l
+                x += 1
+              }
+              y += 1
+            }
+            val m = (dw - 2).toLong * (dh - 2)
+            val varScaled = m * sl2 - sl * sl
+            (id, dw.toLong, dh.toLong, sl, sl2,
+              if (varScaled < 1000L * m * m) 1L else 0L)
+          case None => (id, -1L, -1L, 0L, 0L, 0L)
+        }
+      })
+      .toDF("doc_id", "w", "h", "lap_sum", "lap_sum2", "blurry")
+      .groupBy(col("w"), col("h"))
+      .agg(count(lit(1)).as("n_imgs"),
+        sum(col("blurry")).as("n_blurry"),
+        sum(col("lap_sum")).as("lap_sum_total"),
+        sum(col("lap_sum2")).as("lap_sum2_total"))
+      .orderBy(col("w"), col("h"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q217_blur_detect" -> q217BlurDetect,
     "q185_jpeg_decode" -> q185JpegDecode,
     "q207_tone_power" -> q207TonePower,
     "q210_silence_trim" -> q210SilenceTrim,
@@ -1791,6 +1850,34 @@ object MultimodalQueries extends QueryModule {
         CAST(max(peak) AS BIGINT) AS peak_max,
         CAST(sum(abs_sum) AS BIGINT) AS abs_sum_total
       FROM st GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // Laplacian variance replayed symbolically over the synthesis pixels:
+    // interior 4-neighbour second differences, the exact-integer variance
+    // m·ΣL² − (ΣL)² against T·m², flat/gradient plants landing at exactly 0
+    "q217_blur_detect" -> {
+      def pix(xe: String, ye: String) =
+        s"(CASE WHEN doc_id % 10 = 7 THEN (doc_id*7) % 250 " +
+          s"WHEN doc_id % 10 = 3 THEN ($xe) + ($ye) + doc_id % 190 " +
+          s"ELSE (($xe)*31 + ($ye)*17 + doc_id*7) % 250 END)"
+      s"""
+      WITH dims AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+        FROM documents),
+      l AS (SELECT doc_id, w, h,
+          flatten([[4*${pix("x", "y")} - ${pix("x-1", "y")} - ${pix("x+1", "y")}
+                    - ${pix("x", "y-1")} - ${pix("x", "y+1")}
+            for x in range(1, w - 1)] for y in range(1, h - 1)]) AS ls
+        FROM dims),
+      st AS (SELECT doc_id, w, h, CAST((w - 2) * (h - 2) AS BIGINT) AS m,
+          CAST(list_sum(ls) AS BIGINT) AS sl,
+          CAST(list_sum([v * v for v in ls]) AS BIGINT) AS sl2
+        FROM l)
+      SELECT CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        count(*) AS n_imgs,
+        CAST(sum(CASE WHEN m * sl2 - sl * sl < 1000 * m * m THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_blurry,
+        CAST(sum(sl) AS BIGINT) AS lap_sum_total,
+        CAST(sum(sl2) AS BIGINT) AS lap_sum2_total
+      FROM st GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
     // WHT synthesis arithmetic replayed symbolically: nearest-resize source
     // coords sx = x·w//16, sy = y·h//16, the q162 pixel fn (edge re-texture
     // included), and the ±1 basis via bit_count parity — all exact integers,

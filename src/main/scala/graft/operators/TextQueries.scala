@@ -76,11 +76,14 @@ object TextQueries extends QueryModule {
     * (3) duplicate character-4-gram fraction, the cheapest gzip-ratio
     * proxy (highly compressible text ≈ repeated substrings — the signal
     * gzip-based filters pay a full Deflate pass for). Entropy is computed
-    * WITHOUT exploding characters: a fixed 27-letter alphabet (+ catch-all
-    * class) turns the histogram into 27 codegen'd replace/length passes
-    * per row, so the whole signal is map-side — no corpus-sized exchange,
-    * unlike a naive explode→groupBy(char) histogram that shuffles every
-    * character at 100 TB. Each entropy term is independently rounded to
+    * WITHOUT exploding characters: the native codegen'd
+    * [[graft.functions.CharClassCounts]] classifies every byte in ONE pass
+    * into the fixed 27-letter alphabet + catch-all class (the 27-replace
+    * formulation it supersedes re-scans the text 27×; an
+    * explode→groupBy(char) histogram would shuffle every character at
+    * 100 TB — the DuckDB oracle keeps the replace formulation, so the two
+    * independent histograms must agree). Each entropy term is independently
+    * rounded to
     * integer micro-nats BEFORE summing (per-term rounding kills
     * sub-0.5-micro libm ULP drift between engines; the 28-term sum is then
     * exact BIGINT in any order). TTR and dup-4-gram rates are exact
@@ -88,18 +91,20 @@ object TextQueries extends QueryModule {
     * > 45% (boilerplate); per-source rollup carries counts, mass sums and
     * a position-weighted checksum that pins per-doc values. Only the
     * source-sized rollup exchanges. */
-  val q213EntropyQuality: Q = (s, dir) => {
-    val alphaChars = "abcdefghijklmnopqrstuvwxyz".toSeq.map(_.toString) :+ " "
-    val alphaSql = alphaChars.map(c => s"'$c'").mkString("array(", ", ", ")")
-    Tables.load(s, dir, "documents")
+  /** q213's per-doc signal engine, shared VERBATIM with the streaming twin
+    * ([[graft.streaming.StreamOps.qualityGateStream]]) so stream and batch
+    * gates are bit-identical: per (doc_id, source, text) row, the 28-class
+    * histogram (one [[graft.functions.CharClassCounts]] pass), micro-nat
+    * entropy, type-token ratio, dup-4-gram ppm, and both gate flags.
+    * Purely map-side — safe inside any micro-batch. */
+  private[graft] def entropySignals(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
       .filter(length(col("text")) >= 4)
       .select(col("doc_id"), col("source"), col("text"),
         length(col("text")).cast("long").as("n"),
         split(col("text"), " ").as("toks"))
-      .withColumn("cnts", expr(
-        s"transform($alphaSql, ch -> n - length(replace(text, ch, '')))"))
-      .withColumn("cnts2", expr(
-        "concat(cnts, array(n - aggregate(cnts, 0L, (a, x) -> a + x)))"))
+      .withColumn("cnts2", expr("char_class_counts(text)"))
       .withColumn("h_micro", expr(
         """aggregate(cnts2, 0L, (a, c) -> a + IF(c > 0,
           |  CAST(round(-(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))
@@ -112,6 +117,13 @@ object TextQueries extends QueryModule {
           |  * 1000000 DIV (n - 3)""".stripMargin))
       .withColumn("low_h", (col("h_micro") < 2750000L).cast("long"))
       .withColumn("high_rep", (col("rep4_ppm") > 450000L).cast("long"))
+      .select(col("doc_id"), col("source"), col("h_micro"), col("ttr_ppm"),
+        col("rep4_ppm"), col("low_h"), col("high_rep"))
+  }
+
+  val q213EntropyQuality: Q = (s, dir) => {
+    entropySignals(Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("low_h")).as("n_low_entropy"),

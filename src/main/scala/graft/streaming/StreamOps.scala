@@ -538,6 +538,28 @@ object StreamOps {
       ()
     }.start()
 
+  /** STREAMING quality gates (q213's twin — the stateless member with no
+    * store at all: the signals are pure per-row functions, so this is the
+    * simplest shape in the stored-model-scorer family): each micro-batch
+    * of (doc_id, source, text) documents computes the per-doc
+    * entropy/TTR/dup-4-gram signals and gate flags —
+    * [[graft.operators.TextQueries.entropySignals]] verbatim, so stream
+    * and batch gates are bit-identical — and lands the gated feed under
+    * its own `ingest_batch` partition (dynamic overwrite absorbs
+    * at-least-once replays). Downstream consumers read the flags as a
+    * keep/drop feed; the batch q213 rollup equals a groupBy over the
+    * union of all ingested partitions because every signal is per-doc. */
+  def qualityGateStream(docs: DataFrame, gatesPath: String,
+      batchIdBase: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.TextQueries.entropySignals(
+          batch.select(col("doc_id"), col("source"), col("text")))
+        .withColumn("ingest_batch", lit(batchIdBase + batchId))
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .option("partitionOverwriteMode", "dynamic").parquet(gatesPath)
+      ()
+    }.start()
+
   /** Serve the cumulative per-source OOV audit from the streamed partial
     * store: sum the integer masses, recompute the ppm once — equal to the
     * batch audit over the union of all ingested batches. */

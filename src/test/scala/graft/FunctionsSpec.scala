@@ -220,4 +220,40 @@ class FunctionsSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("SELECT dot_long(array('x'), array(1L))").collect())
     assert(e.getMessage.toLowerCase.contains("dot_long"))
   }
+
+  test("char_class_counts equals the 27-replace formulation, unicode counted once") {
+    graft.functions.GraftFunctions.register(spark)
+    val alphaSql = ("abcdefghijklmnopqrstuvwxyz".toSeq.map(_.toString) :+ " ")
+      .map(c => s"'$c'").mkString("array(", ", ", ")")
+    // corpus texts + crafted edges: empty, uppercase, digits, multi-byte
+    // unicode (each non-alphabet CODE POINT must count exactly once as
+    // "other" — a byte-counting bug would count ü/£ twice, 😀 four times)
+    val docs = graft.engine.Tables.load(spark, sfDir, "documents")
+      .selectExpr("text").limit(50)
+      .union(spark.sql(
+        "SELECT '' UNION ALL SELECT 'ABC xyz 123' UNION ALL " +
+        "SELECT 'aü£b 😀 z'"))
+    val rows = docs.selectExpr(
+        "char_class_counts(text) AS fast",
+        s"""concat(
+           |  transform($alphaSql, ch ->
+           |    CAST(length(text) - length(replace(text, ch, '')) AS BIGINT)),
+           |  array(CAST(length(text) AS BIGINT) - aggregate(
+           |    transform($alphaSql, ch ->
+           |      CAST(length(text) - length(replace(text, ch, '')) AS BIGINT)),
+           |    0L, (a, x) -> a + x))) AS slow""".stripMargin)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"mismatch: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+    }
+    // the unicode row: 'a','b','z' + 2 spaces classified; ü, £, 😀 → 3 others
+    val uni = spark.sql("SELECT char_class_counts('aü£b 😀 z') AS c")
+      .collect().head.getSeq[Long](0)
+    assert(uni(0) == 1 && uni(1) == 1 && uni(25) == 1 && uni(26) == 2 && uni(27) == 3,
+      s"unicode classes: $uni")
+    // null propagates
+    assert(spark.sql("SELECT char_class_counts(CAST(NULL AS STRING))")
+      .collect().head.isNullAt(0))
+  }
 }

@@ -683,6 +683,37 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(decimate2Stats(odd, 8)._1 == 2L, "odd tail sample is dropped")
   }
 
+  test("q217 Laplacian variance: zero on flat AND gradient tiles, high on texture") {
+    import graft.operators.PngPixelCodec
+    def varScaled(fn: (Int, Int) => Int, w: Int, h: Int): (Long, Long) = {
+      val png = PngPixelCodec.encode(w, h, 1, (x, y, _) => fn(x, y))
+      val Some((dw, dh, _, px)) = PngPixelCodec.decode(png)
+      def p(x: Int, y: Int): Long = px(y * dw + x) & 0xFF
+      var sl = 0L; var sl2 = 0L
+      for (y <- 1 until dh - 1; x <- 1 until dw - 1) {
+        val l = 4 * p(x, y) - p(x - 1, y) - p(x + 1, y) - p(x, y - 1) - p(x, y + 1)
+        sl += l; sl2 += l * l
+      }
+      val m = (dw - 2).toLong * (dh - 2)
+      (m * sl2 - sl * sl, m)
+    }
+    // flat fill: every second difference is 0
+    assert(varScaled((_, _) => 97, 20, 15)._1 == 0L, "flat tile")
+    // the theorem the fixture demonstrates: a LINEAR ramp has huge
+    // intensity variance but the Laplacian — a second difference —
+    // annihilates degree-1 polynomials exactly
+    assert(varScaled((x, y) => x + 2 * y + 11, 20, 15)._1 == 0L, "linear ramp")
+    // texture: well above the T·m² gate
+    val (vt, m) = varScaled((x, y) => (x * 31 + y * 17) % 250, 20, 15)
+    assert(vt >= 1000L * m * m, s"textured tile must clear the gate: $vt")
+    // sign sanity: a single bright pixel in a flat field gives the
+    // closed-form impulse response — center L = 4a, four neighbours −a
+    val (vi, mi) = varScaled((x, y) => if (x == 10 && y == 7) 130 else 100, 20, 15)
+    val a = 30L
+    val expectedSl2 = (4 * a) * (4 * a) + 4 * a * a // 16a² + 4a²
+    assert(vi == mi * expectedSl2 - 0L, s"impulse response: $vi vs ${mi * expectedSl2}")
+  }
+
   test("q216 isotonic fit is the exact PAV solution on a crafted reliability table") {
     import graft.operators.SimilarityQueries
     import org.apache.spark.sql.functions._

@@ -852,4 +852,46 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(got == want)
     graft.engine.Sessions.releasePinned(spark)
   }
+
+  test("streaming quality gates equal the batch per-doc signals, rollup included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = graft.engine.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val docs = docsDf.as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val parts = docs.grouped((docs.size + 2) / 3).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_gatestream").toString
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamOps.qualityGateStream(
+      stream.toDF().toDF("doc_id", "source", "text"), s"$dir/gates")
+    parts.foreach { p => stream.addData(p); q.processAllAvailable() }
+    q.stop()
+    val cols = Seq("doc_id", "source", "h_micro", "ttr_ppm", "rep4_ppm",
+      "low_h", "high_rep")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val got = canon(spark.read.parquet(s"$dir/gates"))
+    val want = canon(graft.operators.TextQueries.entropySignals(docsDf))
+    assert(got == want, s"stream gates diverged: ${got.size} vs ${want.size}")
+    assert(got.nonEmpty)
+    // replay idempotence: each doc gated exactly once across partitions
+    assert(got.size == got.map(_.head).size)
+    // the q213 rollup over the streamed store equals the batch query —
+    // every signal is per-doc, so a groupBy over the union IS the batch
+    val rollup = spark.read.parquet(s"$dir/gates")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("low_h")).as("n_low_entropy"),
+        sum(col("high_rep")).as("n_high_rep"),
+        sum(greatest(col("low_h"), col("high_rep"))).as("n_flagged"),
+        sum(col("h_micro")).as("h_sum"),
+        sum(col("ttr_ppm")).as("ttr_sum"),
+        sum(col("rep4_ppm")).as("rep4_sum"),
+        sum(col("h_micro") * (col("doc_id") % 97 + 1)).as("h_checksum"))
+      .orderBy(col("source")).collect().map(_.toSeq).toSeq
+    val batch = graft.operators.TextQueries.q213EntropyQuality(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(rollup == batch, "streamed rollup must equal batch q213")
+    graft.engine.Sessions.releasePinned(spark)
+  }
 }
