@@ -1361,6 +1361,60 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("format"), col("channels"), col("bits"))
   }
 
+  /** q218 — AUDIO FINGERPRINTING (Haitsma–Kalker bits over integer WHT
+    * bands): the canonical audio near-dup/lookup primitive — per blob,
+    * frame the real PCM stream ([[WavCodec.decodePcm]]'s chunk walk,
+    * q172's sample conventions) into 32-sample frames, compute 16 exact
+    * integer Walsh–Hadamard band energies per frame (the FFT-band stand-in
+    * that both engines replay bit-for-bit, q214's discipline on the time
+    * axis), and emit one bit per (frame delta, band) = sign of the
+    * consecutive-frame band delta — the derivative encoding that makes the
+    * fingerprint provably invariant to GAIN (every band scales, no sign
+    * moves) and to DC OFFSET (only the excluded u = 0 band moves), the two
+    * transforms a re-encoded copy of the same recording actually suffers.
+    * Per-blob work is one map-side fold; the exchange carries the
+    * (format, channels, bits) rollup with a position-weighted fingerprint
+    * checksum that pins every frame's 16 bits; the oracle replays
+    * frames ∘ WHT ∘ delta-sign symbolically via bit_count parity. */
+  val q218AudioFingerprint: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val payload = synthesizeWav(id, text)
+        WavCodec.decodePcm(payload) match {
+          case Some((_, ch, bits, data)) =>
+            val n = if (bits == 8) data.length else data.length / 2
+            val samples = new Array[Long](n)
+            var i = 0
+            while (i < n) {
+              samples(i) =
+                if (bits == 8) (data(i) & 0xFF) - 128L
+                else ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort.toLong
+              i += 1
+            }
+            val fps = audioFingerprintFrames(samples)
+            var bitsSet = 0L; var ck = 0L
+            var d = 0
+            while (d < fps.length) {
+              bitsSet += java.lang.Long.bitCount(fps(d))
+              ck += fps(d) * ((d % 31) + 1)
+              d += 1
+            }
+            ("wav", ch, bits, fps.length.toLong, bitsSet, ck)
+          case None => ("raw", -1L, -1L, 0L, 0L, 0L)
+        }
+      })
+      .toDF("format", "channels", "bits", "n_deltas", "bits_set", "fp_checksum")
+      .groupBy(col("format"), col("channels"), col("bits"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("n_deltas")).as("deltas_sum"),
+        sum(col("bits_set")).as("bits_set_sum"),
+        sum(col("fp_checksum")).as("checksum_sum"))
+      .orderBy(col("format"), col("channels"), col("bits"))
+  }
+
   /** q210 — SILENCE TRIM ACCOUNTING: the leading/trailing-silence cut
     * every speech pipeline makes before windowing features — per blob, the
     * first and last sample whose |amplitude| exceeds the gate (T = 10),
@@ -1442,6 +1496,47 @@ object MultimodalQueries extends QueryModule {
       k += 1
     }
     (nOut.toLong, sumOut, absOut, peak, nyq)
+  }
+
+  /** Haitsma–Kalker-shape audio fingerprint frames over a signed sample
+    * stream: non-overlapping 32-sample frames, 16 integer WHT "bands" per
+    * frame E(u) = Σ_t s[32f+t]·(−1)^popcount(t AND u) for u = 1..16 (DC
+    * u = 0 excluded), fingerprint bit (f, u) = sign of the BAND DELTA
+    * between consecutive frames — E_f(u) > E_{f−1}(u). The two classic
+    * robustness theorems hold exactly in integers: a GAIN (×g > 0) scales
+    * every band so no delta sign moves (loudness invariance), and a DC
+    * OFFSET (+k on every sample) moves only the excluded u = 0 band.
+    * Returns one 16-bit fingerprint per frame delta (frames 1..F−1). */
+  private[graft] def audioFingerprintFrames(samples: Array[Long]): Array[Long] = {
+    val f = samples.length / 32
+    if (f < 2) return Array.empty
+    val bands = Array.ofDim[Long](f, 16)
+    var fi = 0
+    while (fi < f) {
+      var u = 1
+      while (u <= 16) {
+        var e = 0L
+        var t = 0
+        while (t < 32) {
+          val sgn = Integer.bitCount(t & u)
+          val v = samples(32 * fi + t)
+          e += (if ((sgn & 1) == 0) v else -v)
+          t += 1
+        }
+        bands(fi)(u - 1) = e
+        u += 1
+      }
+      fi += 1
+    }
+    Array.tabulate(f - 1) { d =>
+      var fp = 0L
+      var u = 0
+      while (u < 16) {
+        if (bands(d + 1)(u) > bands(d)(u)) fp |= 1L << u
+        u += 1
+      }
+      fp
+    }
   }
 
   /** q215 — AUDIO RESAMPLE (anti-aliased 2:1 decimation): the sample-rate
@@ -1623,12 +1718,76 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("w"), col("h"))
   }
 
+  /** The 56-bit row-wise dHash of an 8×8 grayscale frame (bit = right
+    * neighbour brighter, x ∈ 0..6 × y ∈ 0..7) — q161's comparator on a
+    * video frame, exactly brightness-invariant (both operands carry the
+    * same offset). */
+  private[graft] def frameDhash56(p: (Int, Int) => Int): Long = {
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (p(x + 1, y) > p(x, y)) h |= 1L << (y * 7 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** q219 — SHOT-BOUNDARY DETECTION (video keyframing): the first step of
+    * every video-corpus pipeline — split the frame stream into shots, keep
+    * one keyframe per shot — over per-doc synthetic frame SEQUENCES
+    * (doc_id-derived scenes, the temporal extension of the q161 fixture):
+    * within a scene every frame re-renders the same texture with a ±
+    * brightness flicker (f mod 3), across scene cuts the texture re-seeds.
+    * Per consecutive frame pair, the hamming distance between 56-bit
+    * frame dHashes; a cut is declared when it exceeds 6. The fixture
+    * exercises the exact property that makes dHash the standard shot
+    * detector: the flicker changes every raw byte of every frame (a
+    * byte-delta detector would cut on ALL of them) but the GRADIENT
+    * comparator cancels the common offset, so within-scene hamming is
+    * exactly 0 and only the true cuts fire. Per-doc map-side fold over
+    * the frame stream (at 100 TB: frames arrive decoded from the codec
+    * tier, q65/q101's department); output one row per doc — n_frames,
+    * n_shots (= cuts + 1), and a Σf² checksum pinning every cut
+    * position; the oracle replays pixel ∘ dHash ∘ hamming ∘ threshold
+    * symbolically. */
+  val q219ShotBoundaries: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nF = (id % 12 + 6).toInt    // frames per doc
+        val scene = (id % 4 + 2).toInt  // frames per scene
+        def pix(f: Int)(x: Int, y: Int): Int =
+          (((x * 31 + y * 17 + (id + (f / scene) * 13L) * 7) % 250) + f % 3).toInt
+        var prev = frameDhash56(pix(0))
+        var cuts = 0L; var ck = 0L
+        var f = 1
+        while (f < nF) {
+          val h = frameDhash56(pix(f))
+          if (java.lang.Long.bitCount(prev ^ h) > 6) {
+            cuts += 1; ck += f.toLong * f
+          }
+          prev = h
+          f += 1
+        }
+        (id, nF.toLong, cuts + 1, ck)
+      })
+      .toDF("doc_id", "n_frames", "n_shots", "cut_checksum")
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q219_shot_boundaries" -> q219ShotBoundaries,
     "q217_blur_detect" -> q217BlurDetect,
     "q185_jpeg_decode" -> q185JpegDecode,
     "q207_tone_power" -> q207TonePower,
     "q210_silence_trim" -> q210SilenceTrim,
     "q215_audio_resample" -> q215AudioResample,
+    "q218_audio_fingerprint" -> q218AudioFingerprint,
     "q173_image_stats" -> q173ImageStats,
     "q172_audio_levels" -> q172AudioLevels,
     "q65_multimodal" -> q65Multimodal,
@@ -1686,6 +1845,55 @@ object MultimodalQueries extends QueryModule {
         CAST(sum(px_sum) AS BIGINT) AS px_sum,
         CAST(sum(px_sumsq) AS BIGINT) AS px_sumsq
       FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Haitsma–Kalker fingerprint replayed symbolically: 32-sample frames,
+    // 16 WHT bands via bit_count parity, delta-sign bits packed per frame,
+    // position-weighted checksum — a framing, band, or lag slip anywhere
+    // mismatches every group at once
+    "q218_audio_fingerprint" -> """
+      WITH w AS (SELECT doc_id, text,
+          CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS BIGINT) AS bits,
+          strlen(text) // (CAST(doc_id % 2 + 1 AS BIGINT) * CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)
+            * (CAST(doc_id % 2 + 1 AS BIGINT) * CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END) AS m
+        FROM documents WHERE doc_id % 6 <> 5),
+      b AS (
+        SELECT doc_id, channels, bits,
+          [ascii(substr(text, i, 1)) - 128 for i in range(1, m + 1)] AS amps
+        FROM w WHERE bits = 8
+        UNION ALL
+        SELECT doc_id, channels, bits,
+          [ascii(substr(text, 2*j - 1, 1)) + 256 * ascii(substr(text, 2*j, 1))
+            for j in range(1, m // 2 + 1)] AS amps
+        FROM w WHERE bits = 16),
+      e AS (
+        SELECT doc_id, channels, bits, len(amps) // 32 AS f,
+          [[list_sum([amps[32*fr + t + 1]
+               * (CASE WHEN bit_count(t & u) % 2 = 0 THEN 1 ELSE -1 END)
+             for t in range(0, 32)]) for u in range(1, 17)]
+           for fr in range(0, len(amps) // 32)] AS es
+        FROM b),
+      fp AS (
+        SELECT doc_id, channels, bits,
+          [list_sum([CASE WHEN es[d+1][u] > es[d][u]
+              THEN (CAST(1 AS BIGINT) << (u - 1)) ELSE CAST(0 AS BIGINT) END
+            for u in range(1, 17)]) for d in range(1, f)] AS fps
+        FROM e),
+      st AS (
+        SELECT 'wav' AS format, channels, bits,
+          CAST(len(fps) AS BIGINT) AS n_deltas,
+          CAST(coalesce(list_sum([bit_count(x) for x in fps]), 0) AS BIGINT) AS bits_set,
+          CAST(coalesce(list_sum([fps[k] * (((k - 1) % 31) + 1)
+            for k in range(1, len(fps) + 1)]), 0) AS BIGINT) AS fp_checksum
+        FROM fp
+        UNION ALL
+        SELECT 'raw', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM documents WHERE doc_id % 6 = 5)
+      SELECT format, channels, bits, count(*) AS n_blobs,
+        CAST(sum(n_deltas) AS BIGINT) AS deltas_sum,
+        CAST(sum(bits_set) AS BIGINT) AS bits_set_sum,
+        CAST(sum(fp_checksum) AS BIGINT) AS checksum_sum
+      FROM st GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     // 2:1 box-filter decimation replayed over the signed synthesis samples;
     // both engines halve via the arithmetic shift `>> 1` (floor) — DuckDB's
     // `//` TRUNCATES toward zero on integer negatives (measured: −33//2 =
@@ -1850,6 +2058,33 @@ object MultimodalQueries extends QueryModule {
         CAST(max(peak) AS BIGINT) AS peak_max,
         CAST(sum(abs_sum) AS BIGINT) AS abs_sum_total
       FROM st GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // shot detection replayed symbolically: per frame pair, 56 dHash-bit
+    // comparisons of the scene-seeded pixel fn (flicker term included — it
+    // must cancel in the comparator, not be dropped), hamming > 6 cut rule,
+    // Σf² pinning every cut position
+    "q219_shot_boundaries" -> {
+      def pix(f: String, xe: String, ye: String) =
+        s"((($xe)*31 + ($ye)*17 + (doc_id + (($f) // scene) * 13) * 7) % 250 + ($f) % 3)"
+      def bit(f: String, x: String, y: String) =
+        s"(CASE WHEN ${pix(f, s"$x+1", y)} > ${pix(f, x, y)} THEN 1 ELSE 0 END)"
+      s"""
+      WITH d AS (SELECT doc_id, doc_id % 12 + 6 AS nf, doc_id % 4 + 2 AS scene
+        FROM documents),
+      h AS (SELECT doc_id, nf,
+          [list_sum(flatten([[CASE WHEN ${bit("f", "x", "y")} <> ${bit("f-1", "x", "y")}
+               THEN 1 ELSE 0 END
+             for x in range(0, 7)] for y in range(0, 8)]))
+           for f in range(1, nf)] AS hams
+        FROM d),
+      c AS (SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+          CAST(len([f for f in range(1, len(hams) + 1) if hams[f] > 6]) + 1
+            AS BIGINT) AS n_shots,
+          CAST(coalesce(list_sum([f * f
+            for f in range(1, len(hams) + 1) if hams[f] > 6]), 0)
+            AS BIGINT) AS cut_checksum
+        FROM h)
+      SELECT doc_id, n_frames, n_shots, cut_checksum FROM c ORDER BY doc_id"""
+    },
     // Laplacian variance replayed symbolically over the synthesis pixels:
     // interior 4-neighbour second differences, the exact-integer variance
     // m·ΣL² − (ΣL)² against T·m², flat/gradient plants landing at exactly 0

@@ -683,6 +683,51 @@ class SimilarityMultimodalSpec extends SparkSpec {
     assert(decimate2Stats(odd, 8)._1 == 2L, "odd tail sample is dropped")
   }
 
+  test("q219 shot detector: flicker-invariant within scenes, fires on texture cuts") {
+    import graft.operators.MultimodalQueries.frameDhash56
+    def texture(seed: Long)(x: Int, y: Int): Int = ((x * 31 + y * 17 + seed * 7) % 250).toInt
+    // within-scene: the SAME texture at three flicker offsets — every raw
+    // byte differs, the gradient hash is identical (offset cancels in the
+    // comparator), so within-scene hamming is exactly 0
+    val h0 = frameDhash56(texture(5L))
+    for (off <- Seq(1, 2)) {
+      val hf = frameDhash56((x, y) => texture(5L)(x, y) + off)
+      assert(hf == h0, s"flicker +$off must not move the frame hash")
+    }
+    // across a cut: re-seeded texture — hamming must clear the >6 gate
+    val h1 = frameDhash56(texture(5L + 13L))
+    assert(java.lang.Long.bitCount(h0 ^ h1) > 6,
+      s"a texture cut must clear the gate: ${java.lang.Long.bitCount(h0 ^ h1)}")
+    // a byte-delta detector WOULD cut on the flicker: assert the premise
+    assert((0 until 8).exists(y => (0 until 8).exists(x =>
+      texture(5L)(x, y) + 1 != texture(5L)(x, y))), "raw bytes do differ")
+  }
+
+  test("q218 fingerprint: gain and DC-offset invariance, sensitivity to content") {
+    import graft.operators.MultimodalQueries.audioFingerprintFrames
+    // pseudo-random signed samples, 6 frames
+    val xs = Array.tabulate(192)(i => (i * 2654435761L) % 241 - 120)
+    val base = audioFingerprintFrames(xs)
+    assert(base.length == 5 && base.exists(_ != 0L), "nontrivial fingerprint")
+    // theorem 1 (loudness): gain ×3 scales every band — no delta sign moves
+    assert(audioFingerprintFrames(xs.map(_ * 3)).toSeq == base.toSeq,
+      "gain must not move the fingerprint")
+    // theorem 2 (DC offset): +k on every sample moves only the excluded
+    // u = 0 band — Σ(−1)^popcount(t&u) over t is 0 for u ≠ 0
+    assert(audioFingerprintFrames(xs.map(_ + 57)).toSeq == base.toSeq,
+      "DC offset must not move the fingerprint")
+    // sensitivity: re-texturing one frame's samples flips bits in the two
+    // deltas that touch it and no others
+    val mod = xs.clone()
+    for (t <- 0 until 32) mod(32 * 2 + t) = (t * 97) % 200 - 100
+    val d = audioFingerprintFrames(mod)
+    assert(d(1) != base(1) || d(2) != base(2), "touched deltas must move")
+    assert(d(0) == base(0) && d(3) == base(3) && d(4) == base(4),
+      "untouched deltas must not move")
+    // too short for a delta → empty
+    assert(audioFingerprintFrames(Array.fill(40)(5L)).isEmpty)
+  }
+
   test("q217 Laplacian variance: zero on flat AND gradient tiles, high on texture") {
     import graft.operators.PngPixelCodec
     def varScaled(fn: (Int, Int) => Int, w: Int, h: Int): (Long, Long) = {
