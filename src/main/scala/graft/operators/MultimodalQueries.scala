@@ -1780,7 +1780,53 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** q221 — CROSS-VIDEO KEYFRAME DEDUP: the intro/outro/rebroadcast
+    * detector — after q219 segments each frame stream into shots, take one
+    * KEYFRAME per shot (its first frame's 56-bit dHash) and bucket the
+    * keyframe hashes corpus-wide (q50/q161's one-aggregation plan shape on
+    * a third modality): a bucket holding keyframes from ≥ 2 distinct
+    * streams is shared footage. The fixture makes this real: scene
+    * textures are doc_id-seeded mod 250, so distinct docs genuinely
+    * re-render identical scenes (the licensed-intro case) while the
+    * within-scene flicker keeps raw frame bytes distinct — exact byte
+    * dedup finds nothing, the gradient keyframe key collapses them.
+    * Map-side per doc (frames → cuts → keyframe hashes), ONE bucket
+    * aggregation; the shot_idx-weighted checksum pins which shot of which
+    * doc landed in each bucket; symbolic oracle replays segmentation and
+    * hash extraction end to end. */
+  val q221KeyframeDedup: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val nF = (id % 12 + 6).toInt
+        val scene = (id % 4 + 2).toInt
+        def pix(f: Int)(x: Int, y: Int): Int =
+          (((x * 31 + y * 17 + (id + (f / scene) * 13L) * 7) % 250) + f % 3).toInt
+        val hashes = Array.tabulate(nF)(f => frameDhash56(pix(f)))
+        val keyframes = Seq.newBuilder[Int]
+        keyframes += 0
+        var f = 1
+        while (f < nF) {
+          if (java.lang.Long.bitCount(hashes(f - 1) ^ hashes(f)) > 6) keyframes += f
+          f += 1
+        }
+        keyframes.result().zipWithIndex.map { case (kf, shotIdx) =>
+          (id, shotIdx.toLong, hashes(kf))
+        }
+      })
+      .toDF("doc_id", "shot_idx", "kf_hash")
+      .groupBy(col("kf_hash"))
+      .agg(count(lit(1)).as("n_kf"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        sum(col("doc_id") * (col("shot_idx") + 1)).as("bucket_checksum"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("kf_hash"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q221_keyframe_dedup" -> q221KeyframeDedup,
     "q219_shot_boundaries" -> q219ShotBoundaries,
     "q217_blur_detect" -> q217BlurDetect,
     "q185_jpeg_decode" -> q185JpegDecode,
@@ -2058,6 +2104,41 @@ object MultimodalQueries extends QueryModule {
         CAST(max(peak) AS BIGINT) AS peak_max,
         CAST(sum(abs_sum) AS BIGINT) AS abs_sum_total
       FROM st GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // keyframe dedup replayed symbolically: q219's segmentation, one hash
+    // VALUE per keyframe (bits packed y*7+x), bucket rollup — shared
+    // footage must collapse identically in both engines
+    "q221_keyframe_dedup" -> {
+      def pix(f: String, xe: String, ye: String) =
+        s"((($xe)*31 + ($ye)*17 + (doc_id + (($f) // scene) * 13) * 7) % 250 + ($f) % 3)"
+      def bit(f: String, x: String, y: String) =
+        s"(CASE WHEN ${pix(f, s"$x+1", y)} > ${pix(f, x, y)} THEN 1 ELSE 0 END)"
+      s"""
+      WITH d AS (SELECT doc_id, doc_id % 12 + 6 AS nf, doc_id % 4 + 2 AS scene
+        FROM documents),
+      h AS (SELECT doc_id, nf, scene,
+          [list_sum(flatten([[CASE WHEN ${bit("f", "x", "y")} <> ${bit("f-1", "x", "y")}
+               THEN 1 ELSE 0 END
+             for x in range(0, 7)] for y in range(0, 8)]))
+           for f in range(1, nf)] AS hams
+        FROM d),
+      k AS (SELECT doc_id, nf, scene,
+          list_prepend(0, [f for f in range(1, nf) if hams[f] > 6]) AS kfs
+        FROM h),
+      e AS (SELECT doc_id, scene,
+          generate_subscripts(kfs, 1) - 1 AS shot_idx, unnest(kfs) AS f
+        FROM k),
+      hsh AS (SELECT doc_id, CAST(shot_idx AS BIGINT) AS shot_idx,
+          CAST(list_sum(flatten([[CASE WHEN ${bit("f", "x", "y")} = 1
+              THEN (CAST(1 AS BIGINT) << (y * 7 + x)) ELSE 0 END
+            for x in range(0, 7)] for y in range(0, 8)])) AS BIGINT) AS kf_hash
+        FROM e)
+      SELECT kf_hash, count(*) AS n_kf,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        min(doc_id) AS min_doc,
+        CAST(sum(doc_id * (shot_idx + 1)) AS BIGINT) AS bucket_checksum
+      FROM hsh GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+      ORDER BY kf_hash"""
+    },
     // shot detection replayed symbolically: per frame pair, 56 dHash-bit
     // comparisons of the scene-seeded pixel fn (flicker term included — it
     // must cancel in the comparator, not be dropped), hamming > 6 cut rule,

@@ -136,6 +136,54 @@ object TextQueries extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** q220 — SPAN CORRUPTION (T5/UL2 denoising objective): the
+    * training-target generator that turns a clean corpus into
+    * (input-with-sentinels, spans-to-predict) pairs — here the exact,
+    * REPLAYABLE mask layout every worker must agree on without any shared
+    * randomness: a span STARTS at token position p iff the portable
+    * md5-top-60-bit hash of "doc_id:p" ≡ 0 (mod 20) (≈5% of positions),
+    * runs L = (h÷20 mod 3) + 2 tokens (2–4, mean 3 → ≈15% coverage, the
+    * T5 rate — measured 13.9% on the fixture), and overlapping spans
+    * merge by position-set union (n_spans counts maximal runs). Sharing
+    * the q188/q209 md5 discipline means the SAME doc masks identically on
+    * any executor, any restart, any engine — the property that makes
+    * mid-epoch resume and the DuckDB replay possible at all. Entirely
+    * map-side HOFs (hash → anchor filter → span flatten → distinct →
+    * run count); only the per-source rollup exchanges; the Σp²·w checksum
+    * pins every masked position. */
+  val q220SpanCorruption: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .withColumn("hs", expr(
+        "md5_hi60(transform(sequence(1, size(t)), p -> concat(doc_id, ':', p)))"))
+      .withColumn("starts", expr(
+        "filter(sequence(1, size(t)), p -> element_at(hs, p) % 20 = 0)"))
+      .withColumn("masked", expr(
+        """array_sort(array_distinct(flatten(transform(starts, st ->
+          |  sequence(st, least(st + CAST(element_at(hs, st) DIV 20 % 3 AS INT) + 1,
+          |                     size(t)))))))""".stripMargin))
+      .select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("n_tok"),
+        size(col("masked")).cast("long").as("n_masked"),
+        // guard the empty mask: sequence(1, 0) runs DESCENDING to [1, 0]
+        // in Spark, and index 0 is invalid
+        expr("""CASE WHEN size(masked) = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST(size(filter(sequence(1, size(masked)), i ->
+          |  CASE WHEN i = 1 THEN true
+          |       ELSE element_at(masked, i) != element_at(masked, i - 1) + 1 END))
+          |  AS BIGINT) END""".stripMargin).as("n_spans"),
+        expr("aggregate(masked, 0L, (a, m) -> a + CAST(m AS BIGINT) * m)").as("ck"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok_total"),
+        sum(col("n_masked")).as("masked_total"),
+        sum(col("n_spans")).as("span_total"),
+        expr("sum(n_masked) * 1000000 DIV sum(n_tok)").as("mask_rate_ppm"),
+        sum(col("ck") * (col("doc_id") % 13 + 1)).as("mask_checksum"))
+      .orderBy(col("source"))
+  }
+
   /** q62 — token counting: whitespace tokens vs a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation). Per-doc counts. */
   val q62TokenCount: Q = (s, dir) =>
@@ -1477,6 +1525,7 @@ object TextQueries extends QueryModule {
     "q60_lang_id"     -> q60LangId,
     "q61_quality"     -> q61Quality,
     "q213_entropy_quality" -> q213EntropyQuality,
+    "q220_span_corruption" -> q220SpanCorruption,
     "q62_token_count" -> q62TokenCount,
     "q63_fingerprint" -> q63Fingerprint,
     "q70_decontaminate" -> q70Decontaminate,
@@ -1517,6 +1566,36 @@ object TextQueries extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    // the mask layout replayed from the same md5 anchors: 0x-parse of the
+    // top 15 hex chars == md5_hi60, exclusive-end range == the engine's
+    // inclusive sequence with L−1, run count via sorted-neighbour breaks
+    "q220_span_corruption" -> """
+      WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      x AS (SELECT doc_id, source, len(t) AS n,
+          [('0x' || substr(md5(doc_id || ':' || p), 1, 15))::BIGINT
+            for p in range(1, len(t) + 1)] AS hs
+        FROM d),
+      s AS (SELECT doc_id, source, n,
+          [p for p in range(1, n + 1) if hs[p] % 20 = 0] AS starts, hs
+        FROM x),
+      m AS (SELECT doc_id, source, n, starts,
+          list_sort(list_distinct(flatten(
+            [[q for q in range(st, least(st + (hs[st] // 20) % 3 + 2, n + 1))]
+              for st in starts]))) AS masked
+        FROM s),
+      c AS (SELECT doc_id, source, CAST(n AS BIGINT) AS n_tok,
+          CAST(len(masked) AS BIGINT) AS n_masked,
+          CAST(len([i for i in range(1, len(masked) + 1)
+            if i = 1 OR masked[i] <> masked[i-1] + 1]) AS BIGINT) AS n_spans,
+          CAST(coalesce(list_sum([m2 * m2 for m2 in masked]), 0) AS BIGINT) AS ck
+        FROM m)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS tok_total,
+        CAST(sum(n_masked) AS BIGINT) AS masked_total,
+        CAST(sum(n_spans) AS BIGINT) AS span_total,
+        CAST(sum(n_masked) * 1000000 // sum(n_tok) AS BIGINT) AS mask_rate_ppm,
+        CAST(sum(ck * (doc_id % 13 + 1)) AS BIGINT) AS mask_checksum
+      FROM c GROUP BY source ORDER BY source""",
     // per-class entropy terms rounded to micro-nats BEFORE the (then-exact
     // BIGINT) 28-term sum — the same per-term discipline as the engine, so
     // libm-vs-JVM ln ULP drift below 0.5 micro cancels identically

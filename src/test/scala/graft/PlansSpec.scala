@@ -611,4 +611,22 @@ class PlansSpec extends SparkSpec {
       assert(math.abs(q - plain(k)._1) < 1e-6)
     }
   }
+
+  test("q213 quality gates: one 3-column scan, no explode, source-bounded exchange") {
+    val p = planString(graft.operators.TextQueries.q213EntropyQuality(spark, sfDir))
+    // the char histogram must stay INSIDE the row (native expression) —
+    // an explode→groupBy(char) formulation would shuffle every character
+    assert(p.contains("char_class_counts"),
+      s"histogram must run through the native expression:\n${p.take(1200)}")
+    assert(!p.contains("Generate"), "no explode anywhere in the gate pass")
+    assert(!p.contains("Join"), "no join anywhere in the gate pass")
+    // column pruning: the scan reads exactly the three needed columns
+    assert(p.contains("ReadSchema") &&
+      p.contains("doc_id") && p.contains("text") && p.contains("source"))
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      s"unused columns must be pruned from the scan:\n${p.take(1200)}")
+    // partial + final aggregate (map-side combine before the exchange)
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      "gate rollup must plan partial+final aggregation")
+  }
 }

