@@ -151,9 +151,15 @@ object TextQueries extends QueryModule {
     * map-side HOFs (hash → anchor filter → span flatten → distinct →
     * run count); only the per-source rollup exchanges; the Σp²·w checksum
     * pins every masked position. */
-  val q220SpanCorruption: Q = (s, dir) => {
-    graft.functions.GraftFunctions.register(s)
-    Tables.load(s, dir, "documents")
+  /** q220's per-doc mask engine, shared VERBATIM with the streaming twin
+    * ([[graft.streaming.StreamOps.spanMaskStream]]): per
+    * (doc_id, source, text) row the md5-anchored mask layout —
+    * n_tok, n_masked, n_spans (maximal runs), Σp² checksum. Purely
+    * map-side; the determinism is the whole point (same doc, same mask,
+    * any engine/executor/batch). */
+  private[graft] def spanMaskSignals(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
       .withColumn("hs", expr(
         "md5_hi60(transform(sequence(1, size(t)), p -> concat(doc_id, ':', p)))"))
@@ -174,6 +180,11 @@ object TextQueries extends QueryModule {
           |       ELSE element_at(masked, i) != element_at(masked, i - 1) + 1 END))
           |  AS BIGINT) END""".stripMargin).as("n_spans"),
         expr("aggregate(masked, 0L, (a, m) -> a + CAST(m AS BIGINT) * m)").as("ck"))
+  }
+
+  val q220SpanCorruption: Q = (s, dir) => {
+    spanMaskSignals(Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("tok_total"),

@@ -560,6 +560,26 @@ object StreamOps {
       ()
     }.start()
 
+  /** STREAMING span-corruption mask feed (q220's twin): each micro-batch
+    * of (doc_id, source, text) documents computes its md5-anchored mask
+    * layout — [[graft.operators.TextQueries.spanMaskSignals]] verbatim —
+    * and lands under its own `ingest_batch` partition (dynamic overwrite
+    * absorbs at-least-once replays). The determinism theorem does the
+    * heavy lifting: the SAME doc masks identically in any batch, on any
+    * executor, after any restart, so a trainer consuming this feed
+    * mid-epoch resumes with bit-identical targets — the q220 batch rollup
+    * equals a groupBy over the union of all ingested partitions. */
+  def spanMaskStream(docs: DataFrame, masksPath: String,
+      batchIdBase: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.TextQueries.spanMaskSignals(
+          batch.select(col("doc_id"), col("source"), col("text")))
+        .withColumn("ingest_batch", lit(batchIdBase + batchId))
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .option("partitionOverwriteMode", "dynamic").parquet(masksPath)
+      ()
+    }.start()
+
   /** Serve the cumulative per-source OOV audit from the streamed partial
     * store: sum the integer masses, recompute the ppm once — equal to the
     * batch audit over the union of all ingested batches. */

@@ -853,6 +853,41 @@ class StatefulStreamingSpec extends SparkSpec {
     graft.engine.Sessions.releasePinned(spark)
   }
 
+  test("streaming span masks equal the batch layout; replay rewrites, never duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = graft.engine.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val docs = docsDf.as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val parts = docs.grouped((docs.size + 2) / 3).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_maskstream").toString
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamOps.spanMaskStream(
+      stream.toDF().toDF("doc_id", "source", "text"), s"$dir/masks")
+    parts.foreach { p => stream.addData(p); q.processAllAvailable() }
+    q.stop()
+    // replay the LAST batch (at-least-once delivery after a restart): a
+    // fresh stream whose batchIdBase points at the last partition lands
+    // the SAME ingest_batch — dynamic overwrite must rewrite it, never
+    // append a duplicate mask set
+    val stream2 = MemoryStream[(Long, String, String)]
+    val q2 = StreamOps.spanMaskStream(
+      stream2.toDF().toDF("doc_id", "source", "text"), s"$dir/masks",
+      batchIdBase = parts.size - 1L)
+    stream2.addData(parts.last); q2.processAllAvailable()
+    q2.stop()
+    val cols = Seq("doc_id", "source", "n_tok", "n_masked", "n_spans", "ck")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val got = canon(spark.read.parquet(s"$dir/masks"))
+    val want = canon(graft.operators.TextQueries.spanMaskSignals(docsDf))
+    assert(got == want, s"stream masks diverged: ${got.size} vs ${want.size}")
+    // each doc masked exactly once despite the replayed batch
+    val all = spark.read.parquet(s"$dir/masks").collect()
+    assert(all.length == docs.size, s"replay must not duplicate: ${all.length}")
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("streaming quality gates equal the batch per-doc signals, rollup included") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
