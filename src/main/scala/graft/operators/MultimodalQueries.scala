@@ -1825,7 +1825,94 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("kf_hash"))
   }
 
+  /** q222 — COMPOSED MULTIMODAL CURATION PIPELINE (the q73/q211 ledger
+    * discipline on the image/audio/video tiers): sharpness gate (q217's
+    * Laplacian variance over the real decoded PNG) → audio activity gate
+    * (q210's amplitude walk as a PROPORTIONAL rate: ≥ 93.5% active
+    * samples; raw blobs pass through — no audio, nothing to gate) →
+    * intro dedup (q219/q221's frame-0 keyframe hash, min-doc survivor per
+    * bucket). Every stage's signal comes out of ONE mapPartitions decode
+    * pass per doc (PNG pixel decode + WAV chunk walk + frame hash,
+    * cached), so the pipeline reads each blob exactly once no matter how
+    * many stages audit it — the composed-pass cost model a multimodal
+    * curation run needs at 100 TB, where decode IS the dominant cost.
+    * Per-stage retention ledger (docs, id-sum, char mass); the whole
+    * chain is replayed in one DuckDB CTE pipeline. */
+  val q222Pipeline3: Q = (s, dir) => {
+    import s.implicits._
+    val signals = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        // image sharpness (q217's fixture + metric)
+        val w = (id % 24 + 8).toInt; val h = (id % 16 + 8).toInt
+        val png = PngPixelCodec.encode(w, h, 1, (x, y, _) => {
+          if (id % 10 == 7) ((id * 7) % 250).toInt
+          else if (id % 10 == 3) (x + y + (id % 190)).toInt
+          else (((x.toLong * 31 + y * 17 + id * 7) % 250)).toInt
+        })
+        val sharp = PngPixelCodec.decode(png) match {
+          case Some((dw, dh, _, px)) =>
+            def p(x: Int, y: Int): Long = px(y * dw + x) & 0xFF
+            var sl = 0L; var sl2 = 0L
+            var y = 1
+            while (y < dh - 1) {
+              var x = 1
+              while (x < dw - 1) {
+                val l = 4 * p(x, y) - p(x - 1, y) - p(x + 1, y) -
+                  p(x, y - 1) - p(x, y + 1)
+                sl += l; sl2 += l * l
+                x += 1
+              }
+              y += 1
+            }
+            val m = (dw - 2).toLong * (dh - 2)
+            m * sl2 - sl * sl >= 1000L * m * m
+          case None => false
+        }
+        // audio activity rate (q210's walk; raw → pass-through)
+        val audioOk = WavCodec.decodePcm(synthesizeWav(id, text)) match {
+          case Some((_, _, bits, data)) =>
+            var i = 0; var n = 0L; var nAct = 0L
+            def feed(a: Long): Unit = { n += 1; if (a > 10L) nAct += 1 }
+            if (bits == 8) {
+              while (i < data.length) {
+                feed(math.abs((data(i) & 0xFF) - 128).toLong); i += 1
+              }
+            } else {
+              while (i + 1 < data.length) {
+                feed(math.abs(
+                  ((data(i) & 0xFF) | (data(i + 1) << 8)).toShort.toLong))
+                i += 2
+              }
+            }
+            n == 0L || nAct * 1000000L / n >= 935000L
+          case None => true // raw payload: no audio, nothing to gate
+        }
+        // frame-0 keyframe hash (q219's fixture at f = 0: scene term and
+        // flicker both vanish)
+        val h0 = frameDhash56((x, y) =>
+          (((x * 31 + y * 17 + id * 7) % 250)).toInt)
+        (id, text.length.toLong, sharp, audioOk, h0)
+      })
+      .toDF("doc_id", "n_chars", "sharp", "audio_ok", "h0")
+      .cache()
+    val s1 = signals.filter(col("sharp"))
+    val s2 = s1.filter(col("audio_ok"))
+    val keep = s2.groupBy(col("h0")).agg(min(col("doc_id")).as("doc_id"))
+    val s3 = s2.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    def leg(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"), sum(col("n_chars")).as("char_sum"))
+        .select(lit(name).as("stage"), col("n_docs"), col("id_sum"),
+          col("char_sum"))
+    leg("0_input", signals).unionAll(leg("1_sharp", s1))
+      .unionAll(leg("2_active", s2)).unionAll(leg("3_intro_dedup", s3))
+      .orderBy(col("stage"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q222_pipeline3" -> q222Pipeline3,
     "q221_keyframe_dedup" -> q221KeyframeDedup,
     "q219_shot_boundaries" -> q219ShotBoundaries,
     "q217_blur_detect" -> q217BlurDetect,
@@ -2104,6 +2191,68 @@ object MultimodalQueries extends QueryModule {
         CAST(max(peak) AS BIGINT) AS peak_max,
         CAST(sum(abs_sum) AS BIGINT) AS abs_sum_total
       FROM st GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // the three-stage multimodal chain replayed in one CTE pipeline:
+    // q217's Laplacian gate, q210's amplitude walk as a ≥ 93.5% rate
+    // (raw blobs pass), q221's frame-0 bucket minima — stage ledger rows
+    "q222_pipeline3" -> {
+      def pixB(xe: String, ye: String) =
+        s"(CASE WHEN doc_id % 10 = 7 THEN (doc_id*7) % 250 " +
+          s"WHEN doc_id % 10 = 3 THEN ($xe) + ($ye) + doc_id % 190 " +
+          s"ELSE (($xe)*31 + ($ye)*17 + doc_id*7) % 250 END)"
+      def lapT = s"(4*${pixB("x", "y")} - ${pixB("x-1", "y")} - ${pixB("x+1", "y")}" +
+        s" - ${pixB("x", "y-1")} - ${pixB("x", "y+1")})"
+      def bit0(x: String, y: String) =
+        s"(CASE WHEN (($x+1)*31 + ($y)*17 + doc_id*7) % 250 > " +
+          s"(($x)*31 + ($y)*17 + doc_id*7) % 250 THEN 1 ELSE 0 END)"
+      s"""
+      WITH d0 AS (SELECT doc_id, text FROM documents),
+      dims AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h FROM d0),
+      lap AS (SELECT doc_id, CAST((w-2)*(h-2) AS BIGINT) AS m,
+          CAST(list_sum(flatten([[$lapT
+            for x in range(1, w-1)] for y in range(1, h-1)])) AS BIGINT) AS sl,
+          CAST(list_sum(flatten([[$lapT * $lapT
+            for x in range(1, w-1)] for y in range(1, h-1)])) AS BIGINT) AS sl2
+        FROM dims),
+      s1 AS (SELECT d0.* FROM d0 JOIN lap USING (doc_id)
+        WHERE lap.m * lap.sl2 - lap.sl * lap.sl >= 1000 * lap.m * lap.m),
+      wv AS (SELECT doc_id, text,
+          strlen(text) // (CAST(doc_id % 2 + 1 AS BIGINT) * CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)
+            * (CAST(doc_id % 2 + 1 AS BIGINT) * CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END) AS m2,
+          CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS bits
+        FROM s1 WHERE doc_id % 6 <> 5),
+      act AS (
+        SELECT doc_id, CAST(len([i for i in range(1, m2 + 1)
+            if abs(ascii(substr(text, i, 1)) - 128) > 10]) AS BIGINT) AS n_active,
+          CAST(m2 AS BIGINT) AS n
+        FROM wv WHERE bits = 8
+        UNION ALL
+        SELECT doc_id, CAST(len([j for j in range(1, m2 // 2 + 1)
+            if abs(ascii(substr(text, 2*j - 1, 1)) + 256 * ascii(substr(text, 2*j, 1))) > 10]) AS BIGINT),
+          CAST(m2 // 2 AS BIGINT)
+        FROM wv WHERE bits = 16),
+      s2 AS (SELECT s1.* FROM s1
+        LEFT JOIN act USING (doc_id)
+        WHERE act.doc_id IS NULL OR act.n = 0
+          OR act.n_active * 1000000 // act.n >= 935000),
+      kh AS (SELECT doc_id,
+          CAST(list_sum(flatten([[CASE WHEN ${bit0("x", "y")} = 1
+              THEN (CAST(1 AS BIGINT) << (y * 7 + x)) ELSE 0 END
+            for x in range(0, 7)] for y in range(0, 8)])) AS BIGINT) AS h0
+        FROM s2),
+      keep AS (SELECT min(doc_id) AS doc_id FROM kh GROUP BY h0),
+      s3 AS (SELECT s2.* FROM s2 SEMI JOIN keep USING (doc_id)),
+      led AS (
+        SELECT '0_input' AS stage, count(*) AS n_docs,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          CAST(sum(strlen(text)) AS BIGINT) AS char_sum FROM d0
+        UNION ALL SELECT '1_sharp', count(*), CAST(sum(doc_id) AS BIGINT),
+          CAST(sum(strlen(text)) AS BIGINT) FROM s1
+        UNION ALL SELECT '2_active', count(*), CAST(sum(doc_id) AS BIGINT),
+          CAST(sum(strlen(text)) AS BIGINT) FROM s2
+        UNION ALL SELECT '3_intro_dedup', count(*), CAST(sum(doc_id) AS BIGINT),
+          CAST(sum(strlen(text)) AS BIGINT) FROM s3)
+      SELECT * FROM led ORDER BY stage"""
+    },
     // keyframe dedup replayed symbolically: q219's segmentation, one hash
     // VALUE per keyframe (bits packed y*7+x), bucket rollup — shared
     // footage must collapse identically in both engines

@@ -703,6 +703,27 @@ class SimilarityMultimodalSpec extends SparkSpec {
       texture(5L)(x, y) + 1 != texture(5L)(x, y))), "raw bytes do differ")
   }
 
+  test("q222 multimodal pipeline ledger is monotone and each hard gate fires") {
+    import graft.operators.MultimodalQueries
+    val led = MultimodalQueries.q222Pipeline3(spark, sfDir)
+      .orderBy("stage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(led.map(_._1).toSeq ==
+      Seq("0_input", "1_sharp", "2_active", "3_intro_dedup"))
+    // retention is monotone non-increasing in docs, id mass, and char mass
+    for (Array(a, b) <- led.sliding(2)) {
+      assert(b._2 <= a._2 && b._3 <= a._3 && b._4 <= a._4,
+        s"ledger must be monotone: $a -> $b")
+    }
+    // the sharpness gate drops exactly the %10 ∈ {3, 7} plants (20%)
+    assert(led(1)._2 == led(0)._2 - led(0)._2 / 5,
+      s"sharp gate must drop the planted blurs: ${led(0)._2} -> ${led(1)._2}")
+    // intro dedup genuinely collapses (mod-250 seeding shares frame-0
+    // textures across docs), and survivors are nonempty
+    assert(led(3)._2 < led(2)._2 && led(3)._2 > 0,
+      s"intro dedup must collapse shared footage: ${led(2)._2} -> ${led(3)._2}")
+  }
+
   test("q221 keyframe dedup finds cross-doc shared footage that byte dedup misses") {
     import graft.operators.MultimodalQueries
     val out = MultimodalQueries.q221KeyframeDedup(spark, sfDir).collect()
