@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryModule
 import graft.engine.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** One multimodal record: an opaque binary payload plus typed metadata —
@@ -1825,6 +1826,99 @@ object MultimodalQueries extends QueryModule {
       .orderBy(col("kf_hash"))
   }
 
+  /** Per-doc frame-0 keyframe hashes (q219's fixture at f = 0), the shared
+    * engine of q221/q222/q223 and the streaming twin. Map-side. */
+  private[graft] def frame0Hashes(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, frameDhash56((x, y) => (((x * 31 + y * 17 + id * 7) % 250)).toInt))
+      })
+      .toDF("doc_id", "h0")
+  }
+
+  /** Persist the (h0, first_doc) keyframe index from a training corpus —
+    * the index-once discipline (q74/q121/q192) on the video tier. */
+  private[graft] def keyframeStoreTrain(docs: DataFrame, store: String): Unit =
+    frame0Hashes(docs)
+      .groupBy(col("h0")).agg(min(col("doc_id")).as("first_doc"))
+      .write.mode("overwrite").parquet(store + "/keyframes")
+
+  /** Classify a batch of videos against a stored keyframe index + the
+    * batch itself: `dup_store` (intro already indexed), `dup_batch`
+    * (an earlier batch doc introduced it), `novel`. */
+  private[graft] def keyframeAudit(docs: DataFrame, store: DataFrame): DataFrame = {
+    val hashed = frame0Hashes(docs)
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h0")).orderBy(col("doc_id"))
+    hashed
+      .join(broadcast(store.select(col("h0"), col("first_doc"))), Seq("h0"), "left")
+      .withColumn("rk", row_number().over(ord))
+      .select(col("doc_id"), col("h0"),
+        when(col("first_doc").isNotNull, lit("dup_store"))
+          .when(col("rk") > 1, lit("dup_batch"))
+          .otherwise(lit("novel")).as("verdict"))
+  }
+
+  /** One streaming micro-batch of the incremental intro dedup
+    * ([[graft.streaming.StreamOps.introDedupStream]]): classify the batch
+    * against every EARLIER batch's stored first-sites (the store is
+    * partitioned by ingest_batch and the probe reads only partitions
+    * < this one — so an at-least-once REPLAY reclassifies against exactly
+    * the same store state instead of seeing its own appended hashes as
+    * dup_store), write the per-doc audit under this batch's partition
+    * (dynamic overwrite), and append this batch's novel first-sites to
+    * the store under the same partition key. */
+  private[graft] def keyframeBatchApply(batch: DataFrame, storePath: String,
+      auditPath: String, ingestBatch: Long): Unit = {
+    val s = batch.sparkSession
+    val storeDir = storePath + "/keyframes"
+    val store =
+      try s.read.parquet(storeDir)
+        .filter(col("ingest_batch") < ingestBatch)
+        .select(col("h0"), col("first_doc"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          s.range(0).select(col("id").as("h0"), col("id").as("first_doc"))
+      }
+    val audit = keyframeAudit(batch.select(col("doc_id")), store)
+    audit.withColumn("ingest_batch", lit(ingestBatch))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic").parquet(auditPath)
+    audit.filter(col("verdict") === lit("novel"))
+      .select(col("h0"), col("doc_id").as("first_doc"))
+      .withColumn("ingest_batch", lit(ingestBatch))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic").parquet(storeDir)
+  }
+
+  /** q223 — INCREMENTAL INTRO DEDUP over a STORED KEYFRAME INDEX: the
+    * q74/q121/q192 index-once-apply-many discipline on the video tier —
+    * train the (frame-0 hash → first doc) index on the even half, persist
+    * it, then audit the odd half ("tonight's ingest") against store +
+    * in-batch WITHOUT re-scanning the indexed corpus: each new video is
+    * `dup_store` (its intro is already indexed), `dup_batch` (an earlier
+    * batch doc introduced it first — the within-ingest tie), or `novel`.
+    * The store is keyframe-hash-bounded, the batch pays one map-side hash
+    * pass + a broadcast store probe + a per-hash batch window; the full
+    * train+apply chain is replayed in DuckDB (the q192/q206/q212 oracle
+    * shape), so a hash, tie-break, or store slip mismatches the verdict
+    * rollup. */
+  val q223KeyframeStore: Q = (s, dir) => {
+    val all = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val store = graft.engine.Scratch.dir(s, "q223_kfstore")
+    keyframeStoreTrain(all.filter(col("doc_id") % 2 === 0), store)
+    keyframeAudit(all.filter(col("doc_id") % 2 === 1),
+        s.read.parquet(store + "/keyframes"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        min(col("doc_id")).as("min_doc"),
+        sum(col("h0") % 997).as("h_checksum"))
+      .orderBy(col("verdict"))
+  }
+
   /** q222 — COMPOSED MULTIMODAL CURATION PIPELINE (the q73/q211 ledger
     * discipline on the image/audio/video tiers): sharpness gate (q217's
     * Laplacian variance over the real decoded PNG) → audio activity gate
@@ -1912,6 +2006,7 @@ object MultimodalQueries extends QueryModule {
   }
 
   def queries: Map[String, Q] = Map(
+    "q223_keyframe_store" -> q223KeyframeStore,
     "q222_pipeline3" -> q222Pipeline3,
     "q221_keyframe_dedup" -> q221KeyframeDedup,
     "q219_shot_boundaries" -> q219ShotBoundaries,
@@ -2191,6 +2286,32 @@ object MultimodalQueries extends QueryModule {
         CAST(max(peak) AS BIGINT) AS peak_max,
         CAST(sum(abs_sum) AS BIGINT) AS abs_sum_total
       FROM st GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // the stored-index train+apply chain replayed end to end: even-half
+    // first-sites, odd-half probe with the same deterministic tie-break
+    "q223_keyframe_store" -> {
+      def h0expr =
+        "CAST(list_sum(flatten([[CASE WHEN ((x+1)*31 + y*17 + doc_id*7) % 250 > " +
+          "(x*31 + y*17 + doc_id*7) % 250 " +
+          "THEN (CAST(1 AS BIGINT) << (y * 7 + x)) ELSE 0 END " +
+          "for x in range(0, 7)] for y in range(0, 8)])) AS BIGINT)"
+      s"""
+      WITH hashes AS (SELECT doc_id, $h0expr AS h0 FROM documents),
+      store AS (SELECT h0, min(doc_id) AS first_doc FROM hashes
+        WHERE doc_id % 2 = 0 GROUP BY h0),
+      batch AS (SELECT doc_id, h0,
+          row_number() OVER (PARTITION BY h0 ORDER BY doc_id) AS rk
+        FROM hashes WHERE doc_id % 2 = 1),
+      v AS (SELECT b.doc_id, b.h0,
+          CASE WHEN s.first_doc IS NOT NULL THEN 'dup_store'
+               WHEN b.rk > 1 THEN 'dup_batch'
+               ELSE 'novel' END AS verdict
+        FROM batch b LEFT JOIN store s USING (h0))
+      SELECT verdict, count(*) AS n_docs,
+        CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        min(doc_id) AS min_doc,
+        CAST(sum(h0 % 997) AS BIGINT) AS h_checksum
+      FROM v GROUP BY verdict ORDER BY verdict"""
+    },
     // the three-stage multimodal chain replayed in one CTE pipeline:
     // q217's Laplacian gate, q210's amplitude walk as a ≥ 93.5% rate
     // (raw blobs pass), q221's frame-0 bucket minima — stage ledger rows

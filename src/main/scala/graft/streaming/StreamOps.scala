@@ -284,6 +284,23 @@ object StreamOps {
         batch, gramStorePath, dupSitesPath, L)
     }.start()
 
+  /** STREAMING intro dedup over the persisted keyframe-hash store (q223's
+    * twin — the video member of the incremental family): each micro-batch
+    * of doc ids classifies against every earlier batch's first-sites and
+    * appends its own novel ones,
+    * [[graft.operators.MultimodalQueries.keyframeBatchApply]]. Idempotence
+    * is the batch-id partition discipline taken one step further than the
+    * usual dynamic overwrite: the store probe reads ONLY partitions
+    * strictly below the current ingest id, so an at-least-once replay
+    * reclassifies against exactly the pre-batch store state instead of
+    * mistaking its own appended hashes for dup_store. */
+  def introDedupStream(docs: DataFrame, storePath: String, auditPath: String,
+      batchIdBase: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.MultimodalQueries.keyframeBatchApply(
+        batch, storePath, auditPath, batchIdBase + batchId)
+    }.start()
+
   /** STREAMING anomaly monitoring into the persisted daily-count store:
     * each micro-batch of (ts, event_type) events appends its per-day counts
     * via [[graft.operators.WindowQueries.anomalyBatchAppend]]; serving

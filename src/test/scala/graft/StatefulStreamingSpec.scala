@@ -853,6 +853,55 @@ class StatefulStreamingSpec extends SparkSpec {
     graft.engine.Sessions.releasePinned(spark)
   }
 
+  test("streaming intro dedup: store equals batch first-sites, replay reclassifies identically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.MultimodalQueries
+    val allIds = graft.engine.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val parts = allIds.grouped((allIds.size + 2) / 3).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_introstream").toString
+    val stream = MemoryStream[Long]
+    val q = StreamOps.introDedupStream(
+      stream.toDF().toDF("doc_id"), s"$dir/store", s"$dir/audit")
+    parts.foreach { p => stream.addData(p); q.processAllAvailable() }
+    q.stop()
+    // law 1: ORDERED ingestion makes the union of per-batch first-sites
+    // exactly the batch min-doc-per-hash index over the whole corpus
+    def storeSet = spark.read.parquet(s"$dir/store/keyframes")
+      .select(col("h0"), col("first_doc")).collect().map(_.toSeq).toSet
+    val gotStore = storeSet
+    val wantStore = MultimodalQueries.frame0Hashes(
+        graft.engine.Tables.load(spark, sfDir, "documents").select(col("doc_id")))
+      .groupBy(col("h0")).agg(min(col("doc_id")).as("first_doc"))
+      .collect().map(_.toSeq).toSet
+    assert(gotStore == wantStore, "streamed store must equal batch first-sites")
+    // law 2: each doc audited exactly once; novel ⟺ it IS its hash's
+    // global first site
+    def auditRows = spark.read.parquet(s"$dir/audit")
+      .select(col("doc_id"), col("h0"), col("verdict"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val audit = auditRows
+    assert(audit.length == allIds.size && audit.map(_._1).distinct.length == allIds.size)
+    val firstDocs = wantStore.map(_(1).asInstanceOf[Long])
+    audit.foreach { case (id, _, v) =>
+      assert((v == "novel") == firstDocs.contains(id),
+        s"doc $id verdict $v disagrees with global first-sites") }
+    // law 3: at-least-once replay of the LAST batch (fresh stream, same
+    // ingest id) reclassifies against the pre-batch store — audit and
+    // store must come out identical, not self-poisoned by its own appends
+    val before = (audit.toSet, gotStore)
+    val stream2 = MemoryStream[Long]
+    val q2 = StreamOps.introDedupStream(
+      stream2.toDF().toDF("doc_id"), s"$dir/store", s"$dir/audit",
+      batchIdBase = parts.size - 1L)
+    stream2.addData(parts.last); q2.processAllAvailable()
+    q2.stop()
+    assert((auditRows.toSet, storeSet) == before,
+      "replay must rewrite identically, never duplicate or self-poison")
+    graft.engine.Sessions.releasePinned(spark)
+  }
+
   test("streaming span masks equal the batch layout; replay rewrites, never duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
