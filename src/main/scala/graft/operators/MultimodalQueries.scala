@@ -1112,7 +1112,7 @@ object MultimodalQueries extends QueryModule {
     import s.implicits._
     Tables.load(s, dir, "documents")
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
+      .mapPartitions(_.flatMap { id =>
         val (base, off, edge) =
           if (id % 10 == 1) (id - 1, 2, false)
           else if (id % 10 == 5) (id - 3, 0, true)
@@ -1123,11 +1123,14 @@ object MultimodalQueries extends QueryModule {
           val m = if (edge && sx >= w - 2) 120 else 250
           (((sx * 31 + y * 17 + base * 7) % m) + off).toInt
         })
-        PngPixelCodec.decode(png) match {
-          case Some((dw, dh, _, px)) =>
-            val (hi, lo) = whash64(PgmCodec.resizeNearest(px, dw, dh, 16, 16))
-            (id, hi, lo)
-          case None => (id, -1L, -1L)
+        // decode failures are DROPPED, not sentinel-hashed: a shared
+        // (-1, -1) bucket for >= 2 failed blobs would masquerade as a
+        // dedup group and pass the n_imgs >= 2 filter with no oracle
+        // counterpart — absence keeps a failure visible as a row-count
+        // mismatch instead of a phantom shared-footage report
+        PngPixelCodec.decode(png).map { case (dw, dh, _, px) =>
+          val (hi, lo) = whash64(PgmCodec.resizeNearest(px, dw, dh, 16, 16))
+          (id, hi, lo)
         }
       })
       .toDF("doc_id", "whash_hi", "whash_lo")
@@ -1882,7 +1885,17 @@ object MultimodalQueries extends QueryModule {
         case _: org.apache.spark.sql.AnalysisException =>
           s.range(0).select(col("id").as("h0"), col("id").as("first_doc"))
       }
+    // materialize the audit ONCE before the two writes: without this the
+    // unpersisted plan re-runs frame0Hashes + the broadcast store probe +
+    // the row_number window per write, and the second write would scan
+    // storeDir while dynamically overwriting it (an overwrite-while-read
+    // hazard). localCheckpoint truncates the lineage entirely, so the
+    // novel-store write reads checkpointed blocks, never storeDir.
+    // (persist would keep the storeDir lineage alive for recompute-on-
+    // eviction — the same hazard — so checkpoint, not cache; the
+    // batch-sized blocks are freed by the ContextCleaner)
     val audit = keyframeAudit(batch.select(col("doc_id")), store)
+      .localCheckpoint(true)
     audit.withColumn("ingest_batch", lit(ingestBatch))
       .write.mode("overwrite").partitionBy("ingest_batch")
       .option("partitionOverwriteMode", "dynamic").parquet(auditPath)
@@ -2090,7 +2103,8 @@ object MultimodalQueries extends QueryModule {
         FROM w WHERE bits = 8
         UNION ALL
         SELECT doc_id, channels, bits,
-          [ascii(substr(text, 2*j - 1, 1)) + 256 * ascii(substr(text, 2*j, 1))
+          [(ascii(substr(text, 2*j - 1, 1)) + 256 * ascii(substr(text, 2*j, 1))
+              + 32768) % 65536 - 32768
             for j in range(1, m // 2 + 1)] AS amps
         FROM w WHERE bits = 16),
       e AS (
@@ -2140,7 +2154,8 @@ object MultimodalQueries extends QueryModule {
         FROM w WHERE bits = 8
         UNION ALL
         SELECT doc_id, channels, bits,
-          [ascii(substr(text, 2*j - 1, 1)) + 256 * ascii(substr(text, 2*j, 1))
+          [(ascii(substr(text, 2*j - 1, 1)) + 256 * ascii(substr(text, 2*j, 1))
+              + 32768) % 65536 - 32768
             for j in range(1, m // 2 + 1)] AS amps
         FROM w WHERE bits = 16),
       o AS (
@@ -2181,7 +2196,8 @@ object MultimodalQueries extends QueryModule {
         FROM w WHERE bits = 8
         UNION ALL
         SELECT doc_id, channels, bits,
-          [ascii(substr(text, 2*j - 1, 1)) + 256 * ascii(substr(text, 2*j, 1))
+          [(ascii(substr(text, 2*j - 1, 1)) + 256 * ascii(substr(text, 2*j, 1))
+              + 32768) % 65536 - 32768
             for j in range(1, m // 2 + 1)] AS amps
         FROM w WHERE bits = 16),
       st AS (
@@ -2227,7 +2243,8 @@ object MultimodalQueries extends QueryModule {
         FROM w WHERE bits = 8
         UNION ALL
         SELECT doc_id, channels, bits,
-          [ascii(substr(text, 2*j - 1, 1)) + 256 * ascii(substr(text, 2*j, 1))
+          [(ascii(substr(text, 2*j - 1, 1)) + 256 * ascii(substr(text, 2*j, 1))
+              + 32768) % 65536 - 32768
             for j in range(1, m // 2 + 1)] AS amps
         FROM w WHERE bits = 16),
       st AS (
@@ -2267,7 +2284,8 @@ object MultimodalQueries extends QueryModule {
         FROM w WHERE bits = 8
         UNION ALL
         SELECT doc_id, channels, bits,
-          [ascii(substr(text, 2*j - 1, 1)) + 256 * ascii(substr(text, 2*j, 1))
+          [(ascii(substr(text, 2*j - 1, 1)) + 256 * ascii(substr(text, 2*j, 1))
+              + 32768) % 65536 - 32768
             for j in range(1, m // 2 + 1)] AS amps
         FROM w WHERE bits = 16),
       st AS (
@@ -2348,7 +2366,8 @@ object MultimodalQueries extends QueryModule {
         FROM wv WHERE bits = 8
         UNION ALL
         SELECT doc_id, CAST(len([j for j in range(1, m2 // 2 + 1)
-            if abs(ascii(substr(text, 2*j - 1, 1)) + 256 * ascii(substr(text, 2*j, 1))) > 10]) AS BIGINT),
+            if abs((ascii(substr(text, 2*j - 1, 1)) + 256 * ascii(substr(text, 2*j, 1))
+              + 32768) % 65536 - 32768) > 10]) AS BIGINT),
           CAST(m2 // 2 AS BIGINT)
         FROM wv WHERE bits = 16),
       s2 AS (SELECT s1.* FROM s1

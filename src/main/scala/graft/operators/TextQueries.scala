@@ -1614,10 +1614,10 @@ object TextQueries extends QueryModule {
       val alphaSql = ("abcdefghijklmnopqrstuvwxyz".toSeq.map(_.toString) :+ " ")
         .map(c => s"'$c'").mkString("[", ", ", "]")
       s"""
-      WITH d AS (SELECT doc_id, source, text, strlen(text) AS n,
-          string_split(text, ' ') AS toks
-        FROM documents WHERE strlen(text) >= 4),
-      c AS (SELECT *, [n - strlen(replace(text, ch, '')) for ch in $alphaSql] AS cnts
+      WITH d AS (SELECT doc_id, source, text, length(text) AS n,
+          strlen(text) AS nb, string_split(text, ' ') AS toks
+        FROM documents WHERE length(text) >= 4),
+      c AS (SELECT *, [nb - strlen(replace(text, ch, '')) for ch in $alphaSql] AS cnts
         FROM d),
       c2 AS (SELECT *, list_append(cnts, n - list_sum(cnts)) AS cnts2 FROM c),
       h AS (SELECT doc_id, source,
