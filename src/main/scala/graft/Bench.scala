@@ -145,10 +145,19 @@ object Bench {
     // truncates long runs (r5/r6 both lost the head of the per-query map),
     // and the artifact must parse completely
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_timings.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    // round-stamped copy (VERDICT r12 §next-6): bench_timings.json is
+    // clobbered by every run, so cross-round comparisons needed git
+    // archaeology; SPARK_GRAFT_ROUND=<n> additionally writes an immutable
+    // bench_timings_r<n>.json with the full per-query times + passes +
+    // calibration. README §bench documents the convention.
+    val outs = out +: sys.env.get("SPARK_GRAFT_ROUND").toSeq
+      .map(r => s"bench_timings_r$r.json")
+    outs.foreach { o =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(o),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $o: ${e.getMessage}")
+      }
     }
     spark.stop()
     // Always exit 0: failures are recorded honestly in the "failed" field of

@@ -7,7 +7,7 @@ object Dev {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val name = args(1)
-    val reps = if (args.length > 2) args(2).toInt else 2
+    val reps = if (args.length > 2) scala.util.Try(args(2).toInt).getOrElse(2) else 2
     val doExplain = args.contains("explain")
     val spark = graft.engine.Sessions.build("graft-dev")
     if (name == "simham") {
@@ -298,9 +298,23 @@ object Dev {
       val right = spark.range(0, 40000).select(
         (col("id") % 9973).as("bk"), (col("id") * 173L % 5000000L).as("bt"),
         col("id").as("rid"))
-      for (auto <- Seq(false, true); i <- 1 to reps) {
-        if (auto) spark.conf.set(graft.plans.SkewSalt.SaltsConf, "16")
-        else spark.conf.unset(graft.plans.SkewSalt.SaltsConf)
+      // third leg (r13): stats-fed auto-salt — the statsPath conf replaces
+      // the per-join detection pass with a tiny stored-table read
+      val statsDir = "/tmp/graft_saltcost_stats"
+      spark.range(0, 1).select((col("id") + 7L).as("k"))
+        .write.mode("overwrite").parquet(statsDir)
+      for (mode <- Seq("off", "detect", "stored"); i <- 1 to reps) {
+        mode match {
+          case "off" =>
+            spark.conf.unset(graft.plans.SkewSalt.SaltsConf)
+            spark.conf.unset(graft.plans.SkewSalt.StatsPathConf)
+          case "detect" =>
+            spark.conf.set(graft.plans.SkewSalt.SaltsConf, "16")
+            spark.conf.unset(graft.plans.SkewSalt.StatsPathConf)
+          case _ =>
+            spark.conf.set(graft.plans.SkewSalt.SaltsConf, "16")
+            spark.conf.set(graft.plans.SkewSalt.StatsPathConf, statsDir)
+        }
         graft.engine.Sessions.releasePinned(spark)
         graft.engine.MetricsListener.drain(spark); metrics.reset()
         val t0 = System.nanoTime()
@@ -309,10 +323,64 @@ object Dev {
         val dt = (System.nanoTime() - t0) / 1e9
         graft.engine.MetricsListener.drain(spark)
         val m = metrics.snapshot
-        println(f"[dev] saltcost auto=$auto rep$i: $dt%.2fs rows=$n " +
+        println(f"[dev] saltcost mode=$mode rep$i: $dt%.2fs rows=$n " +
           s"shuffleRead=${m.shuffleReadBytes} shuffleWrite=${m.shuffleWriteBytes}")
       }
       spark.conf.unset(graft.plans.SkewSalt.SaltsConf)
+      spark.conf.unset(graft.plans.SkewSalt.StatsPathConf)
+      spark.stop()
+    } else if (name == "plans") {
+      // dump explain("formatted") for a list of queries to files — the
+      // plans/r13 evidence artifacts. Usage:
+      //   runMain graft.Dev <sfDir> plans <outDir> <q1,q2,...|all>
+      val outDir = args(2)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      val names =
+        if (args(3) == "all") SparkEntry.queries.keys.toSeq.sorted
+        else args(3).split(",").map(_.trim).toSeq
+      names.foreach { qn =>
+        val df = SparkEntry.queries(qn)(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, s"$qn.txt"), txt.getBytes("UTF-8"))
+        println(s"[dev] plan written: $outDir/$qn.txt")
+      }
+      spark.stop()
+    } else if (name == "probecache") {
+      // per-executor probe-index cache (VERDICT r12 §next-1): wall + build
+      // count of a many-task fact probing a broadcast dimension, cache off
+      // vs on. Off = every fact task re-groups/re-sorts the dimension
+      // (the old behavior); on = one build per JVM, tasks share the index.
+      // Usage: runMain graft.Dev ignored probecache [reps]
+      import org.apache.spark.sql.functions._
+      val nFact = 8000000L
+      val nDim = 1000000L
+      val fact = spark.range(0, nFact).select(
+        (col("id") % 997).as("k"), (col("id") * 131L % 100000000L).as("t"),
+        col("id").as("fid")).repartition(64)
+      val dim = spark.range(0, nDim).select(
+        (col("id") % 997).as("bk"), (col("id") * 173L % 100000000L).as("bt"),
+        col("id").as("rid"))
+      for (cached <- Seq(false, true); i <- 1 to reps) {
+        spark.conf.set(graft.plans.ProbeIndexCache.EnabledConf, cached.toString)
+        graft.engine.Sessions.releasePinned(spark)
+        val b0 = graft.plans.ProbeIndexCache.builds.get()
+        var t0 = System.nanoTime()
+        val nA = graft.plans.AsOf.join(fact, dim, Seq("k" -> "bk"), "t", "bt",
+          broadcast = Some(true)).count()
+        val dtA = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val nI = graft.plans.IntervalJoin.join(
+          fact.withColumn("te", col("t") + 50L), dim.withColumn("bte", col("bt") + 20L),
+          Seq("k" -> "bk"), "t", "te", "bt", "bte", "left_semi",
+          broadcast = Some(true)).count()
+        val dtI = (System.nanoTime() - t0) / 1e9
+        val builds = graft.plans.ProbeIndexCache.builds.get() - b0
+        println(f"[dev] probecache cached=$cached rep$i: asof=$dtA%.2fs " +
+          f"interval=$dtI%.2fs cacheBuilds=$builds asofRows=$nA semiRows=$nI")
+      }
+      spark.conf.unset(graft.plans.ProbeIndexCache.EnabledConf)
       spark.stop()
     } else if (name == "q135prof") {
       // stage timings for the containment pipeline

@@ -784,6 +784,36 @@ object AnalyticQueries extends QueryModule {
       .orderBy(col("key"))
   }
 
+  /** Co-purchase pair supports (a < b, supp ≥ 2) over distinct
+    * (order, part) rows — the edge builder shared by the whole graph tier
+    * (q100/q128/q140/q146/q152/q159/q189).
+    *
+    * ONE exchange instead of distinct + self-join (r13): per-order part
+    * sets aggregate directly off the scan (collect_set dedups (o, p) in
+    * the same pass the old `.distinct()` paid a separate exchange for),
+    * each order's pairs enumerate post-shuffle with a HOF over the sorted
+    * set (fan-out bounded by basket size — a handful of parts per order —
+    * and the numbered repartition keeps the enumeration spread across
+    * tasks, the spreadForFanout rationale), and the pair stream aggregates
+    * to supports. The old shape paid the distinct exchange, the self-join
+    * exchange(s), and the join-row materialization; the (a, b, supp) set
+    * is identical by construction, so every consumer's oracle is
+    * untouched. */
+  private def coPurchaseSupports(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    li.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("o"))
+      .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ps, (xi, i) ->
+             transform(slice(ps, i + 2, size(ps)), xj ->
+               struct(xi AS a, xj AS b))))""")).as("pr"))
+      .select(col("pr.a"), col("pr.b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= 2)
+  }
+
   /** q100 — TRIANGLE COUNTING over the co-purchase graph (parts sharing an
     * order, association-rule support ≥ 2), via DEGREE ORIENTATION — the
     * "curse of the last reducer" fix (Suri & Vassilvitskii, WWW 2011):
@@ -797,13 +827,7 @@ object AnalyticQueries extends QueryModule {
     * wedges = Σd(d−1)/2, triangles) — the clustering-coefficient
     * numerator/denominator, kept as integers. */
   val q100Triangles: Q = (s, dir) => {
-    val li = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
-      .select(col("a"), col("b"))
+    val e = coPurchaseSupports(s, dir).select(col("a"), col("b"))
       .cache() // read 3× (degrees, orientation, stats); swept by releasePinned
     val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -1129,13 +1153,7 @@ object AnalyticQueries extends QueryModule {
     * as one CC round, diameter-independent by construction since rounds
     * are fixed. Oracle: 3 rounds unrolled as CTEs (q91's discipline). */
   val q128LabelPropagation: Q = (s, dir) => {
-    val li = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
-      .select(col("a"), col("b"))
+    val e = coPurchaseSupports(s, dir).select(col("a"), col("b"))
     val (sym, symPin) = graft.engine.Pin.pin(
       e.select(col("a").as("v"), col("b").as("u"))
         .union(e.select(col("b").as("v"), col("a").as("u"))))
@@ -1174,13 +1192,7 @@ object AnalyticQueries extends QueryModule {
     * hop −1 — reachability and distance in one output. Oracle: 4 unrolled
     * MATERIALIZED CTE layers (q140's exponential-re-inline fix). */
   val q152BfsHops: Q = (s, dir) => {
-    val li = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
-      .select(col("a"), col("b"))
+    val e = coPurchaseSupports(s, dir).select(col("a"), col("b"))
     val (sym, symPin) = graft.engine.Pin.pin(
       e.select(col("a").as("v"), col("b").as("u"))
         .union(e.select(col("b").as("v"), col("a").as("u"))))
@@ -1215,12 +1227,7 @@ object AnalyticQueries extends QueryModule {
     * == floor, the q170 sign-safety rule). Oracle: 4 unrolled MATERIALIZED
     * relaxation layers, min over (carry, edge-extend) per layer. */
   val q189Sssp: Q = (s, dir) => {
-    val li = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
+    val e = coPurchaseSupports(s, dir)
       .select(col("a"), col("b"), expr("1000000L div supp").as("w"))
     val (sym, symPin) = graft.engine.Pin.pin(
       e.select(col("a").as("v"), col("b").as("u"), col("w"))
@@ -1315,13 +1322,7 @@ object AnalyticQueries extends QueryModule {
     * micro-unit integer division, total order (score desc, a, b) so the
     * top-20 boundary is deterministic. */
   val q159LinkPrediction: Q = (s, dir) => {
-    val li = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
-      .select(col("a"), col("b"))
+    val e = coPurchaseSupports(s, dir).select(col("a"), col("b"))
     val (sym, symPin) = graft.engine.Pin.pin(
       e.select(col("a").as("v"), col("b").as("u"))
         .union(e.select(col("b").as("v"), col("a").as("u"))))
@@ -1392,31 +1393,38 @@ object AnalyticQueries extends QueryModule {
     val reps = 32
     // Poisson(1) CDF at 1e-6 grid: P(X<=k) for k = 0..6, then cap
     val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L)
-    val h = "pmod(pmod(o_orderkey * (2 * r + 1), 999983) * 2654435761, 1000000)"
-    val wExpr = cdf.zipWithIndex.foldRight(s"${cdf.length}L") {
-      case ((t, k), elseB) => s"IF($h < $t, ${k}L, $elseB)"
+    def wExpr(r: Int): String = {
+      val h = s"pmod(pmod(o_orderkey * (2 * $r + 1), 999983) * 2654435761, 1000000)"
+      cdf.zipWithIndex.foldRight(s"${cdf.length}L") {
+        case ((t, k), elseB) => s"IF($h < $t, ${k}L, $elseB)"
+      }
     }
-    val weighted = Tables.load(s, dir, "orders")
-      .select(col("o_orderpriority").as("grp"), col("o_orderkey"),
-        Num.cents(col("o_totalprice")).as("cents"))
-      .select(col("grp"), col("cents"),
-        explode(expr(s"transform(sequence(0, ${reps - 1}), r -> struct(r, $wExpr AS w))"))
-          .as("rw"))
-      .select(col("grp"), col("cents"),
-        col("rw.r").as("r"), col("rw.w").as("w"))
-    val replicas = weighted
-      .groupBy(col("grp"), col("r"))
-      .agg(sum(col("cents") * col("w")).as("rsum"), sum(col("w")).as("rn"))
-      .withColumn("rmean", expr("rsum div rn"))
+    // r13: the 32 replica (Σw·x, Σw) pairs are 64 AGGREGATE COLUMNS of one
+    // map-side pass — the old shape exploded every row 32× (4.8M
+    // intermediate rows at sf0.1) to feed a (grp, r)-keyed aggregation;
+    // per-replica sums are associative per row, so they fold column-wise
+    // with no row expansion at all. Per (grp, r) the sums, the integer
+    // rmean, the null-on-empty-replica edge (rn = 0 → div null, dropped
+    // from the order statistics exactly as collect_list dropped it), and
+    // n_reps = 32 rows per group are all identical by construction.
+    val withW = Tables.load(s, dir, "orders")
+      .select(Seq(col("o_orderpriority").as("grp"),
+        Num.cents(col("o_totalprice")).as("cents")) ++
+        (0 until reps).map(r => expr(wExpr(r)).as(s"w_$r")): _*)
+    val aggCols = (0 until reps).flatMap { r =>
+      Seq(sum(col("cents") * col(s"w_$r")).as(s"rsum_$r"),
+        sum(col(s"w_$r")).as(s"rn_$r"))
+    }
+    val replicas = withW.groupBy(col("grp")).agg(aggCols.head, aggCols.tail: _*)
+      .select(col("grp"), lit(reps.toLong).as("n_reps"),
+        array_sort(expr((0 until reps).map(r => s"rsum_$r div rn_$r")
+          .mkString("filter(array(", ", ", "), x -> x IS NOT NULL)"))).as("ms"))
     val point = Tables.load(s, dir, "orders")
       .groupBy(col("o_orderpriority").as("grp"))
       .agg(count(lit(1)).as("n_rows"),
         expr("sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) div count(1)")
           .as("mean_cents"))
     replicas
-      .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n_reps"),
-        array_sort(collect_list(col("rmean"))).as("ms"))
       .select(col("grp"), col("n_reps"),
         element_at(col("ms"), 2).as("boot_lo"),
         element_at(col("ms"), 31).as("boot_hi"))
@@ -1669,13 +1677,7 @@ object AnalyticQueries extends QueryModule {
   }
 
   val q140KCore: Q = (s, dir) => {
-    val li = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e0 = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
-      .select(col("a"), col("b"))
+    val e0 = coPurchaseSupports(s, dir).select(col("a"), col("b"))
     val edges = kCoreEdges(e0, k = 3)
     val coreDeg = edges.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -1747,11 +1749,9 @@ object AnalyticQueries extends QueryModule {
   val q146AssociationRules: Q = (s, dir) => {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      .cache() // read 3×: pair supports, item supports, order total
-    val pairs = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("supp_ab")).filter(col("supp_ab") >= 2)
+      .cache() // read 2×: item supports, order total (pairs build their own)
+    val pairs = coPurchaseSupports(s, dir)
+      .withColumnRenamed("supp", "supp_ab")
     val item = li.groupBy(col("p")).agg(count(lit(1)).as("supp"))
     val total = li.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
     val rules = pairs.select(explode(array(

@@ -906,22 +906,25 @@ object DedupQueries extends QueryModule {
     * rewritten merge-by-merge. */
   val q134CcIncremental: Q = (s, dir) => {
     val isNew = col("doc_id") % 7 === 3
-    val docs = Tables.load(s, dir, "documents")
+    // shingle + sign the corpus ONCE (r13): the old-only bootstrap and the
+    // gated ingest both derive from one cached shingle frame and one
+    // cached signature frame — the old 6/7 of the corpus used to be
+    // re-shingled AND re-minhashed in each pass (shingling and minhash_sig
+    // are per-row, so filter-then-shingle ≡ shingle-then-filter and the
+    // bootstrap's bands/pairs are bit-identical to the two-pass form;
+    // verifyPairs joins candidates on doc_id, so the full shingle frame
+    // resolves old-only pairs to exactly the old rows)
+    val sh = shingled(s, dir).cache()
+    val sigs = minhashSigs(sh, "sh").withColumn("is_new", isNew).cache()
     // bootstrap: old-only graph → labels → persisted store
-    val shOld = shingledDocs(docs.filter(!isNew)).cache()
-    val bandsOld = lshBands(shOld, "sh").cache()
-    val pairsOld = verifyPairs(bandPairs(bandsOld), shOld)
+    val pairsOld = verifyPairs(
+      bandPairs(bandRows(sigs.filter(!col("is_new")).drop("is_new"))), sh)
       .select(col("i"), col("j"))
     val labelStore = graft.engine.Scratch.dir(s, "cc_labels") + "/labels"
     connectedComponentsAuto(pairsOld)
       .write.mode("overwrite").parquet(labelStore)
-    shOld.unpersist(blocking = false)
-    bandsOld.unpersist(blocking = false)
     // ingest: new-involving pairs only (q74's gated banding)
-    val sh = shingled(s, dir).cache()
-    val bands = bandRows(
-      minhashSigs(sh, "sh").withColumn("is_new", isNew),
-      meta = Seq("is_new"))
+    val bands = bandRows(sigs, meta = Seq("is_new"))
     val pairsNew = verifyPairs(
       bandPairs(bands, gate = Some(col("x.is_new") || col("y.is_new"))), sh)
       .select(col("i"), col("j"))
@@ -930,6 +933,7 @@ object DedupQueries extends QueryModule {
       .select(col("id").as("i"), col("lbl").as("j"))
     val labels = connectedComponentsAuto(storedEdges.union(pairsNew))
     sh.unpersist(blocking = false)
+    sigs.unpersist(blocking = false)
     labels
       .groupBy(col("lbl").as("keep_id"))
       .agg(count(lit(1)).as("n_members"),
@@ -976,13 +980,31 @@ object DedupQueries extends QueryModule {
     * construction (SkewStressSpec pins both the bound and the recall
     * contract: pairs sharing only ubiquitous grams are invisible). */
   private[graft] def containmentCandidates(sh: DataFrame, dfCap: Int): DataFrame = {
+    // ONE exchange, not a postings self-join (the fuzzyPairsDeletion shape,
+    // r13): `sh` is array_distinct per doc, so a gram's document frequency
+    // IS its posting-set size — one gram-keyed aggregation collects the
+    // posting set, the df cap becomes a size() filter on it, and the ≤
+    // C(cap,2) pairs per bucket enumerate AFTER the exchange with a HOF
+    // over the sorted member list. The old plan aggregated df, joined the
+    // rare grams back onto the postings, and self-joined the keyed rows —
+    // three exchanges of the exploded gram stream plus a duplicated
+    // subtree; this one shuffles the compact (doc_id, g) rows once.
+    // Numbered repartition spreads the pair fan-out (join/explode OUTPUT,
+    // which AQE coalescing cannot anticipate — the spreadForFanout
+    // rationale) and the groupBy reuses its exchange. Candidate set and
+    // recall contract are IDENTICAL: pairs sharing ≥ 1 gram with df ≤ cap
+    // (SkewStressSpec pins the bound and the capped-recall trade).
     val grams = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select(col("g"))
-    val keyed = grams.join(rare, "g")
-    keyed.as("x").join(keyed.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j")).distinct()
+    grams.repartition(
+        grams.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("g"))
+      .groupBy(col("g")).agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= dfCap)
+      .select(explode(expr(
+        """flatten(transform(ds, (xi, i) ->
+             transform(slice(ds, i + 2, size(ds)), xj ->
+               struct(xi AS i, xj AS j))))""")).as("p"))
+      .select(col("p.i"), col("p.j")).distinct()
   }
 
   val q135Containment: Q = (s, dir) => {

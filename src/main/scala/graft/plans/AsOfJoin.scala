@@ -274,7 +274,9 @@ case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
     val builder = probeBuilder
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions({ lIter =>
-      val index = builder.build(broadcastRows.value)
+      // built once per executor per (join, broadcast) — NOT per task; see
+      // ProbeIndexCache (the HashedRelation-broadcast analogue)
+      val index = builder.buildCached(broadcastRows)
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val lTimeEval = BindReferences.bindReference(lTimeExpr, lOut)
       val joined = new JoinedRow
@@ -316,16 +318,16 @@ case class BroadcastAsOfJoinExec(leftKeys: Seq[Expression],
 
   override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
       row: ExprCode): String = {
-    // index: built once per task in generated-class init, from the same
-    // builder the iterator path uses
+    // index: fetched from the per-executor cache in generated-class init
+    // (built by the FIRST task of this join on the JVM, shared by the
+    // rest), from the same builder the iterator path uses
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     val builderRef = ctx.addReferenceObj("asofBuilder", probeBuilder,
       classOf[AsOfProbeBuilder].getName)
     val bcastRef = ctx.addReferenceObj("asofBroadcast", broadcastRows,
       classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
     val idxTerm = ctx.addMutableState(classOf[AsOfProbeIndex].getName,
-      "asofIndex", v => s"$v = $builderRef.build(" +
-        s"(org.apache.spark.sql.catalyst.InternalRow[]) $bcastRef.value());")
+      "asofIndex", v => s"$v = $builderRef.buildCached($bcastRef);")
     // stream-side key (UnsafeRow — binary-equal to the index keys, the
     // null-keys-group-together convention) and probe time
     ctx.currentVars = input
@@ -452,6 +454,9 @@ object AsOf {
           right.queryExecution.optimizedPlan))
       joinSalted(left, right, keys, leftTimeCol, rightTimeCol, strict,
         tolerance, salts = SkewSalt.autoSalts(left.sparkSession),
+        // stored stats (statsPath conf) replace the per-join detection
+        // pass when present; else joinSalted runs the exact counting pass
+        hotKeys = SkewSalt.autoHotKeys(left.sparkSession, keys.map(_._1)),
         hotThreshold = SkewSalt.autoThreshold(left.sparkSession),
         broadcast = broadcast.orElse(Some(false)))
     else joinPlain(left, right, keys, leftTimeCol, rightTimeCol, strict,

@@ -47,6 +47,24 @@ final class AsOfProbeIndex(
 final class AsOfProbeBuilder(rOut: Seq[Attribute], rKeys: Seq[Expression],
     rTime: Expression, strict: Boolean, tolerance: Option[Long])
   extends Serializable {
+  /** Assigned on the driver; every task of this join deserializes the same
+    * value — the per-join half of the [[ProbeIndexCache]] key. */
+  private val builderId: Long = ProbeIndexCache.newBuilderId()
+  // plan-time snapshot of the A/B toggle (builders are constructed on the
+  // driver, where SQLConf.get is the session conf)
+  private val cacheEnabled: Boolean = ProbeIndexCache.enabledInConf
+
+  /** Per-executor-cached build: the first task of this (join, broadcast)
+    * pair on a JVM builds the index, every later task shares it — the
+    * index is immutable after construction (lookup is read-only). Called
+    * from both doExecute and the generated class init. */
+  def buildCached(
+      bcast: org.apache.spark.broadcast.Broadcast[Array[InternalRow]])
+      : AsOfProbeIndex =
+    if (!cacheEnabled) build(bcast.value)
+    else ProbeIndexCache.getOrBuild(bcast.id, builderId)(build(bcast.value))
+      .asInstanceOf[AsOfProbeIndex]
+
   def build(rows: Array[InternalRow]): AsOfProbeIndex = {
     val keyProj = UnsafeProjection.create(rKeys, rOut)
     val timeEval = BindReferences.bindReference(rTime, rOut)
@@ -170,12 +188,28 @@ final class AsOfMergeCursorBuilder(lOut: Seq[Attribute], rOut: Seq[Attribute],
   * the outer null-extension), a bare left row for semi/anti — exactly the
   * step machine the exec's iterator ran inline (same arrival order,
   * pruning, eviction proofs, and mode semantics; the copies pended here
-  * are immutable UnsafeRows, safe for downstream buffering). */
+  * are immutable UnsafeRows, safe for downstream buffering).
+  *
+  * STATE IS SPILLABLE (VERDICT r12 §next-2): the active lists and the
+  * pending queue live in [[SpillableActives]]/[[SpillableFifo]] — in
+  * memory up to `spark.graft.interval.sweep.spillThreshold` bytes per
+  * structure, sequential disk beyond, every spilled byte visible in the
+  * exec's `spillBytes` metric. A pathological key (hundreds of thousands
+  * of concurrently-open intervals) now completes at disk bandwidth instead
+  * of OOMing; the per-arrival work stays O(live state), exactly the
+  * in-memory sweep's bound. Each arrival's prune and pair scans are FUSED
+  * into one rewrite pass per opposite-side store, so spilled state is read
+  * and rewritten at most once per arrival; within one arrival the eviction
+  * emissions (outer/anti dead-lefts) interleave with pair emissions in
+  * entry order rather than strictly preceding them — a reordering within
+  * one partition's output stream, which the exec declares unordered
+  * (no `outputOrdering`), so no consumer may observe it. */
 final class IntervalSweepCursor(lIter: Iterator[InternalRow],
     rIter: Iterator[InternalRow],
     lKeyProj: UnsafeProjection, rKeyProj: UnsafeProjection,
     lSe: Expression, lEe: Expression, rSe: Expression, rEe: Expression,
-    keyOrd: Ordering[InternalRow], mode: String) {
+    keyOrd: Ordering[InternalRow], mode: String,
+    lFields: Int, rFields: Int, spillThreshold: Long, spillMetric: SQLMetric) {
 
   private final class Side(it: Iterator[InternalRow],
       keyProj: UnsafeProjection, sEv: Expression, eEv: Expression) {
@@ -194,53 +228,33 @@ final class IntervalSweepCursor(lIter: Iterator[InternalRow],
       } else { row = null; key = null; start = null; end = null }
   }
 
-  private final class ActiveL(val end: Long, val row: InternalRow,
-    var matched: Boolean)
-
   private val lc = new Side(lIter, lKeyProj, lSe, lEe)
   private val rc = new Side(rIter, rKeyProj, rSe, rEe)
-  private val activeL = scala.collection.mutable.ArrayBuffer.empty[ActiveL]
-  private val activeR = scala.collection.mutable.ArrayBuffer.empty[(Long, InternalRow)]
+  // actives: (end, matched, row); matched is only consulted for left-side
+  // entries (outer's null-extension proof, semi's emit-once, anti's keep)
+  private val activeL = new SpillableActives(lFields, spillThreshold, spillMetric)
+  private val activeR = new SpillableActives(rFields, spillThreshold, spillMetric)
   private var curKey: UnsafeRow = _
   private var flushed = false
-  // pending output units: [left, right-or-null] (ArrayDeque rejects nulls,
-  // so units are 2-slot arrays)
-  private val pending = new java.util.ArrayDeque[Array[InternalRow]]()
+  private val pending = new SpillableFifo(lFields, rFields,
+    spillThreshold, spillMetric)
   private var cur: Array[InternalRow] = _
 
-  private def pend(l: InternalRow, r: InternalRow): Unit =
-    pending.addLast(Array(l, r))
+  private def pend(l: InternalRow, r: InternalRow): Unit = pending.add(l, r)
 
   /** Emit a proven-dead unmatched left per mode (outer/anti). */
-  private def emitDeadLeft(e: ActiveL): Unit =
-    if (!e.matched) mode match {
-      case "left_outer" | "left_anti" => pend(e.row, null)
+  private def emitDeadLeft(matched: Boolean, row: InternalRow): Unit =
+    if (!matched) mode match {
+      case "left_outer" | "left_anti" => pend(row, null)
       case _ => ()
     }
 
-  private def pruneRight(start: Long): Unit = {
-    var w = 0; var i = 0
-    while (i < activeR.length) {
-      if (activeR(i)._1 >= start) { if (w != i) activeR(w) = activeR(i); w += 1 }
-      i += 1
-    }
-    activeR.dropRightInPlace(activeR.length - w)
-  }
-
-  private def pruneLeft(start: Long): Unit = {
-    var w = 0; var i = 0
-    while (i < activeL.length) {
-      if (activeL(i).end >= start) { if (w != i) activeL(w) = activeL(i); w += 1 }
-      else emitDeadLeft(activeL(i))
-      i += 1
-    }
-    activeL.dropRightInPlace(activeL.length - w)
-  }
-
   private def flushLeft(): Unit = {
-    var i = 0
-    while (i < activeL.length) { emitDeadLeft(activeL(i)); i += 1 }
-    activeL.clear(); activeR.clear()
+    activeL.scanRewrite { (_, matched, row) =>
+      emitDeadLeft(matched, row); activeL.DROP
+    }
+    activeR.clear()
+    ()
   }
 
   /** Consume one arrival (the side with the smaller (key, start)). */
@@ -269,23 +283,25 @@ final class IntervalSweepCursor(lIter: Iterator[InternalRow],
     if (takeLeft) {
       if (valid) {
         val sv = c.start.longValue()
-        pruneRight(sv)
-        val anyMatch = activeR.nonEmpty
         val lCopy = c.row.asInstanceOf[UnsafeRow].copy()
-        mode match {
-          case "inner" | "left_outer" =>
-            var i = 0
-            while (i < activeR.length) { pend(lCopy, activeR(i)._2); i += 1 }
-          case "left_semi" =>
-            if (anyMatch) pend(lCopy, null)
-          case _ => ()
+        // ONE fused pass over activeR: drop proven-dead rights (end < sv),
+        // pair the arriving left with every survivor (inner/outer)
+        val pairHere = mode == "inner" || mode == "left_outer"
+        val survivors = activeR.scanRewrite { (end, _, row) =>
+          if (end < sv) activeR.DROP
+          else {
+            if (pairHere) pend(lCopy, row)
+            activeR.KEEP
+          }
         }
+        val anyMatch = survivors > 0
+        if (mode == "left_semi" && anyMatch) pend(lCopy, null)
         // keep in state only while a future right could still matter
         val keep = mode match {
           case "inner" | "left_outer" => true
           case _ => !anyMatch
         }
-        if (keep) activeL += new ActiveL(c.end.longValue(), lCopy, anyMatch)
+        if (keep) activeL.append(c.end.longValue(), anyMatch, lCopy)
       } else {
         // null/malformed bounds never match — outer/anti emit now
         mode match {
@@ -296,25 +312,23 @@ final class IntervalSweepCursor(lIter: Iterator[InternalRow],
       }
     } else if (valid) {
       val sv = c.start.longValue()
-      pruneLeft(sv)
       val rCopy = c.row.asInstanceOf[UnsafeRow].copy()
-      var w = 0; var i = 0
-      while (i < activeL.length) {
-        val e = activeL(i)
-        mode match {
-          case "inner" | "left_outer" => pend(e.row, rCopy)
-          case "left_semi" => if (!e.matched) pend(e.row, null)
-          case _ => ()
+      // ONE fused pass over activeL: evict proven-dead lefts (end < sv,
+      // emitting outer/anti), pair/mark the survivors per mode; semi/anti
+      // entries are DONE once matched — dropped from state immediately
+      activeL.scanRewrite { (end, matched, row) =>
+        if (end < sv) { emitDeadLeft(matched, row); activeL.DROP }
+        else mode match {
+          case "inner" | "left_outer" =>
+            pend(row, rCopy); activeL.KEEP_MATCHED
+          case "left_semi" =>
+            if (!matched) pend(row, null)
+            activeL.DROP
+          case _ => // left_anti: matched ⇒ proven non-emitting, forget it
+            activeL.DROP
         }
-        e.matched = true
-        // semi/anti entries are DONE once matched — drop from state
-        val keep = mode == "inner" || mode == "left_outer"
-        if (keep) { if (w != i) activeL(w) = e; w += 1 }
-        i += 1
       }
-      if (mode == "left_semi" || mode == "left_anti")
-        activeL.dropRightInPlace(activeL.length - w)
-      activeR += ((c.end.longValue(), rCopy))
+      activeR.append(c.end.longValue(), false, rCopy)
     }
     c.advance()
   }
@@ -324,7 +338,7 @@ final class IntervalSweepCursor(lIter: Iterator[InternalRow],
     while (pending.isEmpty && (lc.row != null || rc.row != null)) step()
     if (pending.isEmpty && !flushed) { flushLeft(); flushed = true }
     if (pending.isEmpty) return false
-    cur = pending.pollFirst()
+    cur = pending.poll()
     true
   }
 
@@ -334,13 +348,16 @@ final class IntervalSweepCursor(lIter: Iterator[InternalRow],
 }
 
 /** Serializable factory for [[IntervalSweepCursor]] — binds per task,
-  * Java-plain signature for generated code. */
+  * Java-plain signature for generated code. The spill threshold is read
+  * from the session conf at PLAN time (driver) and travels with the
+  * builder; the spill metric is the exec's, passed per task. */
 final class IntervalSweepCursorBuilder(lOut: Seq[Attribute],
     rOut: Seq[Attribute], lKeys: Seq[Expression], rKeys: Seq[Expression],
     lStart: Expression, lEnd: Expression, rStart: Expression, rEnd: Expression,
     mode: String) extends Serializable {
-  def create(lIter: Iterator[InternalRow], rIter: Iterator[InternalRow])
-      : IntervalSweepCursor =
+  private val spillThreshold: Long = SweepSpill.thresholdInConf
+  def create(lIter: Iterator[InternalRow], rIter: Iterator[InternalRow],
+      spillMetric: SQLMetric): IntervalSweepCursor =
     new IntervalSweepCursor(lIter, rIter,
       UnsafeProjection.create(lKeys, lOut), UnsafeProjection.create(rKeys, rOut),
       BindReferences.bindReference(lStart, lOut),
@@ -349,7 +366,7 @@ final class IntervalSweepCursorBuilder(lOut: Seq[Attribute],
       BindReferences.bindReference(rEnd, rOut),
       org.apache.spark.sql.catalyst.expressions.RowOrdering
         .createNaturalAscendingOrdering(lKeys.map(_.dataType)),
-      mode)
+      mode, lOut.length, rOut.length, spillThreshold, spillMetric)
 }
 
 object IntervalProbeIndex {
@@ -413,7 +430,32 @@ final class IntervalProbeIndex(
 
 final class IntervalProbeBuilder(rOut: Seq[Attribute], rKeys: Seq[Expression],
     rStart: Expression, rEnd: Expression) extends Serializable {
-  def newProbe(rows: Array[InternalRow], scanned: SQLMetric): IntervalProbeIndex = {
+  /** Assigned on the driver; every task of this join deserializes the same
+    * value — the per-join half of the [[ProbeIndexCache]] key. */
+  private val builderId: Long = ProbeIndexCache.newBuilderId()
+  // plan-time snapshot of the A/B toggle (builders are constructed on the
+  // driver, where SQLConf.get is the session conf)
+  private val cacheEnabled: Boolean = ProbeIndexCache.enabledInConf
+
+  /** Per-executor-cached probe: the grouped/sorted index MAP (the heavy,
+    * immutable part) is built once per (join, broadcast) pair per JVM; the
+    * returned [[IntervalProbeIndex]] is a cheap PER-TASK cursor over the
+    * shared map — the cursor is mutable (`init`/`next` state) and so must
+    * never itself be shared between tasks. */
+  def newProbeCached(
+      bcast: org.apache.spark.broadcast.Broadcast[Array[InternalRow]],
+      scanned: SQLMetric): IntervalProbeIndex = {
+    if (!cacheEnabled) return newProbe(bcast.value, scanned)
+    val map = ProbeIndexCache.getOrBuild(bcast.id, builderId)(buildMap(bcast.value))
+      .asInstanceOf[java.util.HashMap[UnsafeRow, IntervalProbeIndex.Entry]]
+    new IntervalProbeIndex(map, scanned)
+  }
+
+  def newProbe(rows: Array[InternalRow], scanned: SQLMetric): IntervalProbeIndex =
+    new IntervalProbeIndex(buildMap(rows), scanned)
+
+  private def buildMap(rows: Array[InternalRow])
+      : java.util.HashMap[UnsafeRow, IntervalProbeIndex.Entry] = {
     val keyProj = UnsafeProjection.create(rKeys, rOut)
     val sEval = BindReferences.bindReference(rStart, rOut)
     val eEval = BindReferences.bindReference(rEnd, rOut)
@@ -451,6 +493,6 @@ final class IntervalProbeBuilder(rOut: Seq[Attribute], rKeys: Seq[Expression],
       map.put(k, new IntervalProbeIndex.Entry(starts, ends, pmax, rws))
       ()
     }
-    new IntervalProbeIndex(map, scanned)
+    map
   }
 }

@@ -110,7 +110,12 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
 
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "number of output rows"))
+      .createMetric(sparkContext, "number of output rows"),
+    // bytes of sweep state (actives/pending) spilled to disk — nonzero only
+    // when a key's concurrent overlap depth outgrows the per-task budget
+    // (spark.graft.interval.sweep.spillThreshold); see SweepSpill
+    "spillBytes" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createSizeMetric(sparkContext, "sweep state spill size"))
 
   /** The plane sweep as a shared compiled cursor ([[IntervalSweepCursor]])
     * — one step machine behind both the iterator path and the generated
@@ -132,8 +137,9 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
     val mode = joinType
     val builder = cursorBuilder
     val numOutput = longMetric("numOutputRows")
+    val spill = longMetric("spillBytes")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val cursor = builder.create(lIter, rIter)
+      val cursor = builder.create(lIter, rIter, spill)
       val joined = new JoinedRow
       val nullRight = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(rOut.length)
@@ -181,9 +187,10 @@ case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression
   override protected def doProduce(ctx: CodegenContext): String = {
     val builderRef = ctx.addReferenceObj("intervalSweepBuilder", cursorBuilder,
       classOf[IntervalSweepCursorBuilder].getName)
+    val spillTerm = metricTerm(ctx, "spillBytes")
     val cursorTerm = ctx.addMutableState(classOf[IntervalSweepCursor].getName,
       "intervalSweepCursor",
-      v => s"$v = $builderRef.create(inputs[0], inputs[1]);")
+      v => s"$v = $builderRef.create(inputs[0], inputs[1], $spillTerm);")
     val numOutput = metricTerm(ctx, "numOutputRows")
     val lTerm = ctx.freshName("sweepLeftRow")
     val mTerm = ctx.freshName("sweepRightRow")
@@ -314,10 +321,12 @@ case class BroadcastIntervalJoinExec(leftKeys: Seq[Expression],
     val builder = probeBuilder
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions({ lIter =>
-      // one mutable cursor per task: Iterator.flatMap consumes each row's
-      // sub-iterator fully (or abandons the whole stream) before the next
-      // init, so the shared cursor is safe
-      val probe = builder.newProbe(broadcastRows.value, scanned)
+      // one mutable cursor per task (Iterator.flatMap consumes each row's
+      // sub-iterator fully — or abandons the whole stream — before the
+      // next init) over the per-executor-cached index map: the heavy
+      // group/sort build happens once per (join, broadcast) per JVM, not
+      // per task; see ProbeIndexCache
+      val probe = builder.newProbeCached(broadcastRows, scanned)
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val lSe = BindReferences.bindReference(lS, lOut)
       val lEe = BindReferences.bindReference(lE, lOut)
@@ -398,9 +407,8 @@ case class BroadcastIntervalJoinExec(leftKeys: Seq[Expression],
       classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
     val scannedTerm = metricTerm(ctx, "candidatesScanned")
     val probeTerm = ctx.addMutableState(classOf[IntervalProbeIndex].getName,
-      "intervalProbe", v => s"$v = $builderRef.newProbe(" +
-        s"(org.apache.spark.sql.catalyst.InternalRow[]) $bcastRef.value(), " +
-        s"$scannedTerm);")
+      "intervalProbe", v => s"$v = $builderRef.newProbeCached(" +
+        s"$bcastRef, $scannedTerm);")
     ctx.currentVars = input
     val keyEv = GenerateUnsafeProjection.createCode(ctx,
       leftKeys.map(BindReferences.bindReference(_, left.output)))
@@ -563,6 +571,9 @@ object IntervalJoin {
           right.queryExecution.optimizedPlan))
       joinSalted(left, right, keys, leftStartCol, leftEndCol, rightStartCol,
         rightEndCol, joinType, salts = SkewSalt.autoSalts(left.sparkSession),
+        // stored stats (statsPath conf) replace the per-join detection
+        // pass when present; else joinSalted runs the exact counting pass
+        hotKeys = SkewSalt.autoHotKeys(left.sparkSession, keys.map(_._1)),
         hotThreshold = SkewSalt.autoThreshold(left.sparkSession),
         broadcast = broadcast.orElse(Some(false)))
     else joinPlain(left, right, keys, leftStartCol, leftEndCol,

@@ -57,10 +57,31 @@ object SkewSalt {
   val SaltsConf = "spark.graft.skew.autoSalt.salts"
   val ThresholdConf = "spark.graft.skew.autoSalt.threshold"
 
+  /** STORED-STATS source for the automatic rewrite (VERDICT r12 §next-5):
+    * `spark.graft.skew.autoSalt.statsPath` names a parquet of known-hot
+    * keys — a q110-profiler output, a prior run's detection result, or a
+    * curated tracking table — whose COLUMN NAMES must cover the LEFT key
+    * columns of each auto-salted join. When set, the rewrite reads the
+    * (tiny, key-only) stats table instead of running the exact
+    * `groupBy(keys).count` detection pass over the fact side — fleet-wide
+    * enablement then costs zero extra fact scans per join. Keys absent
+    * from the stats frame are simply not salted (same contract as an
+    * explicit `hotKeys` argument, which this is sugar for). */
+  val StatsPathConf = "spark.graft.skew.autoSalt.statsPath"
+
   private[plans] def autoSalts(spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.get(SaltsConf, "0").toInt
   private[plans] def autoThreshold(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.get(ThresholdConf, "5000000").toLong
+
+  /** The conf-named stored hot-key frame, projected to `keys` — None when
+    * the conf is unset (the detection-pass fallback). A missing column
+    * fails loudly at plan time (AnalysisException), never silently
+    * un-salts. */
+  private[plans] def autoHotKeys(spark: org.apache.spark.sql.SparkSession,
+      keys: Seq[String]): Option[DataFrame] =
+    Option(spark.conf.get(StatsPathConf, "")).filter(_.nonEmpty)
+      .map(p => spark.read.parquet(p).select(keys.map(c => col(s"`$c`")): _*))
 
   /** Exact hot-key detection: keys of `df` whose row count reaches
     * `threshold`. One key-column-only pass, map-side combined. */

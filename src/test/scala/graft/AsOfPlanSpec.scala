@@ -139,6 +139,28 @@ class AsOfPlanSpec extends SparkSpec {
       s"Some(false) must beat a qualifying size:\n$suppressed")
   }
 
+  test("broadcast as-of probe index builds ONCE per executor per join, not per task") {
+    import spark.implicits._
+    // a 16-task fact side: before the per-executor cache, EVERY task paid a
+    // full group+sort of the broadcast dimension (16 builds here); the
+    // cache admits exactly one build per (join, broadcast) per JVM
+    val fact = (1 to 4000).map(i => (i % 13L, i.toLong, i))
+      .toDF("k", "t", "i").repartition(16)
+    val dim = (1 to 500).map(j => (j % 13L, j * 7L, j)).toDF("rk", "rt", "j")
+    val before = graft.plans.ProbeIndexCache.builds.get()
+    val bcast = graft.plans.AsOf.join(fact, dim, Seq("k" -> "rk"), "t", "rt",
+      broadcast = Some(true))
+    val got = bcast.collect()
+    assert(graft.plans.ProbeIndexCache.builds.get() - before == 1,
+      "a 16-task probe stage must trigger exactly one index build")
+    // and the cached index answers identically to the merge exec
+    val merge = graft.plans.AsOf.join(fact, dim, Seq("k" -> "rk"), "t", "rt",
+      broadcast = Some(false)).collect()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      r.getInt(2), if (r.isNullAt(4)) -1L else r.getLong(4))
+    assert(got.map(key).sorted.toSeq == merge.map(key).sorted.toSeq)
+  }
+
   test("q148 equals q26 row for row, and its executed plan contains AsOfJoinExec") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1),

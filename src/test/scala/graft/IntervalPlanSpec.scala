@@ -153,6 +153,124 @@ class IntervalPlanSpec extends SparkSpec {
     })
   }
 
+  test("sweep state spills on a pathological key and completes, every mode (depth stress)") {
+    // VERDICT r12 §next-2: 500k fully-overlapping intervals on ONE key,
+    // under a 256 KB per-structure state budget — the actives and the
+    // single-arrival pending fan-out both outgrow memory and must flow
+    // through the spill files (the old ArrayBuffer state would have held
+    // ~500k row copies on heap with no relief valve)
+    val conf = graft.plans.SweepSpill.ThresholdConf
+    val old = spark.conf.getOption(conf)
+    spark.conf.set(conf, (256 * 1024).toString)
+    try {
+      import spark.implicits._
+      val nDeep = 500000L
+      // deep stack: open-ended lefts alive from arrival to the far future
+      val deep = spark.range(0, nDeep).select(lit(1L).as("k"),
+        col("id").as("s"), lit(1000000000L).as("e"), col("id").as("lid"))
+      // five short-lived lefts that die before the right arrives — the
+      // anti/outer eviction path must still emit them from spilled state
+      val dead = spark.range(0, 5).select(lit(1L).as("k"),
+        (col("id") + 1000000L).as("s"), (col("id") + 1000001L).as("e"),
+        (col("id") + 9000000L).as("lid"))
+      val left = deep.union(dead)
+      val right = Seq((1L, 2000000L, 2000010L, 77L)).toDF("bk", "bs", "be", "rid")
+      def run(mode: String): (Long, Long) = {
+        // collect (slim projection) through THIS df's queryExecution — a
+        // count() would run a separate QueryExecution whose exec instances
+        // hold the metrics, leaving this plan's at zero
+        val df = graft.plans.IntervalJoin.join(left, right, Seq("k" -> "bk"),
+            "s", "e", "bs", "be", mode, broadcast = Some(false))
+          .select(col("lid"))
+        val n = df.collect().length.toLong
+        def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            p +: allNodes(q.plan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            p +: allNodes(a.executedPlan)
+          case _ => p +: p.children.flatMap(allNodes)
+        }
+        val spilled = allNodes(df.queryExecution.executedPlan)
+          .collect { case e: graft.plans.IntervalJoinExec =>
+            e.metrics("spillBytes").value }.max
+        (n, spilled)
+      }
+      val (nInner, spInner) = run("inner")
+      assert(nInner == nDeep, s"inner: every deep left pairs once, got $nInner")
+      assert(spInner > 0, "inner run must have spilled sweep state")
+      val (nOuter, spOuter) = run("left_outer")
+      assert(nOuter == nDeep + 5, s"outer adds the 5 evicted lefts, got $nOuter")
+      assert(spOuter > 0)
+      val (nSemi, _) = run("left_semi")
+      assert(nSemi == nDeep, s"semi: each matching left once, got $nSemi")
+      val (nAnti, _) = run("left_anti")
+      assert(nAnti == 5, s"anti: exactly the short-lived lefts, got $nAnti")
+    } finally old match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
+
+  test("spill-forced sweep equals the brute reference (law under a 1-byte budget)") {
+    import spark.implicits._
+    // threshold 1: EVERY append spills, every scan takes the disk path —
+    // the brute-equality law then pins the spill machinery itself
+    val conf = graft.plans.SweepSpill.ThresholdConf
+    val old = spark.conf.getOption(conf)
+    spark.conf.set(conf, "1")
+    try {
+      val side: Gen[List[(Long, Option[Long], Option[Long], Long)]] = for {
+        n <- Gen.choose(0, 40)
+        rows <- Gen.listOfN(n, for {
+          k <- Gen.choose(0L, 2L)
+          s <- Gen.frequency(
+            9 -> Gen.choose(0L, 25L).map(Some(_): Option[Long]),
+            1 -> Gen.const(None: Option[Long]))
+          len <- Gen.choose(-3L, 10L)
+        } yield (k, s, s.map(_ + len), 0L))
+      } yield rows.zipWithIndex.map { case ((k, s, e, _), i) => (k, s, e, i.toLong) }
+      holds(Prop.forAll(side, side,
+          Gen.oneOf("inner", "left_outer", "left_semi", "left_anti")) { (l, r, mode) =>
+        val left = l.toDF("k", "s", "e", "lid")
+        val right = r.toDF("bk", "bs", "be", "rid")
+        val df = graft.plans.IntervalJoin.join(left, right, Seq("k" -> "bk"),
+          "s", "e", "bs", "be", mode, broadcast = Some(false))
+        def valid(s: Option[Long], e: Option[Long]) =
+          s.isDefined && e.isDefined && e.get >= s.get
+        val pairs = (for {
+          (k, s, e, lid) <- l
+          (bk, bs, be, rid) <- r
+          if k == bk && valid(s, e) && valid(bs, be)
+          if s.get <= be.get && bs.get <= e.get
+        } yield (lid, rid)).toSet
+        val matchedL = pairs.map(_._1)
+        mode match {
+          case "inner" =>
+            val got = df.select(col("lid"), col("rid")).collect()
+              .map(x => (x.getLong(0), x.getLong(1))).toSet
+            got == pairs
+          case "left_outer" =>
+            val got = df.select(col("lid"), col("rid")).collect()
+              .map(x => (x.getLong(0),
+                if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+            val want = pairs.map { case (a, b) => (a, Some(b): Option[Long]) } ++
+              l.collect { case (_, _, _, lid) if !matchedL(lid) => (lid, None) }
+            got == want
+          case "left_semi" =>
+            val got = df.select(col("lid")).collect().map(_.getLong(0)).toSeq
+            got.sorted == matchedL.toSeq.sorted && got.size == got.distinct.size
+          case _ =>
+            val got = df.select(col("lid")).collect().map(_.getLong(0)).toSet
+            got == l.map(_._4).toSet -- matchedL
+        }
+      })
+    } finally old match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
+
   test("broadcast interval exec equals the clustered-merge exec for every mode (law)") {
     import spark.implicits._
     val side: Gen[List[(Long, Option[Long], Option[Long], Long)]] = for {
@@ -186,6 +304,29 @@ class IntervalPlanSpec extends SparkSpec {
           m == b && b.size == b.distinct.size
       }
     })
+  }
+
+  test("broadcast interval probe map builds ONCE per executor per join, not per task") {
+    import spark.implicits._
+    // 16-task fact side: pre-cache, every task re-grouped and re-sorted the
+    // broadcast dimension into its own index map; the per-executor cache
+    // admits exactly one map build, each task wrapping a cheap cursor
+    val fact = (1 to 4000).map(i => (i % 11L, i.toLong, i + 30L, i.toLong))
+      .toDF("k", "s", "e", "lid").repartition(16)
+    val dim = (1 to 400).map(j => (j % 11L, j * 9L, j * 9L + 40L, j.toLong))
+      .toDF("bk", "bs", "be", "rid")
+    val before = graft.plans.ProbeIndexCache.builds.get()
+    val got = graft.plans.IntervalJoin.join(fact, dim, Seq("k" -> "bk"),
+        "s", "e", "bs", "be", "inner", broadcast = Some(true))
+      .select(col("lid"), col("rid")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(graft.plans.ProbeIndexCache.builds.get() - before == 1,
+      "a 16-task probe stage must trigger exactly one index-map build")
+    val merge = graft.plans.IntervalJoin.join(fact, dim, Seq("k" -> "bk"),
+        "s", "e", "bs", "be", "inner", broadcast = Some(false))
+      .select(col("lid"), col("rid")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == merge)
   }
 
   test("broadcast interval join plans BroadcastExchange and never shuffles the fact side") {

@@ -163,6 +163,66 @@ class SkewSaltSpec extends SparkSpec {
     }
   }
 
+  test("auto-salt consumes stored stats (statsPath conf): no detection pass, zero extra jobs") {
+    val l = hotLeft(2000)
+    val r = hotRight(600)
+    val plain = canon(graft.plans.AsOf.join(l, r, Seq("k" -> "bk"), "t", "bt",
+      broadcast = Some(false)))
+    // a prior run's profiler output, persisted: one row per known-hot key
+    val statsDir = java.nio.file.Files.createTempDirectory("graft_salt_stats")
+      .resolve("hot").toString
+    Seq(Tuple1(7L)).toDF("k").write.mode("overwrite").parquet(statsDir)
+    val confs = Seq(graft.plans.SkewSalt.SaltsConf -> "4",
+      graft.plans.SkewSalt.ThresholdConf -> "100",
+      graft.plans.SkewSalt.StatsPathConf -> statsDir)
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val auto = graft.plans.AsOf.join(l, r, Seq("k" -> "bk"), "t", "bt",
+        broadcast = Some(false))
+      val planStr = auto.queryExecution.optimizedPlan.toString
+      assert(planStr.contains("__graft_salt"),
+        "stats-fed auto-salt must still rewrite the join")
+      // the detection aggregate (its __graft_n count column) must be GONE:
+      // the hot frame comes off the stored stats scan instead
+      assert(!planStr.contains("__graft_n"),
+        s"stored stats must replace the groupBy-count detection pass:\n$planStr")
+      assert(canon(auto) == plain, "stats-fed auto-salt diverged from plain")
+      // job parity with an explicitly-passed hotKeys frame — supplying the
+      // stats via conf costs ZERO extra Spark jobs over the explicit path
+      def countJobs(body: => Unit): Long = {
+        jobs.set(0)
+        spark.sparkContext.addSparkListener(listener)
+        // the listener bus is async (and private[spark]): a short post-job
+        // drain, the Dev skewsalt probe's convention
+        try { body; Thread.sleep(800) }
+        finally spark.sparkContext.removeSparkListener(listener)
+        jobs.get()
+      }
+      val viaConf = countJobs {
+        graft.plans.AsOf.join(l, r, Seq("k" -> "bk"), "t", "bt",
+          broadcast = Some(false)).count()
+      }
+      confs.foreach { case (k, _) => spark.conf.unset(k) }
+      val viaExplicit = countJobs {
+        graft.plans.AsOf.joinSalted(l, r, Seq("k" -> "bk"), "t", "bt",
+          salts = 4, hotKeys = Some(spark.read.parquet(statsDir))).count()
+      }
+      assert(viaConf == viaExplicit,
+        s"stats conf must add no jobs: conf=$viaConf explicit=$viaExplicit")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("explicit hotKeys frame skips detection and only replicates the listed keys") {
     val l = hotLeft(1000)
     val r = hotRight(400)
