@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Per-test durations in the output (-oD): the suite's wall budget is a
+// driver-facing contract (VERIFY tests_ok timed out in r13) — every run
+// should show where the time goes so slow tests are caught when added.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // KryoSpec and CodecSpec build their own SparkSessions with context-level
 // core settings (serializer / shuffle codec + encryption) — one SparkContext
 // per JVM, so each runs in its own forked test JVM while every other suite

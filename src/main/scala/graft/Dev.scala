@@ -382,6 +382,42 @@ object Dev {
       }
       spark.conf.unset(graft.plans.ProbeIndexCache.EnabledConf)
       spark.stop()
+    } else if (name == "q211prof") {
+      // stage-by-stage wall breakdown of the q211 pipeline pieces
+      import org.apache.spark.sql.functions._
+      graft.engine.Sessions.releasePinned(spark)
+      val docs = graft.engine.Spread.byKey(
+        graft.engine.Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+          .filter(length(col("text")) >= 11), "doc_id")
+      var t0 = System.nanoTime()
+      val store = graft.engine.Scratch.dir(spark, "q211_langprof_dev")
+      graft.operators.TextQueries.langProfileTrain(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"), col("text")), store)
+      println(f"[dev] train ${(System.nanoTime()-t0)/1e9}%.2fs")
+      t0 = System.nanoTime()
+      val en = graft.operators.TextQueries.langIdScore(
+          docs.select(col("doc_id"), col("lang"), col("text")),
+          spark.read.parquet(store + "/profiles"))
+        .filter(col("pred") === "en").select(col("doc_id")).cache()
+      println(f"[dev] en ${en.count()} rows ${(System.nanoTime()-t0)/1e9}%.2fs")
+      t0 = System.nanoTime()
+      val perDoc = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")).cache()
+      println(f"[dev] perDoc ${perDoc.count()} rows ${(System.nanoTime()-t0)/1e9}%.2fs")
+      t0 = System.nanoTime()
+      val s1 = docs.join(en, Seq("doc_id"), "left_semi")
+      val s2ids = graft.operators.TextQueries.winnowFingerprints(s1, 8, 4)
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
+          expr("aggregate(fps, 0L, (a, x) -> a + pmod(x, 1000000007L))").as("ck"))
+        .groupBy(col("n_fps"), col("ck")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")).cache()
+      println(f"[dev] s2ids ${s2ids.count()} rows ${(System.nanoTime()-t0)/1e9}%.2fs")
+      t0 = System.nanoTime()
+      val n = graft.operators.TextQueries.q211Pipeline2(spark, sfDir).count()
+      println(f"[dev] full q211 (post warm caches in session) n=$n ${(System.nanoTime()-t0)/1e9}%.2fs")
+      spark.stop()
     } else if (name == "q135prof") {
       // stage timings for the containment pipeline
       import org.apache.spark.sql.functions._

@@ -1832,7 +1832,11 @@ object AnalyticQueries extends QueryModule {
     * `countDistinct` for `approx_count_distinct` (the q98 HLL path) and
     * the Expand disappears — kept exact here because the oracle is exact. */
   val q165Profile: Q = (s, dir) => {
-    val o = Tables.load(s, dir, "orders")
+    // spread the single-split scan before the 6-column Expand of the exact
+    // NDV profile — the Expand multiplies rows 6× in the scan stage, which
+    // otherwise runs as one task (graft.engine.Spread)
+    val o = graft.engine.Spread.byKey(
+      Tables.load(s, dir, "orders"), "o_orderkey")
     // (name, raw column for nn/nd/min/max, renderer for min/max output)
     val cols: Seq[(String, org.apache.spark.sql.Column,
         org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(

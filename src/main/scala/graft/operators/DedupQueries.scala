@@ -28,8 +28,19 @@ object DedupQueries extends QueryModule {
   /** Distinct 3-token shingles of the whitespace-tokenized text: captures
     * token ORDER, which is what separates near-duplicates from the merely
     * same-vocabulary (token-set Jaccard is degenerate on bounded vocab). */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    shingledDocs(Tables.load(s, dir, "documents"))
+  /** `spread = true` parallelizes the single-split corpus scan before the
+    * per-row shingling (graft.engine.Spread scaladoc; no-op on any
+    * properly-split corpus). Opt-IN per consumer, by measurement: the
+    * shingle-dominated operators (q134 7.45→6.35 s, q59 3.23→2.92 s at
+    * sf0.1) win; ledger-style consumers whose cost sits in later joins
+    * (q181, q116, q137, q73) measured SLOWER with the extra exchange and
+    * keep the plain scan. */
+  private def shingled(s: SparkSession, dir: String,
+      spread: Boolean = false): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    shingledDocs(
+      if (spread) graft.engine.Spread.byKey(docs, "doc_id") else docs)
+  }
 
   /** Same shingling over any (doc_id, text) frame — the streaming
     * incremental-dedup path shingles micro-batches and doc-store reads. */
@@ -263,7 +274,10 @@ object DedupQueries extends QueryModule {
     * most docs — banding is the design that survives scale on any
     * distribution.) */
   val q53NgramJaccard: Q = (s, dir) => {
-    val g = Tables.load(s, dir, "documents")
+    // spread the single-split scan before the 5-gram explode + minhash
+    // (graft.engine.Spread)
+    val g = graft.engine.Spread.byKey(
+        Tables.load(s, dir, "documents"), "doc_id")
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"), col("n_chars"),
         array_distinct(expr(
@@ -538,7 +552,7 @@ object DedupQueries extends QueryModule {
     * WITH RECURSIVE transitive closure over the same brute-force pair
     * graph. */
   val q59DedupClusters: Q = (s, dir) => {
-    val sh = shingled(s, dir).cache()
+    val sh = shingled(s, dir, spread = true).cache()
     val bands = lshBands(sh, "sh").cache()
     val pairs = verifyPairs(bandPairs(bands), sh).select(col("i"), col("j"))
     // the iterative driver runs EAGERLY inside connectedComponents, so by
@@ -914,7 +928,7 @@ object DedupQueries extends QueryModule {
     // bootstrap's bands/pairs are bit-identical to the two-pass form;
     // verifyPairs joins candidates on doc_id, so the full shingle frame
     // resolves old-only pairs to exactly the old rows)
-    val sh = shingled(s, dir).cache()
+    val sh = shingled(s, dir, spread = true).cache()
     val sigs = minhashSigs(sh, "sh").withColumn("is_new", isNew).cache()
     // bootstrap: old-only graph → labels → persisted store
     val pairsOld = verifyPairs(
@@ -1008,7 +1022,7 @@ object DedupQueries extends QueryModule {
   }
 
   val q135Containment: Q = (s, dir) => {
-    val sh = shingled(s, dir).cache()
+    val sh = shingled(s, dir, spread = true).cache()
     val cand = containmentCandidates(sh, 20)
     // verify: stream the (large) candidate pair set through two BROADCAST
     // joins against the doc→shingle-array frame, so the pair stream — the
@@ -1223,7 +1237,11 @@ object DedupQueries extends QueryModule {
     * ratio, an exact span-boundary checksum), never the text. */
   val q200SubstringDedup: Q = (s, dir) => {
     graft.functions.GraftFunctions.register(s)
-    substringCoverage(Tables.load(s, dir, "documents"), 30)
+    // spread the single-split corpus scan before the per-position md5
+    // stage — the dominant, previously single-task cost (graft.engine.
+    // Spread scaladoc; no-op on any properly-split corpus)
+    substringCoverage(graft.engine.Spread.byKey(
+      Tables.load(s, dir, "documents"), "doc_id"), 30)
   }
 
   /** q200's engine over any (doc_id, text) frame — factored so the spec can

@@ -382,19 +382,43 @@ object JoinQueries extends QueryModule {
     // short-entity-string framing); a corpus beyond 2^32 keys repacks to
     // the two-column struct this replaced. Guarded by the bound check
     // below: packing silently corrupting on oversized keys would be a
-    // correctness bug, so oversized keys fail loudly instead.
-    val packed = capped
+    // correctness bug, so oversized keys fail loudly instead. The decode
+    // MUST be shiftrightUNSIGNED: for xi in [2^31, 2^32) the pack
+    // overflows the signed long's sign bit (still bijective — the full
+    // 64-bit pattern is (xi << 32) | xj), and an arithmetic shiftright
+    // would sign-extend xi back as negative (VERDICT r13 defect #1;
+    // boundary keys 2^31−1 / 2^31 / 2^32−1 are spec-pinned).
+    dedupPackedPairs(capped
       .select(explode(expr(
-        """flatten(transform(ks, (xi, i) ->
-             transform(slice(ks, i + 2, size(ks)), xj ->
-               CASE WHEN xi >= 4294967296 OR xj >= 4294967296 OR xi < 0
-                 THEN raise_error('fuzzy pair key >= 2^32: repack to struct')
-                 ELSE shiftleft(xi, 32) + xj END)))""")).as("pk"))
-      .distinct()
-    packed
-      .select(shiftright(col("pk"), 32).as("i"),
-        col("pk").bitwiseAND(lit(4294967295L)).as("j"))
+        s"""flatten(transform(ks, (xi, i) ->
+             transform(slice(ks, i + 2, size(ks)), xj -> $packPairExpr)))"""))
+        .as("pk")))
   }
+
+  /** The guarded pack of two bucket-member keys `xi`, `xj` (each in
+    * [0, 2^32), enforced with raise_error — silent corruption is a
+    * correctness bug) into one 8-byte long `(xi << 32) | xj`. Bijective
+    * over the full guarded range: for xi in [2^31, 2^32) the shift
+    * overflows the sign bit, which is why the decode in
+    * [[dedupPackedPairs]] must be shiftrightUNSIGNED (VERDICT r13 defect
+    * #1 — arithmetic shiftright sign-extends xi back negative; boundary
+    * keys 2^31−1 / 2^31 / 2^32−1 are spec-pinned). */
+  private val packPairExpr =
+    """CASE WHEN xi >= 4294967296 OR xj >= 4294967296 OR xi < 0 OR xj < 0
+         THEN raise_error('fuzzy pair key >= 2^32: repack to struct')
+         ELSE shiftleft(xi, 32) + xj END"""
+
+  /** Dedup packed candidate pairs and decode them back to (i, j) — the
+    * shared distinct-exchange shape of [[fuzzyPairsDeletion]] (q79) and
+    * [[fuzzyJoinTables]] (q92): the distinct rides an 8-byte long instead
+    * of a 16-byte two-long row, halving the operator's volume-term
+    * exchange. The unsigned decode makes the FULL guarded key range
+    * round-trip exactly. */
+  private[graft] def dedupPackedPairs(packed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    packed.distinct()
+      .select(shiftrightunsigned(col("pk"), 32).as("i"),
+        col("pk").bitwiseAND(lit(4294967295L)).as("j"))
 
   /** TWO-TABLE fuzzy join candidates (record linkage: match a dirty feed
     * against a master entity table): deletion-variant blocking across
@@ -410,7 +434,13 @@ object JoinQueries extends QueryModule {
     // side, so the explode-breaks-size-estimation trap can't bite
     val v = deletionVariants(a).withColumn("side", lit(0))
       .unionByName(deletionVariants(b).withColumn("side", lit(1)))
-    v.repartition(
+    // (i from a, j from b) pairs ride the distinct exchange packed as one
+    // 8-byte long — the q79 packing (see [[dedupPackedPairs]]), applied to
+    // this operator's own volume term: the two-table candidate dedup was
+    // the suite's largest remaining exchange (87.7 MB at sf0.1 for q92).
+    // Same soundness argument, same loud guard, unsigned decode from day
+    // one (VERDICT r13 §next-4).
+    dedupPackedPairs(v.repartition(
         v.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
         col("wh"))
       .groupBy(col("wh"))
@@ -418,9 +448,8 @@ object JoinQueries extends QueryModule {
         collect_set(when(col("side") === 1, col("k"))).as("kb"))
       .filter(size(col("ka")) >= 1 && size(col("kb")) >= 1)
       .select(explode(expr(
-        """flatten(transform(ka, xi ->
-             transform(kb, xj -> struct(xi AS i, xj AS j))))""")).as("p"))
-      .select(col("p.i"), col("p.j")).distinct()
+        s"""flatten(transform(ka, xi ->
+             transform(kb, xj -> $packPairExpr)))""")).as("pk")))
   }
 
   /** (k, xxhash64(variant)) rows: every string obtainable from `nm` by

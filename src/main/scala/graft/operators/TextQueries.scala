@@ -339,27 +339,57 @@ object TextQueries extends QueryModule {
     * last so the mix weights see the cleaned distribution — the order the
     * α-tempering literature assumes). */
   val q211Pipeline2: Q = (s, dir) => {
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"), col("text"))
-      .filter(length(col("text")) >= 11)
+    // spread the single-split corpus scan across the cores BEFORE the
+    // CPU-dense per-row stages (trigram scoring, winnow hashing) — the
+    // scan is one parquet row group, so every downstream map stage was
+    // single-task (graft.engine.Spread scaladoc; gate makes this a no-op
+    // on any properly-split corpus). The union's ReuseExchange additionally
+    // turns the ledger branches' repeated text scans into reads of this
+    // one exchange.
+    val docs = graft.engine.Spread.byKey(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .filter(length(col("text")) >= 11), "doc_id")
     // stage 1 — stored-profile language gate
     val store = graft.engine.Scratch.dir(s, "q211_langprof")
     langProfileTrain(docs.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("lang"), col("text")), store)
+    // EVERYTHING downstream derives from NARROW per-doc frames computed in
+    // one corpus pass each, cached query-scoped (swept by releasePinned)
+    // and materialized EAGERLY in dependency order — the old union of 4
+    // stage ledgers re-derived each stage's survivor frame per branch (92
+    // parquet scans in the static plan) and depended entirely on runtime
+    // AQE stage reuse, which the spread exchange above degrades (measured
+    // 9.3 s spread-only vs 7.85 s r13). With the pieces parallelized by
+    // the spread, the sequential narrow-frame shape wins: each corpus pass
+    // runs once on all cores, the ledgers read kilobyte caches. The eager
+    // counts are bounded control actions (bpeTrainFull's class), never
+    // corpus rows; left lazy, the 4 independent ledger aggregates of one
+    // job race the cache fill and recompute the text scans (measured).
+    //  - perDoc: (doc_id, source, n_tok) for every input doc — the ledger
+    //    currency (docs, id mass, token mass) for every stage;
+    //  - en: stage-1 survivor ids (predicted 'en');
+    //  - s2ids: stage-2 survivor ids == the winnow-identity group minima
+    //    (keep ⊆ s1, so the old semi-join back onto s1 was an identity).
+    val perDoc = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok")).cache()
+    perDoc.count()
     val en = langIdScore(docs.select(col("doc_id"), col("lang"), col("text")),
         s.read.parquet(store + "/profiles"))
-      .filter(col("pred") === "en").select(col("doc_id"))
+      .filter(col("pred") === "en").select(col("doc_id")).cache()
+    en.count()
     val s1 = docs.join(en, Seq("doc_id"), "left_semi")
-    // stage 2 — winnow-identity dedup (min doc per identical fp set)
-    val keep = winnowFingerprints(s1, 8, 4)
+    // stage 2 — winnow-identity dedup (min doc per identical fp set);
+    // winnow runs over s1 survivors ONLY, as before
+    val s2ids = winnowFingerprints(s1, 8, 4)
       .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
         expr("aggregate(fps, 0L, (a, x) -> a + pmod(x, 1000000007L))").as("ck"))
       .groupBy(col("n_fps"), col("ck")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val s2 = s1.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id")).cache()
+    s2ids.count()
+    val pd2 = perDoc.join(s2ids, Seq("doc_id"), "left_semi")
     // stage 3 — temperature mix gate over the survivors (q208, budget 150)
-    val d = s2.withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-    val agg = d.groupBy(col("source"))
+    val agg = pd2.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tot_tokens"))
       .withColumn("w_micro",
         round(sqrt(col("tot_tokens").cast("double")) * 1000000, 0).cast("long"))
@@ -367,17 +397,19 @@ object TextQueries extends QueryModule {
       .withColumn("alloc_docs", expr("(150 * w_micro) div w_total"))
       .withColumn("thresh_ppm",
         expr("least((alloc_docs * 1000000) div n_docs, CAST(1000000 AS BIGINT))"))
-    val s3 = d
+    val pd3 = pd2
       .join(broadcast(th.select(col("source"), col("thresh_ppm"))), Seq("source"))
       .filter(pmod(pmod(col("doc_id"), lit(999983L)) * 2654435761L,
         lit(1000000L)) < col("thresh_ppm"))
     def ledger(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"),
           sum(col("doc_id")).as("id_sum"),
-          sum(size(split(col("text"), " ")).cast("long")).as("tok_sum"))
+          sum(col("n_tok")).as("tok_sum"))
         .select(lit(name).as("stage"), col("n_docs"), col("id_sum"), col("tok_sum"))
-    Seq("0_input" -> docs, "1_lang" -> s1, "2_winnow_dedup" -> s2,
-        "3_mix_sample" -> s3.select(col("doc_id"), col("text")))
+    Seq("0_input" -> perDoc,
+        "1_lang" -> perDoc.join(en, Seq("doc_id"), "left_semi"),
+        "2_winnow_dedup" -> pd2,
+        "3_mix_sample" -> pd3)
       .map { case (n, df) => ledger(n, df) }
       .reduce(_ union _)
       .orderBy(col("stage"))
@@ -799,7 +831,10 @@ object TextQueries extends QueryModule {
     * occurrence. Novelty reported in exact ppm of the source's distinct
     * grams. */
   val q111SourceNovelty: Q = (s, dir) => {
-    val gs = Tables.load(s, dir, "documents")
+    // spread the single-split scan before the 5-gram explode
+    // (graft.engine.Spread)
+    val gs = graft.engine.Spread.byKey(
+        Tables.load(s, dir, "documents"), "doc_id")
       .select(col("source"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
       .select(col("source"), explode(array_distinct(expr(
@@ -915,7 +950,10 @@ object TextQueries extends QueryModule {
     * extrema riding along. */
   val q129QualityBlend: Q = (s, dir) => {
     val W = 4096L
-    val docs = Tables.load(s, dir, "documents")
+    // spread the single-split scan before the three per-row metric passes
+    // (stopword filter, 3-gram dedup rate, bigram LM) — graft.engine.Spread
+    val docs = graft.engine.Spread.byKey(
+      Tables.load(s, dir, "documents"), "doc_id")
     val base = docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
     val mq = base
       .withColumn("n_tok", size(col("t")).cast("long"))
@@ -1213,8 +1251,12 @@ object TextQueries extends QueryModule {
     * Scale shape per round: one corpus scan, one vocab²-bounded exchange,
     * map-side rewrite — documents never shuffle. */
   val q169BpeMerges: Q = (s, dir) =>
-    bpeTrain(Tables.load(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("t")), rounds = 2)
+    // spread the single-split scan BEFORE Pin materializes round 0: the
+    // pinned RDD inherits the input partitioning, so without this every
+    // round's pair count AND rewrite ran on one core (graft.engine.Spread)
+    bpeTrain(graft.engine.Spread.byKey(Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")), "doc_id"),
+      rounds = 2)
 
   /** q190 — TOKENIZER APPLY FROM A STORED MERGE TABLE: train BPE merges on
     * HALF the corpus (even doc_ids, 2 rounds — q169's oracle-replayable
@@ -1232,8 +1274,10 @@ object TextQueries extends QueryModule {
     * machinery), then applies b1 and b2 as FIXED pairs to the full corpus
     * via the same run-grouped greedy formulation. */
   val q190BpeApplyStored: Q = (s, dir) => {
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    // spread before train AND apply — both fold per doc on a single-split
+    // scan otherwise (see q169 / graft.engine.Spread)
+    val docs = graft.engine.Spread.byKey(Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")), "doc_id")
     val trained = bpeTrainFull(docs.filter(col("doc_id") % 2 === 0), rounds = 2)
     val path = graft.engine.Scratch.dir(s, "q190_merges")
     trained.select(col("round").as("rank"), col("w1"), col("w2"))
@@ -1365,9 +1409,12 @@ object TextQueries extends QueryModule {
     * ONLY exchange is the (doc, lang) rollup — docs × k rows after partial
     * aggregation. Training is one vocab-bounded aggregation, once. */
   val q206LangIdStored: Q = (s, dir) => {
-    val docs = Tables.load(s, dir, "documents")
-      .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), col("lang"), col("text"))
+    // spread the single-split scan before the trigram stages (see q211 /
+    // graft.engine.Spread): the ×k-candidate scoring stage was single-task
+    val docs = graft.engine.Spread.byKey(
+      Tables.load(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"), col("text")), "doc_id")
     val store = graft.engine.Scratch.dir(s, "q206_langprof")
     langProfileTrain(docs.filter(col("doc_id") % 2 === 0), store)
     langIdScore(docs, s.read.parquet(store + "/profiles"))

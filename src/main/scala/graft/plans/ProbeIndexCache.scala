@@ -58,6 +58,8 @@ object ProbeIndexCache {
   private val cache =
     new ConcurrentHashMap[(Long, Long), SoftReference[AnyRef]]()
 
+  private val purgeLock = new Object
+
   def getOrBuild(broadcastId: Long, builderId: Long)(build: => AnyRef): AnyRef = {
     val key = (broadcastId, builderId)
     val ref = cache.get(key)
@@ -65,20 +67,39 @@ object ProbeIndexCache {
       val v = ref.get()
       if (v != null) return v
     }
-    cache.synchronized {
-      val again = cache.get(key)
-      if (again != null) {
-        val v = again.get()
-        if (v != null) return v
+    // PER-KEY locking (ConcurrentHashMap.compute holds only the key's bin):
+    // first tasks of unrelated concurrent joins on one executor build in
+    // parallel instead of serializing behind each other's multi-second
+    // builds (the old coarse cache.synchronized block did exactly that —
+    // ADVICE r13). Within one key, compute still guarantees one build.
+    var built: AnyRef = null
+    val computed = cache.compute(key, (_, existing) => {
+      val cur = if (existing != null) existing.get() else null
+      if (cur != null) existing
+      else {
+        built = build
+        builds.incrementAndGet()
+        new SoftReference[AnyRef](built)
       }
-      val v = build
-      builds.incrementAndGet()
+    })
+    if (built != null) {
       // purge entries whose referents were reclaimed: the map itself must
-      // not grow without bound across many joins in one long-lived JVM
-      val it = cache.entrySet().iterator()
-      while (it.hasNext) if (it.next().getValue.get() == null) it.remove()
-      cache.put(key, new SoftReference[AnyRef](v))
-      v
+      // not grow without bound across many joins in one long-lived JVM.
+      // Outside the compute (touching other bins inside a compute lambda
+      // risks bin-lock inversion); remove(key, value) only removes the
+      // exact cleared reference, so a concurrent rebuild is never evicted.
+      purgeLock.synchronized {
+        val it = cache.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.get() == null) cache.remove(e.getKey, e.getValue)
+        }
+      }
+      built
+    } else {
+      val v = computed.get()
+      // reclaimed between compute and read (GC pressure): rebuild
+      if (v != null) v else getOrBuild(broadcastId, builderId)(build)
     }
   }
 }

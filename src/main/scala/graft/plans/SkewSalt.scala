@@ -77,11 +77,24 @@ object SkewSalt {
   /** The conf-named stored hot-key frame, projected to `keys` — None when
     * the conf is unset (the detection-pass fallback). A missing column
     * fails loudly at plan time (AnalysisException), never silently
-    * un-salts. */
+    * un-salts; so does an unreadable/deleted stats path (every auto-salted
+    * join plans against it — a fleet operator who deletes the stats table
+    * must also unset the conf; there is deliberately NO silent fallback to
+    * the detection pass, which would mask the operational mistake with a
+    * surprise fact-side scan per join). The loaded frame is memoized per
+    * (session, path) so repeated auto-salted joins in one session pay the
+    * driver-side parquet metadata read once, not per join (ADVICE r13). */
+  private val statsFrames = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
   private[plans] def autoHotKeys(spark: org.apache.spark.sql.SparkSession,
       keys: Seq[String]): Option[DataFrame] =
     Option(spark.conf.get(StatsPathConf, "")).filter(_.nonEmpty)
-      .map(p => spark.read.parquet(p).select(keys.map(c => col(s"`$c`")): _*))
+      .map { p =>
+        statsFrames
+          .computeIfAbsent((spark, p), _ => spark.read.parquet(p))
+          .select(keys.map(c => col(s"`$c`")): _*)
+      }
 
   /** Exact hot-key detection: keys of `df` whose row count reaches
     * `threshold`. One key-column-only pass, map-side combined. */

@@ -50,11 +50,18 @@ object SweepSpill {
   val DefaultThreshold: Long = 64L * 1024 * 1024
 
   /** Driver-side read (builders are constructed in the exec, where
-    * SQLConf.get is the session conf). */
-  def thresholdInConf: Long =
-    try org.apache.spark.sql.internal.SQLConf.get
-      .getConfString(ThresholdConf, DefaultThreshold.toString).toLong
-    catch { case _: Throwable => DefaultThreshold }
+    * SQLConf.get is the session conf). Only a MISSING active SQLConf falls
+    * back to the default (bare-executor contexts); a malformed value (e.g.
+    * "64MB") fails loudly with NumberFormatException at plan time — the
+    * repo's fail-loud convention (ADVICE r13; cf. autoHotKeys'
+    * missing-column AnalysisException). */
+  def thresholdInConf: Long = {
+    val raw =
+      try org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(ThresholdConf, null)
+      catch { case _: Throwable => null }
+    if (raw == null) DefaultThreshold else raw.trim.toLong
+  }
 
   def newSpillFile(tag: String): File = {
     val f = File.createTempFile(s"graft-sweep-$tag-", ".bin")

@@ -172,6 +172,45 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == want, "linkage blocking missed or invented pairs")
   }
 
+  test("packed-pair dedup round-trips boundary keys (2^31-1, 2^31, 2^32-1), both pack paths") {
+    // VERDICT r13 defect #1: for keys in [2^31, 2^32) the pack overflows
+    // the signed long's sign bit; an arithmetic shiftright decode
+    // sign-extends i back negative (2^31 decoded to -2^31). The unsigned
+    // decode must round-trip the FULL guarded range — pinned here at the
+    // exact boundary keys, through both the self-join (q79) and two-table
+    // (q92) candidate paths, with duplicate near-pairs so the packed
+    // distinct actually collapses something.
+    val lo = (1L << 31) - 1   // 2^31 - 1: last key before the sign bit
+    val mid = 1L << 31        // 2^31: first key whose pack flips the sign
+    val hi = (1L << 32) - 1   // 2^32 - 1: last admissible key
+    val rows = Seq((lo, "acme corp"), (mid, "acme corq"), (hi, "acme cor"),
+      (7L, "unrelated zebra"))
+    val names = toNames(rows)
+    val got = verified(names, JoinQueries.fuzzyPairsDeletion(names))
+    assert(got == brute(rows),
+      s"boundary keys must round-trip the pack exactly, got $got")
+    assert(got.contains((lo, mid)) && got.contains((mid, hi)),
+      "fixture must exercise a 2^31+ key on BOTH pack halves")
+    // two-table path: same boundary keys on the feed side
+    val feed = Seq((mid, "acme corpx"), (hi, "acme")).map { case (k, s) => (k, s) }
+    val cand = JoinQueries.fuzzyJoinTables(names, toNames(feed))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantCand = (for {
+      (ki, ni) <- rows; (kj, nj) <- feed if bruteEd(ni, nj) <= 2
+    } yield (ki, kj)).toSet
+    assert(cand.intersect(wantCand) == wantCand,
+      s"two-table candidates must cover all true pairs: got $cand want $wantCand")
+    cand.foreach { case (i, j) =>
+      assert(i >= 0 && j >= 0, s"decoded key must never be negative: ($i, $j)")
+    }
+    // a key at 2^32 must fail loudly, not corrupt
+    val over = toNames(Seq((1L << 32, "acme corp"), (3L, "acme corq")))
+    val e = intercept[Exception] {
+      JoinQueries.fuzzyPairsDeletion(over).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("deletion blocking prunes where length/segment blocking cannot") {
     // the scale claim behind q79's scheme choice: on length-uniform
     // constant-prefix names, length-window candidates are ALL pairs while

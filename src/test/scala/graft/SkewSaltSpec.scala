@@ -215,7 +215,11 @@ class SkewSaltSpec extends SparkSpec {
         graft.plans.AsOf.joinSalted(l, r, Seq("k" -> "bk"), "t", "bt",
           salts = 4, hotKeys = Some(spark.read.parquet(statsDir))).count()
       }
-      assert(viaConf == viaExplicit,
+      // ≤, not ==: the conf path memoizes the stats frame per (session,
+      // path) (ADVICE r13 — SkewSalt.statsFrames), so a session that has
+      // already planned against this store skips the parquet
+      // schema-inference job the explicit spark.read.parquet pays
+      assert(viaConf <= viaExplicit,
         s"stats conf must add no jobs: conf=$viaConf explicit=$viaExplicit")
     } finally olds.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
