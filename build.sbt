@@ -23,11 +23,16 @@ Test / testGrouping := {
   val tests = (Test / definedTests).value
   val opts = (Test / javaOptions).value.toVector
   val (kryo, rest0) = tests.partition(_.name.contains("KryoSpec"))
-  val (codec, rest) = rest0.partition(_.name.contains("CodecSpec"))
+  val (codec, rest1) = rest0.partition(_.name.contains("CodecSpec"))
+  // SweepTmmSpec constrains the memory manager (spark.testing.memory) —
+  // context-level, so it gets its own JVM like the serializer suites
+  val (sweepTmm, rest) = rest1.partition(_.name.contains("SweepTmmSpec"))
   Seq(
     Tests.Group("kryo", kryo,
       Tests.SubProcess(ForkOptions().withRunJVMOptions(opts))),
     Tests.Group("codec", codec,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts))),
+    Tests.Group("sweepTmm", sweepTmm,
       Tests.SubProcess(ForkOptions().withRunJVMOptions(opts))),
     Tests.Group("default", rest,
       Tests.SubProcess(ForkOptions().withRunJVMOptions(opts))),

@@ -418,6 +418,70 @@ object Dev {
       val n = graft.operators.TextQueries.q211Pipeline2(spark, sfDir).count()
       println(f"[dev] full q211 (post warm caches in session) n=$n ${(System.nanoTime()-t0)/1e9}%.2fs")
       spark.stop()
+    } else if (name == "q135prof2") {
+      // stage timings of the CURRENT (r13 one-exchange) containment shape
+      import org.apache.spark.sql.functions._
+      graft.engine.Sessions.releasePinned(spark)
+      val docs = graft.engine.Spread.byKey(
+        graft.engine.Tables.load(spark, sfDir, "documents"), "doc_id")
+      val sh = graft.operators.DedupQueries.shingledDocs(docs).cache()
+      var t0 = System.nanoTime()
+      println(s"[dev] sh fill rows=${sh.count()} ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      val cand = graft.operators.DedupQueries.containmentCandidates(sh, 20).cache()
+      println(s"[dev] cand rows=${cand.count()} ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      val verified = cand
+        .join(broadcast(sh.select(col("doc_id").as("i"), col("sh").as("sh_i"))), "i")
+        .join(broadcast(sh.select(col("doc_id").as("j"), col("sh").as("sh_j"))), "j")
+        .select(col("i"), col("j"),
+          size(array_intersect(col("sh_i"), col("sh_j"))).cast("long").as("inter"),
+          size(col("sh_i")).cast("long").as("n_i"),
+          size(col("sh_j")).cast("long").as("n_j"))
+      println(s"[dev] verified rows=${verified.count()} ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      val n = graft.operators.DedupQueries.q135Containment(spark, sfDir).count()
+      println(s"[dev] full q135 n=$n ${(System.nanoTime()-t0)/1e9}s")
+      // decompose cand: gram stream volume, posting agg, raw pair volume
+      val grams = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      t0 = System.nanoTime()
+      println(s"[dev] grams rows=${grams.count()} ${(System.nanoTime()-t0)/1e9}s")
+      val posts = grams.repartition(32, col("g"))
+        .groupBy(col("g")).agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) >= 2 && size(col("ds")) <= 20)
+      t0 = System.nanoTime()
+      println(s"[dev] posting buckets=${posts.count()} ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      val raw = posts.select(explode(expr(
+        """flatten(transform(ds, (xi, i) ->
+             transform(slice(ds, i + 2, size(ds)), xj -> xi)))""")).as("x"))
+      println(s"[dev] raw pairs=${raw.count()} ${(System.nanoTime()-t0)/1e9}s")
+      spark.stop()
+    } else if (name == "q169prof") {
+      // BPE round decomposition: pin cost, pair-count cost, rewrite cost
+      import org.apache.spark.sql.functions._
+      graft.engine.Sessions.releasePinned(spark)
+      val toks0 = graft.engine.Spread.byKey(
+        graft.engine.Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t")), "doc_id")
+      var t0 = System.nanoTime()
+      val (cur, pin) = graft.engine.Pin.pin(toks0)
+      println(s"[dev] pin round0 ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      val (rewritten, best) = graft.operators.TextQueries.bpeRound(cur)
+      val b = best.select(col("w1"), col("w2"), col("c")).take(1)
+      println(s"[dev] pair-count+best ${b.head} ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      val (next, pin2) = graft.engine.Pin.pin(rewritten)
+      println(s"[dev] rewrite+pin round1 ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      val after = next.agg(sum(size(col("t"))).cast("long")).head().getLong(0)
+      println(s"[dev] tokens_after=$after ${(System.nanoTime()-t0)/1e9}s")
+      pin.unpersist(blocking = false); pin2.unpersist(blocking = false)
+      t0 = System.nanoTime()
+      val n = graft.operators.TextQueries.q169BpeMerges(spark, sfDir).count()
+      println(s"[dev] full q169 n=$n ${(System.nanoTime()-t0)/1e9}s")
+      spark.stop()
     } else if (name == "q135prof") {
       // stage timings for the containment pipeline
       import org.apache.spark.sql.functions._

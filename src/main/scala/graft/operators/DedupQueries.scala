@@ -1008,17 +1008,20 @@ object DedupQueries extends QueryModule {
     // rationale) and the groupBy reuses its exchange. Candidate set and
     // recall contract are IDENTICAL: pairs sharing ≥ 1 gram with df ≤ cap
     // (SkewStressSpec pins the bound and the capped-recall trade).
+    // pairs ride the distinct exchange packed as one 8-byte long — the
+    // q79/q92 packing (JoinQueries.dedupPackedPairs: guarded pack,
+    // UNSIGNED decode), applied to this operator's 1.12M-distinct-pair
+    // volume term at sf0.1
     val grams = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-    grams.repartition(
+    graft.operators.JoinQueries.dedupPackedPairs(grams.repartition(
         grams.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
         col("g"))
       .groupBy(col("g")).agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2 && size(col("ds")) <= dfCap)
       .select(explode(expr(
-        """flatten(transform(ds, (xi, i) ->
+        s"""flatten(transform(ds, (xi, i) ->
              transform(slice(ds, i + 2, size(ds)), xj ->
-               struct(xi AS i, xj AS j))))""")).as("p"))
-      .select(col("p.i"), col("p.j")).distinct()
+               ${graft.operators.JoinQueries.packPairExpr})))""")).as("pk")))
   }
 
   val q135Containment: Q = (s, dir) => {

@@ -403,7 +403,7 @@ object JoinQueries extends QueryModule {
     * [[dedupPackedPairs]] must be shiftrightUNSIGNED (VERDICT r13 defect
     * #1 — arithmetic shiftright sign-extends xi back negative; boundary
     * keys 2^31−1 / 2^31 / 2^32−1 are spec-pinned). */
-  private val packPairExpr =
+  private[graft] val packPairExpr =
     """CASE WHEN xi >= 4294967296 OR xj >= 4294967296 OR xi < 0 OR xj < 0
          THEN raise_error('fuzzy pair key >= 2^32: repack to struct')
          ELSE shiftleft(xi, 32) + xj END"""

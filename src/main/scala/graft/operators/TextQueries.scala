@@ -1187,10 +1187,22 @@ object TextQueries extends QueryModule {
       val b = best.select(col("w1"), col("w2"), col("c")).take(1)
       if (b.isEmpty) exhausted = true // no adjacent pair anywhere: converged
       else {
-        val (next, nextPin) = graft.engine.Pin.pin(rewritten)
-        curPin.unpersist(blocking = false)
-        cur = next; curPin = nextPin
-        val after = cur.agg(sum(size(col("t"))).cast("long")).head().getLong(0)
+        // FINAL round: nothing downstream reads the rewritten corpus again
+        // (no further pair count), so aggregate tokens_after directly off
+        // the previous pin in one fused pass instead of paying the
+        // Row-conversion + persist + count of a pin that would be freed
+        // unread (measured ~1.5-2 s of q169's 4-5 s at sf0.1; guide §1.2 —
+        // don't compute things you throw away). Intermediate rounds keep
+        // the pin discipline: their successor IS read again.
+        val after =
+          if (r == rounds)
+            rewritten.agg(sum(size(col("t"))).cast("long")).head().getLong(0)
+          else {
+            val (next, nextPin) = graft.engine.Pin.pin(rewritten)
+            curPin.unpersist(blocking = false)
+            cur = next; curPin = nextPin
+            cur.agg(sum(size(col("t"))).cast("long")).head().getLong(0)
+          }
         stats += ((r.toLong, b(0).getString(0), b(0).getString(1),
           b(0).getString(0) + "_" + b(0).getString(1), b(0).getLong(2), after))
         r += 1

@@ -230,14 +230,18 @@ final class IntervalSweepCursor(lIter: Iterator[InternalRow],
 
   private val lc = new Side(lIter, lKeyProj, lSe, lEe)
   private val rc = new Side(rIter, rKeyProj, rSe, rEe)
+  // one budget per cursor, shared by the three structures: fixed byte cap
+  // when the conf named one, TaskMemoryManager-integrated otherwise
+  // (VERDICT r13 §next-8; see SweepBudget)
+  private val budget = SweepSpill.newBudget(spillThreshold)
   // actives: (end, matched, row); matched is only consulted for left-side
   // entries (outer's null-extension proof, semi's emit-once, anti's keep)
-  private val activeL = new SpillableActives(lFields, spillThreshold, spillMetric)
-  private val activeR = new SpillableActives(rFields, spillThreshold, spillMetric)
+  private val activeL = new SpillableActives(lFields, budget, spillMetric)
+  private val activeR = new SpillableActives(rFields, budget, spillMetric)
   private var curKey: UnsafeRow = _
   private var flushed = false
   private val pending = new SpillableFifo(lFields, rFields,
-    spillThreshold, spillMetric)
+    budget, spillMetric)
   private var cur: Array[InternalRow] = _
 
   private def pend(l: InternalRow, r: InternalRow): Unit = pending.add(l, r)

@@ -60,8 +60,25 @@ object SweepSpill {
       try org.apache.spark.sql.internal.SQLConf.get
         .getConfString(ThresholdConf, null)
       catch { case _: Throwable => null }
-    if (raw == null) DefaultThreshold else raw.trim.toLong
+    if (raw == null) TmmMode else raw.trim.toLong
   }
+
+  /** Sentinel carried from plan time to task time: conf UNSET → integrate
+    * with the task's real execution-memory accounting ([[TmmBudget]],
+    * VERDICT r13 §next-8); conf SET → that fixed per-structure byte cap
+    * (depth-stress/1-byte-law specs, A/B measurement). */
+  val TmmMode: Long = -1L
+
+  /** Task-side budget factory: fixed cap when the conf named one; the
+    * TaskMemoryManager-integrated consumer otherwise, falling back to the
+    * fixed default outside a task (direct cursor construction in specs). */
+  def newBudget(threshold: Long): SweepBudget =
+    if (threshold >= 0L) new FixedBudget(threshold)
+    else {
+      val tmm = org.apache.spark.graft.TaskMemoryBridge.current()
+      if (tmm == null) new FixedBudget(DefaultThreshold)
+      else new TmmBudget(tmm)
+    }
 
   def newSpillFile(tag: String): File = {
     val f = File.createTempFile(s"graft-sweep-$tag-", ".bin")
@@ -90,10 +107,99 @@ object SweepSpill {
   }
 }
 
+/** Memory budget the sweep structures draw from — one instance per cursor
+  * (per task), shared by its two active lists and the pending FIFO.
+  *
+  *  - [[FixedBudget]]: the pre-r14 contract — a per-STRUCTURE byte cap,
+  *    checked after each append (`postCap`); `tryReserve` always grants.
+  *    Selected by setting the spillThreshold conf; the depth-stress and
+  *    1-byte-law specs run here, byte-for-byte the old behavior.
+  *  - [[TmmBudget]]: the default — a real [[MemoryConsumer]] registered
+  *    with the task's [[TaskMemoryManager]] (VERDICT r13 §next-8), so
+  *    sweep state coexists with Spark's own operators in the execution
+  *    memory pool: reservations are acquired in 1 MB chunks (amortizing
+  *    the TMM lock off the per-row path), a refused reservation makes the
+  *    caller spill, and OTHER consumers' pressure (a downstream sort, a
+  *    hash aggregate) triggers the sweep state to spill via the standard
+  *    `spill(size, trigger)` callback instead of fighting it to an OOM.
+  *    Single-threaded by construction: TMM spill callbacks run on the
+  *    task's own thread, inside this task's `acquireMemory` calls. */
+private[plans] sealed trait SweepBudget {
+  /** Try to reserve `delta` more bytes; false → the caller should spill
+    * its in-memory state first (best effort: an append after a failed
+    * retry proceeds unreserved rather than deadlocking — at worst the
+    * structure degenerates to spill-per-append). */
+  def tryReserve(delta: Long): Boolean
+  /** Return `bytes` previously reserved (structure spilled or cleared). */
+  def release(bytes: Long): Unit
+  /** Post-append overflow cap (fixed mode); MaxValue under TMM. */
+  def postCap: Long
+  /** Hook a structure's force-spill for external-pressure callbacks. */
+  def register(forceSpill: () => Unit): Unit
+}
+
+private[plans] final class FixedBudget(cap: Long) extends SweepBudget {
+  def tryReserve(delta: Long): Boolean = true
+  def release(bytes: Long): Unit = ()
+  val postCap: Long = cap
+  def register(forceSpill: () => Unit): Unit = ()
+}
+
+private[plans] final class TmmBudget(
+    tmm: org.apache.spark.memory.TaskMemoryManager)
+    extends org.apache.spark.memory.MemoryConsumer(
+      tmm, org.apache.spark.memory.MemoryMode.ON_HEAP) with SweepBudget {
+  private val Chunk = 1L << 20
+  private val spillers = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+  private var reserved = 0L // bytes acquired from the TMM
+  private var usedBytes = 0L // bytes the structures currently hold in memory
+  locally {
+    val tc = TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit] { _ => close() }
+  }
+
+  def register(forceSpill: () => Unit): Unit = spillers += forceSpill
+  val postCap: Long = Long.MaxValue
+
+  def tryReserve(delta: Long): Boolean = {
+    if (usedBytes + delta <= reserved) { usedBytes += delta; true }
+    else {
+      val need = usedBytes + delta - reserved
+      val want = ((need + Chunk - 1) / Chunk) * Chunk
+      val got = acquireMemory(want) // may re-enter spill(…, trigger=this)
+      reserved += got
+      if (usedBytes + delta <= reserved) { usedBytes += delta; true }
+      else false
+    }
+  }
+
+  def release(bytes: Long): Unit = {
+    usedBytes = math.max(0L, usedBytes - bytes)
+    // hand surplus back to the pool, keeping one chunk of slack
+    val excess = reserved - usedBytes - Chunk
+    if (excess > 0L) { freeMemory(excess); reserved -= excess }
+  }
+
+  override def spill(size: Long, trigger: org.apache.spark.memory.MemoryConsumer)
+      : Long = {
+    // self-trigger: tryReserve's caller handles the refusal by spilling —
+    // spilling here, mid-reservation, would mutate state under the caller
+    if (trigger eq this) return 0L
+    val before = reserved
+    spillers.foreach(f => f()) // each spill calls release() above
+    before - reserved
+  }
+
+  def close(): Unit = {
+    if (reserved > 0L) { freeMemory(reserved); reserved = 0L }
+    usedBytes = 0L
+  }
+}
+
 /** Append + rewrite-scan store of (end: Long, matched: Boolean, row) — the
   * sweep's per-side active list. See [[SweepSpill]]. */
 private[plans] final class SpillableActives(numFields: Int,
-    capBytes: Long, metric: SQLMetric) {
+    budget: SweepBudget, metric: SQLMetric) {
   import SweepSpill._
 
   /** Rewrite-scan visitor verdicts. */
@@ -110,14 +216,23 @@ private[plans] final class SpillableActives(numFields: Int,
   private var spilled = 0L // entries currently on disk (arrival order, oldest first)
   private var n = 0L
 
+  budget.register(() => if (mem.nonEmpty) spillMem())
+
   def size: Long = n
   def nonEmpty: Boolean = n > 0
 
   def append(end: Long, matched: Boolean, row: UnsafeRow): Unit = {
+    val delta = row.getSizeInBytes + 24L
+    if (!budget.tryReserve(delta)) {
+      if (mem.nonEmpty) spillMem()
+      // best-effort retry; a refusal here appends unreserved (release()
+      // clamps, so accounting stays consistent) rather than deadlocking
+      budget.tryReserve(delta)
+    }
     mem += new E(end, matched, row)
     n += 1
-    memBytes += row.getSizeInBytes + 24L
-    if (memBytes > capBytes) spillMem()
+    memBytes += delta
+    if (memBytes > budget.postCap) spillMem()
   }
 
   private def spillMem(): Unit = {
@@ -137,6 +252,7 @@ private[plans] final class SpillableActives(numFields: Int,
     if (metric != null) metric.add(memBytes)
     spilled += mem.length
     mem.clear()
+    budget.release(memBytes)
     memBytes = 0L
   }
 
@@ -156,7 +272,11 @@ private[plans] final class SpillableActives(numFields: Int,
             new E(e.end, true, e.row) else e
           mem(w) = kept
           w += 1
-        } else memBytes -= e.row.getSizeInBytes + 24L
+        } else {
+          val delta = e.row.getSizeInBytes + 24L
+          memBytes -= delta
+          budget.release(delta)
+        }
         i += 1
       }
       mem.dropRightInPlace(mem.length - w)
@@ -170,6 +290,7 @@ private[plans] final class SpillableActives(numFields: Int,
     val oldSpilled = spilled
     if (out != null) { out.close(); out = null }
     mem = scala.collection.mutable.ArrayBuffer.empty[E]
+    budget.release(memBytes) // detached entries re-reserve as they re-append
     memBytes = 0L
     file = null
     spilled = 0L
@@ -200,6 +321,7 @@ private[plans] final class SpillableActives(numFields: Int,
 
   def clear(): Unit = {
     mem.clear()
+    budget.release(memBytes)
     memBytes = 0L
     if (out != null) { out.close(); out = null }
     if (file != null) { file.delete(); file = null }
@@ -211,7 +333,7 @@ private[plans] final class SpillableActives(numFields: Int,
 /** Strict-FIFO queue of (left row, right row | null) output pairs — the
   * sweep's pending emissions. See [[SweepSpill]]. */
 private[plans] final class SpillableFifo(lFields: Int, rFields: Int,
-    capBytes: Long, metric: SQLMetric) {
+    budget: SweepBudget, metric: SQLMetric) {
   import SweepSpill._
 
   private val memQ = new java.util.ArrayDeque[Array[InternalRow]]()
@@ -221,6 +343,8 @@ private[plans] final class SpillableFifo(lFields: Int, rFields: Int,
   private var in: DataInputStream = _
   private var onDisk = 0L // entries written, not yet read back
 
+  budget.register(() => if (!memQ.isEmpty) spillMem())
+
   def isEmpty: Boolean = onDisk == 0 && memQ.isEmpty
 
   private def rowBytes(r: InternalRow): Long = r match {
@@ -229,9 +353,14 @@ private[plans] final class SpillableFifo(lFields: Int, rFields: Int,
   }
 
   def add(l: InternalRow, r: InternalRow): Unit = {
+    val delta = rowBytes(l) + (if (r == null) 0L else rowBytes(r)) + 24L
+    if (!budget.tryReserve(delta)) {
+      if (!memQ.isEmpty) spillMem()
+      budget.tryReserve(delta) // best-effort; see SpillableActives.append
+    }
     memQ.addLast(Array(l, r))
-    memBytes += rowBytes(l) + (if (r == null) 0L else rowBytes(r)) + 24L
-    if (memBytes > capBytes) spillMem()
+    memBytes += delta
+    if (memBytes > budget.postCap) spillMem()
   }
 
   private def spillMem(): Unit = {
@@ -249,6 +378,7 @@ private[plans] final class SpillableFifo(lFields: Int, rFields: Int,
     // be durable before poll() counts on them (onDisk is incremented above)
     out.flush()
     if (metric != null) metric.add(memBytes)
+    budget.release(memBytes)
     memBytes = 0L
   }
 
@@ -274,7 +404,19 @@ private[plans] final class SpillableFifo(lFields: Int, rFields: Int,
       onDisk -= 1
       if (onDisk == 0) reclaimFile()
       Array(l, r)
-    } else memQ.pollFirst()
+    } else {
+      val e = memQ.pollFirst()
+      if (e != null) {
+        // pre-r14 code never decremented memBytes on memory polls, so a
+        // long-lived FIFO drained from memory eventually tripped the cap
+        // and spilled a near-empty queue; track the true size
+        val d = rowBytes(e(0)) +
+          (if (e(1) == null) 0L else rowBytes(e(1))) + 24L
+        memBytes = math.max(0L, memBytes - d)
+        budget.release(d)
+      }
+      e
+    }
   }
 
   private def reclaimFile(): Unit = {
