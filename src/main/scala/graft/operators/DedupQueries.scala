@@ -919,35 +919,37 @@ object DedupQueries extends QueryModule {
     * the only cluster state that exists — component-count-sized, id-keyed,
     * rewritten merge-by-merge. */
   val q134CcIncremental: Q = (s, dir) => {
-    val isNew = col("doc_id") % 7 === 3
-    // shingle + sign the corpus ONCE (r13): the old-only bootstrap and the
-    // gated ingest both derive from one cached shingle frame and one
-    // cached signature frame — the old 6/7 of the corpus used to be
-    // re-shingled AND re-minhashed in each pass (shingling and minhash_sig
-    // are per-row, so filter-then-shingle ≡ shingle-then-filter and the
-    // bootstrap's bands/pairs are bit-identical to the two-pass form;
-    // verifyPairs joins candidates on doc_id, so the full shingle frame
-    // resolves old-only pairs to exactly the old rows)
+    def isNewId(c: org.apache.spark.sql.Column) = c % 7 === 3
+    // shingle + sign the corpus ONCE (r13), and — new in r14 — band,
+    // enumerate, and VERIFY once too: the bootstrap needs the old-old
+    // pairs and the ingest the new-involving pairs, which are a disjoint
+    // partition of ONE verified pair set. Band-bucket membership is
+    // per-doc, so old-old co-membership in the full band frame equals
+    // co-membership in the old-only band frame (the old two-pass form
+    // banded the old 6/7 twice and ran the broadcast verify twice); and
+    // is_new is a pure function of doc_id, so the split is a filter on
+    // the pair columns, not a meta join. Guide §1.2: one banding, one
+    // pair enumeration, one verify — identical pair sets by construction.
     val sh = shingled(s, dir, spread = true).cache()
-    val sigs = minhashSigs(sh, "sh").withColumn("is_new", isNew).cache()
+    val sigs = minhashSigs(sh, "sh").cache()
+    val allPairs = verifyPairs(bandPairs(bandRows(sigs)), sh)
+      .select(col("i"), col("j")).cache()
     // bootstrap: old-only graph → labels → persisted store
-    val pairsOld = verifyPairs(
-      bandPairs(bandRows(sigs.filter(!col("is_new")).drop("is_new"))), sh)
-      .select(col("i"), col("j"))
+    val pairsOld = allPairs
+      .filter(!isNewId(col("i")) && !isNewId(col("j")))
     val labelStore = graft.engine.Scratch.dir(s, "cc_labels") + "/labels"
     connectedComponentsAuto(pairsOld)
       .write.mode("overwrite").parquet(labelStore)
-    // ingest: new-involving pairs only (q74's gated banding)
-    val bands = bandRows(sigs, meta = Seq("is_new"))
-    val pairsNew = verifyPairs(
-      bandPairs(bands, gate = Some(col("x.is_new") || col("y.is_new"))), sh)
-      .select(col("i"), col("j"))
+    // ingest: new-involving pairs only (q74's gating, now a filter)
+    val pairsNew = allPairs
+      .filter(isNewId(col("i")) || isNewId(col("j")))
     // merge: stored labels as edges + the batch's pairs
     val storedEdges = s.read.parquet(labelStore)
       .select(col("id").as("i"), col("lbl").as("j"))
     val labels = connectedComponentsAuto(storedEdges.union(pairsNew))
     sh.unpersist(blocking = false)
     sigs.unpersist(blocking = false)
+    allPairs.unpersist(blocking = false)
     labels
       .groupBy(col("lbl").as("keep_id"))
       .agg(count(lit(1)).as("n_members"),
